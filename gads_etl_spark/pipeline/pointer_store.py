@@ -1,0 +1,60 @@
+"""Warehouse pointers: which run_id of each logical partition is published.
+
+Contract parity (reference src/gads_etl/warehouse/pointer_store.py:8-18,
+50-66): one row per logical key; upsert on publish, delete on demotion.
+The pointer swap is the consumer-visible atomic publish point
+(docs/warehouse_semantics.md:18-25,62).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gads_etl_spark.pipeline.keys import LOGICAL_KEY
+from gads_etl_spark.pipeline.state_store import _VersionedTable, merge_upsert
+
+POINTER_SCHEMA = T.StructType([
+    T.StructField("source", T.StringType(), False),
+    T.StructField("customer_id", T.StringType(), False),
+    T.StructField("query_name", T.StringType(), False),
+    T.StructField("logical_date", T.DateType(), False),
+    T.StructField("run_id", T.StringType(), False),
+    T.StructField("schema_version", T.StringType(), False),
+    T.StructField("loaded_at", T.TimestampType(), False),
+])
+
+
+class PointerStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self._table = _VersionedTable(spark, root, POINTER_SCHEMA)
+
+    def read(self) -> DataFrame:
+        return self._table.read()
+
+    def upsert(self, updates: DataFrame) -> None:
+        """Publish/replace pointers (M2 — pointer_store.py:107-135)."""
+        self._table.commit(merge_upsert(self.read(), updates, LOGICAL_KEY))
+
+    def delete(self, keys: DataFrame) -> None:
+        """Demote: drop pointers whose key appears in ``keys`` (M2 delete —
+        pointer_store.py:137-156). Anti-join rewrite, no row-at-a-time."""
+        remaining = self.read().join(
+            keys.select(*LOGICAL_KEY).distinct(), list(LOGICAL_KEY), "left_anti"
+        )
+        self._table.commit(remaining)
+
+    def get(self, key) -> dict | None:
+        rows = (
+            self.read()
+            .where(
+                (F.col("source") == key.source)
+                & (F.col("customer_id") == key.customer_id)
+                & (F.col("query_name") == key.query_name)
+                & (F.col("logical_date") == F.lit(key.logical_date))
+            )
+            .collect()
+        )
+        return rows[0].asDict() if rows else None
