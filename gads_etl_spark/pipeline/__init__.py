@@ -23,4 +23,4 @@ from gads_etl_spark.pipeline.raw_sink import RawZone  # noqa: F401
 from gads_etl_spark.pipeline.state_store import StateStore, STATE_SCHEMA  # noqa: F401
 from gads_etl_spark.pipeline.pointer_store import PointerStore  # noqa: F401
 from gads_etl_spark.pipeline.validator import validate_partition  # noqa: F401
-from gads_etl_spark.pipeline.loader import WarehouseLoader  # noqa: F401
+from gads_etl_spark.pipeline.loader import ReconciliationPlan, WarehouseLoader  # noqa: F401
