@@ -15,5 +15,6 @@ from gads_etl_spark.queries.registry import REGISTRY, RegisteredQuery, register 
 # Import suites for their registration side effects.
 from gads_etl_spark.queries import relational  # noqa: F401,E402
 from gads_etl_spark.queries import operator_suite  # noqa: F401,E402
+from gads_etl_spark.queries import observe_suite  # noqa: F401,E402
 from gads_etl_spark.queries import extension_suite  # noqa: F401,E402
 from gads_etl_spark.queries import pipeline_suite  # noqa: F401,E402
