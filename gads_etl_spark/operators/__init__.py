@@ -1,0 +1,31 @@
+"""Scale-path operators for LLM training-data pipelines.
+
+These are the operations a 100 TB text/embedding corpus pipeline needs that
+plain SQL doesn't name: near-duplicate detection (MinHash-LSH, SimHash,
+shingle Jaccard), approximate nearest neighbours over embeddings, and
+multimodal binary-column plumbing. All are pure DataFrame compositions —
+shuffles on content keys, no driver-side loops, no all-pairs joins.
+
+Not present in the reference (it is a Google-Ads ETL, SURVEY.md §2 intro);
+mandated by the driver north star (BASELINE.json, SURVEY.md §7.2 step 6).
+"""
+
+from gads_etl_spark.operators.dedup import (  # noqa: F401
+    bow_fingerprint,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_signatures,
+    shingle_jaccard_pairs,
+    shingles,
+    simhash,
+    tokens,
+)
+from gads_etl_spark.operators.multimodal import (  # noqa: F401
+    as_binary_payload,
+    decode_features,
+)
+from gads_etl_spark.operators.similarity import (  # noqa: F401
+    cosine_topk_bruteforce,
+    lsh_topk,
+    random_hyperplanes,
+)

@@ -1,0 +1,186 @@
+"""Deduplication operators: exact, bag-of-words, MinHash-LSH, SimHash.
+
+Design rules for 100 TB:
+- Never all-pairs. Candidate generation is always a *bucket equi-join*
+  (LSH band buckets, blocking keys), so the shuffle is on content-derived
+  keys and the pair count is bounded by bucket sizes, not n².
+- Everything JVM-side: ``xxhash64``, higher-order array functions, window
+  dedup. No Python in the hot path.
+- Deterministic: hash seeds are fixed, survivors are chosen by min(id), so
+  reruns (and the correctness oracle) agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def tokens(text: F.Column) -> F.Column:
+    """Whitespace tokenization (documents fixture is single-spaced)."""
+    return F.split(text, r"\s+")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash; survivor = smallest id per hash.
+
+    The hash-groupBy form: one shuffle on the 128-bit content hash. At
+    100 TB group by ``md5(text)`` (16 bytes) instead of the full text to
+    keep shuffle rows small.
+    """
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("content_hash")))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def bow_fingerprint(text: F.Column) -> F.Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Catches shuffled/reordered copies that exact hashing misses.
+    """
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    ``transform`` over token indexes keeps this a single JVM expression —
+    no explode needed until the caller wants one row per shingle.
+    """
+    toks = tokens(text)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", *[
+                F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)
+            ]))
+        )
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard similarity (a_id < b_id).
+
+    Pairs are only formed *within a blocking key* (equi-join on
+    ``block_col``), so the join is a normal shuffled equi-join and the
+    quadratic term is bounded per block — the scale-safe shape of pairwise
+    similarity. For unblocked corpora use ``minhash_candidate_pairs``.
+    """
+    t = df.select(
+        F.col(id_col), F.col(block_col).alias("_block"),
+        shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = t.select(F.col(id_col).alias("a_id"), F.col("_block"), F.col("_sh").alias("a_sh"))
+    b = t.select(F.col(id_col).alias("b_id"), F.col("_block"), F.col("_sh").alias("b_sh"))
+    pairs = a.join(b, "_block").where(F.col("a_id") < F.col("b_id"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: (id, seed, minhash) — one row per hash function.
+
+    shingle → explode → xxhash64(seed ⊕ shingle) → groupBy(id, seed).min.
+    Two shuffles total (explode is narrow; the groupBy shuffles on id),
+    row count = Σ|shingles| × num_hashes — linear, never pairwise.
+    """
+    spark = df.sparkSession
+    seeds = spark.range(num_hashes).select(F.col("id").alias("seed"))
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    )
+    return (
+        exploded.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col, "seed",
+            F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = n/bands rows;
+    band key = hash of the band's minhash vector. Candidates are generated
+    by a *self equi-join on (band, band_key)* — the only pairs materialized
+    are same-bucket pairs, which is what makes MinHash-LSH tractable where
+    all-pairs Jaccard is not. Probability a pair with Jaccard s collides:
+    1 - (1 - s^r)^bands.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_keys = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
+    )
+    a = band_keys.select(F.col(id_col).alias("a_id"), "band", "band_key")
+    b = band_keys.select(F.col(id_col).alias("b_id"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """SimHash: 64-bit locality-sensitive fingerprint per document.
+
+    Explode tokens, hash each, then for every bit position sum +1/−1 over
+    the document's token hashes; the sign pattern is the fingerprint. One
+    explode + one groupBy(id) with 64 conditional sums — all JVM-side.
+    Near-duplicates = small hamming distance (``bit_count(a ^ b)``).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long") if j < 63 else F.when(
+            F.col(f"b{j}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(id_col, fingerprint.alias("simhash"))

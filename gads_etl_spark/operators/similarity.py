@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with a *broadcast* query side — the
+fact-side embedding table is scanned once, never shuffled, and the top-k
+per query is a window over (query, score). Scale path: random-hyperplane
+LSH — bucket the corpus by sign pattern, equi-join query buckets, rank
+within candidates only.
+
+All arithmetic is double-precision, sequential-fold dot products, so the
+DuckDB oracle (list_reduce, same fold order) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential left-fold dot product (deterministic IEEE order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours of each query vector.
+
+    ``broadcast(queries)`` × corpus: the corpus (the 100 TB side) streams
+    through map tasks; only |queries| × k rows survive the window. Rank is
+    on the score rounded to 6 decimals with id tiebreak, so ordering is
+    stable under float noise and engine-independent.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).round(6).tolist()
+
+
+def _bucket(vec: F.Column, planes: list[list[float]], band: range) -> F.Column:
+    """Sign pattern of the given plane band as a small integer bucket id."""
+    bucket = F.lit(0)
+    for j in band:
+        plane = F.array(*[F.lit(float(v)) for v in planes[j]])
+        bit = F.when(_dot(vec, plane) > 0, 1).otherwise(0)
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via random-hyperplane LSH banding.
+
+    Corpus vectors are bucketed by the sign pattern of ``n_planes``
+    hyperplane projections, split into ``bands`` bands; a query only
+    scores corpus vectors sharing at least one band bucket. The join is a
+    plain equi-join on (band, bucket) — candidate count is bucket-bounded,
+    never |corpus| × |queries|. Recall rises with ``bands`` (multi-probe).
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    per_band = n_planes // bands
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        rows = df.select(
+            F.col(id_col).alias(id_alias), v.alias(vec_alias),
+            *[
+                _bucket(v, planes, range(b * per_band, (b + 1) * per_band)).alias(f"bk{b}")
+                for b in range(bands)
+            ],
+        )
+        buckets = F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"bk{b}").alias("bucket"))
+            for b in range(bands)
+        ])
+        return rows.select(
+            id_alias, vec_alias, F.explode(buckets).alias("bb")
+        ).select(id_alias, vec_alias, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    c = banded(corpus, "neighbor_id", "c_vec")
+    q = banded(queries, "query_id", "q_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["band", "bucket"])
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -17,4 +17,5 @@ from gads_etl_spark.queries import relational  # noqa: F401,E402
 from gads_etl_spark.queries import operator_suite  # noqa: F401,E402
 from gads_etl_spark.queries import observe_suite  # noqa: F401,E402
 from gads_etl_spark.queries import extension_suite  # noqa: F401,E402
+from gads_etl_spark.queries import events_suite  # noqa: F401,E402
 from gads_etl_spark.queries import pipeline_suite  # noqa: F401,E402

@@ -1,1 +1,386 @@
-"""Extension suite — populated incrementally."""
+"""LLM training-data pipeline queries over documents + embeddings.
+
+The driver north-star extension (BASELINE.json; SURVEY.md §7.2 step 6) —
+not present in the reference. Oracle-checked where DuckDB can express the
+semantics (exact/bow dedup, shingle Jaccard, text stats, language heuristic,
+brute-force cosine top-k, embedding stats, multimodal manifest); the LSH
+operators (MinHash bands, SimHash, hyperplane ANN) are rows-only here and
+invariant-tested in tests/test_extension_ops.py (recall vs brute force,
+candidate ⊆ bound, no all-pairs blowup).
+
+Float discipline: any *aggregated* double goes through integer micro-units
+(``CAST(round(x * 1e6) AS BIGINT)``) so sums are order-independent and both
+engines agree exactly; per-row doubles are single-expression arithmetic on
+identical inputs, which is already deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gads_etl_spark.catalog import load_table
+from gads_etl_spark.operators import dedup as D
+from gads_etl_spark.operators import multimodal as MM
+from gads_etl_spark.operators import similarity as S
+from gads_etl_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_exact_dedup",
+    oracle="""
+    SELECT doc_id, content_hash, n_copies FROM (
+        SELECT doc_id, md5(text) AS content_hash,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("extension", "dedup"),
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), survivor = min doc_id.
+
+    One shuffle on a 16-byte hash — the canonical first pass of any
+    training-data dedup pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("doc_id", "content_hash", "n_copies")
+
+
+@register(
+    "ext_bow_dedup",
+    oracle="""
+    SELECT doc_id, fingerprint, n_copies FROM (
+        SELECT doc_id, fp AS fingerprint,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp) AS n_copies
+        FROM (
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+            FROM documents
+        )
+    ) WHERE rn = 1
+    """,
+    tags=("extension", "dedup"),
+)
+def ext_bow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dedup: fingerprint = md5 of the sorted distinct
+    token set, catching reshuffled copies. Same hash-groupBy scale shape
+    as exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("fingerprint", D.bow_fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("fingerprint")))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_copies")
+    )
+
+
+@register(
+    "ext_shingle_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    """,
+    tags=("extension", "dedup", "join"),
+)
+def ext_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.7, blocked by source.
+
+    Pairs only form within a blocking key (equi-join), bounding the
+    quadratic term per block — the scale-safe shape; the unblocked path is
+    MinHash-LSH (ext_minhash_candidates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
+
+
+@register("ext_minhash_candidates", tags=("extension", "dedup", "lsh"))
+def ext_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (32 hashes, 8 bands of 4).
+
+    Rows-only (hash seeds are engine-specific); invariant-tested against
+    brute-force Jaccard in tests/test_extension_ops.py: high-similarity
+    pairs are recalled, candidate count stays ≪ n²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, num_hashes=32, bands=8)
+
+
+@register("ext_simhash", tags=("extension", "dedup", "lsh"))
+def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only; hamming-distance invariants
+    tested in tests/test_extension_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS distinct_ratio,
+           CAST(len(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity stats per document — whitespace
+    tokens, distinct ratio (type-token ratio), mean token length. All
+    JVM-side array functions; no UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = D.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id", "lang", "source",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        (F.length(F.regexp_replace("text", " ", "")).cast("double") / n_tokens)
+        .alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ("the", "a", "data", "table", "row")
+
+
+@register(
+    "ext_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.2 * least(n_tokens / 64.0, 1.0) AS quality
+    FROM (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> w IN {_STOPWORDS!r})) AS BIGINT) AS n_stop
+        FROM documents
+    )
+    """,
+    tags=("extension", "text"),
+)
+def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, lexical diversity, and a
+    length saturation term combined into one score — the shape of the
+    cheap quality filters used before expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = D.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = n_distinct.cast("double") / n_tokens
+    quality = (
+        F.lit(0.5) * distinct_ratio
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"), quality.alias("quality"),
+    )
+
+
+#: (lang, marker-bigram) pairs for the character-n-gram language heuristic.
+_LANG_MARKERS = (("en", "th"), ("de", "ch"), ("es", "ll"), ("fr", "ou"))
+
+
+@register(
+    "ext_lang_guess",
+    oracle="""
+    SELECT doc_id, lang,
+           s_en, s_de, s_es, s_fr,
+           CASE greatest(s_en, s_de, s_es, s_fr)
+                WHEN s_en THEN 'en' WHEN s_de THEN 'de'
+                WHEN s_es THEN 'es' ELSE 'fr' END AS lang_guess
+    FROM (
+        SELECT doc_id, lang,
+               CAST((len(text) - len(replace(text, 'th', ''))) / 2 AS BIGINT) AS s_en,
+               CAST((len(text) - len(replace(text, 'ch', ''))) / 2 AS BIGINT) AS s_de,
+               CAST((len(text) - len(replace(text, 'll', ''))) / 2 AS BIGINT) AS s_es,
+               CAST((len(text) - len(replace(text, 'ou', ''))) / 2 AS BIGINT) AS s_fr
+        FROM documents
+    )
+    """,
+    tags=("extension", "text"),
+)
+def ext_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by character-bigram frequency scores with a fixed
+    greatest-first tiebreak (en > de > es > fr). The marker bigrams are a
+    toy profile — the operator shape (n-gram count scores → argmax) is the
+    real n-gram language-ID dataflow, entirely JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def score(bigram: str) -> F.Column:
+        return (
+            (F.length("text") - F.length(F.regexp_replace("text", bigram, ""))) / 2
+        ).cast("long")
+
+    scores = {lang: score(bg) for lang, bg in _LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    guess = F.when(best == scores["en"], "en").when(best == scores["de"], "de") \
+        .when(best == scores["es"], "es").otherwise("fr")
+    return docs.select(
+        "doc_id", "lang",
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+        guess.alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    round(
+      list_reduce(list_transform(generate_series(1, 64),
+                                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                  (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                         i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                          (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                           i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                            (acc, x) -> acc + x))), 6)
+"""
+
+
+@register(
+    "ext_knn_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= 10
+        WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+    tags=("extension", "similarity"),
+)
+def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors over the corpus — the
+    brute-force ANN baseline. The query side broadcasts; the corpus side
+    never shuffles; top-k is a per-query window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@register("ext_knn_lsh", tags=("extension", "similarity", "lsh"))
+def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via random-hyperplane LSH banding (16
+    planes, 8 bands of 2 — recall ≈ 0.98 vs brute force at sf0.001).
+    Rows-only; recall is asserted in tests/test_extension_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@register(
+    "ext_embedding_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           CAST(sum(CAST(round(sqrt(list_reduce(
+                 list_transform(generate_series(1, 64),
+                                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x)) * 1000000) AS BIGINT)) AS DOUBLE) / (count(*) * 1e6)
+             AS avg_norm,
+           CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6) AS avg_dim0
+    FROM embeddings GROUP BY label
+    """,
+    tags=("extension", "similarity", "agg"),
+)
+def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics. Aggregated doubles go through
+    integer micro-units so the sum is order-independent — the same
+    discipline as the decimal-exact money sums, applied to vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(S._dot(v, v))
+    norm_micros = F.round(norm * 1_000_000).cast("long")
+    dim0_micros = F.round(F.element_at(v, 1) * 1_000_000).cast("long")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(norm_micros).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("avg_norm"),
+        (F.sum(dim0_micros).cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias("avg_dim0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_multimodal_manifest",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    tags=("extension", "multimodal"),
+)
+def ext_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload manifest: byte length + content digest per payload —
+    the typed-metadata half of a media column (payload stays opaque)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.as_binary_payload(docs).select("doc_id", "byte_len", "payload_sha256")
+
+
+@register("ext_multimodal_decode", tags=("extension", "multimodal", "pandas-udf"))
+def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode of binary payloads via mapInPandas (decode
+    kernel is a deterministic stub — see operators.multimodal). Rows-only;
+    batch shape and schema are asserted in tests/test_extension_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.decode_features(MM.as_binary_payload(docs))

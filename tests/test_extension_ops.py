@@ -1,0 +1,140 @@
+"""Invariant tests for the non-SQL-expressible extension operators.
+
+The oracle harness covers the deterministic queries; these tests pin down
+the probabilistic ones: MinHash-LSH recall + candidate bounds, SimHash
+locality, hyperplane-ANN recall vs brute force, and the multimodal decode
+plumbing (schema, Arrow batching, determinism).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gads_etl_spark.catalog import load_table
+from gads_etl_spark.operators import dedup as D
+from gads_etl_spark.operators import multimodal as MM
+from gads_etl_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _true_jaccard_pairs(spark, docs, threshold):
+    """Brute-force shingle-Jaccard pairs (test-only; fine at sf0.001)."""
+    t = docs.select("doc_id", D.shingles(F.col("text")).alias("sh"))
+    a = t.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = t.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size("a_sh") + F.size("b_sh") - inter
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("jaccard", inter.cast("double") / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+class TestMinHashLSH:
+    def test_high_similarity_pairs_are_candidates(self, spark, docs):
+        """Every pair with true Jaccard ≥ 0.8 must appear in the LSH
+        candidate set (collision prob at s=0.8, r=4, b=8 is ≈ 0.986)."""
+        true_pairs = {(r.a_id, r.b_id) for r in _true_jaccard_pairs(spark, docs, 0.8).collect()}
+        cands = {(r.a_id, r.b_id)
+                 for r in D.minhash_candidate_pairs(docs, num_hashes=32, bands=8).collect()}
+        assert true_pairs, "fixture should contain at least one near-dup pair"
+        assert true_pairs <= cands
+
+    def test_candidates_far_below_all_pairs(self, docs):
+        n = docs.count()
+        n_cand = D.minhash_candidate_pairs(docs, num_hashes=32, bands=8).count()
+        assert n_cand < 0.05 * n * (n - 1) / 2
+
+    def test_signatures_shape(self, docs):
+        sigs = D.minhash_signatures(docs, num_hashes=8)
+        counts = sigs.groupBy("doc_id").count().select("count").distinct().collect()
+        assert [r["count"] for r in counts] == [8]
+
+
+class TestSimHash:
+    def test_deterministic(self, docs):
+        a = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        b = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+        assert a == b and len(a) == docs.count()
+
+    def test_near_dup_has_small_hamming(self, spark, docs):
+        """The fixture's true near-dup pair must be close in hamming
+        distance; random pairs must be far on average."""
+        pairs = _true_jaccard_pairs(spark, docs, 0.8).collect()
+        sig = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+
+        def hamming(x, y):
+            return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+        ids = sorted(sig)[:30]
+        dists = [hamming(sig[a], sig[b]) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        mean_random = sum(dists) / len(dists)
+        for p in pairs:
+            near = hamming(sig[p.a_id], sig[p.b_id])
+            # Near-dups must sit well inside the random-pair distribution
+            # (the fixture vocabulary is tiny, so random docs correlate;
+            # the test is relative, not an absolute bit threshold).
+            assert near <= 12 and near < 0.6 * mean_random
+
+
+class TestHyperplaneANN:
+    def test_recall_vs_bruteforce(self, emb):
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        approx = S.lsh_topk(corpus, queries, k=5).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.5, f"ANN recall {hits}/{total} too low"
+
+    def test_bruteforce_self_similarity(self, emb):
+        """A vector queried against a corpus containing itself ranks
+        itself first with cos_sim 1.0."""
+        res = S.cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=1).collect()
+        assert {r.query_id for r in res} == {0, 1, 2}
+        for r in res:
+            assert r.neighbor_id == r.query_id and r.cos_sim == 1.0
+
+
+class TestMultimodal:
+    def test_payload_roundtrip_schema(self, docs):
+        payloads = MM.as_binary_payload(docs)
+        row = payloads.first()
+        assert isinstance(row.payload, (bytes, bytearray))
+        assert row.byte_len == len(row.payload)
+        assert len(row.payload_sha256) == 64
+
+    def test_decode_features_deterministic(self, docs):
+        payloads = MM.as_binary_payload(docs)
+        a = {r.doc_id: r.features for r in MM.decode_features(payloads).collect()}
+        b = {r.doc_id: r.features for r in MM.decode_features(payloads).collect()}
+        assert a == b and len(a) == docs.count()
+        dim = {len(v) for v in a.values()}
+        assert dim == {MM.FEATURE_DIM}
+
+    def test_decode_batches_follow_partitioning(self, docs):
+        payloads = MM.as_binary_payload(docs).repartition(4)
+        out = MM.decode_features(payloads)
+        assert out.rdd.getNumPartitions() == 4
+        assert out.count() == docs.count()
