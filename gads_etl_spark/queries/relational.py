@@ -8,10 +8,14 @@ aggregation, top-k. All money math is decimal-exact (see functions.numeric)
 so results hash-match the DuckDB oracle bit-for-bit.
 
 Scale notes (100 TB thinking):
-- Dimension tables (region/nation/part/supplier/customer) are broadcast —
-  no shuffle of the fact side for star joins.
-- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; Catalyst
-  + AQE pick sort-merge vs shuffled-hash and split skewed partitions.
+- Explicit ``broadcast()`` ONLY for bounded dimensions (region: 5 rows,
+  nation: 25 rows, scalar subquery results). Everything that grows with
+  the scale factor (customer, part, supplier, orders, lineitem) is left
+  to AQE: at sf0.1 it will pick a broadcast join anyway from runtime
+  sizes; at 100× it switches to shuffled joins instead of OOMing an
+  executor on a forced fact-scale broadcast.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once; AQE
+  picks sort-merge vs shuffled-hash and splits skewed partitions.
 - All filters are expressed on base columns so they push into the parquet
   scan (verify with .explain: PushedFilters).
 """
@@ -99,9 +103,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: star join + grouped revenue + deterministic top-k.
 
-    Customer is broadcast (small dim); orders⋈lineitem shuffles once on
-    orderkey. Ranking is on exact decimal revenue with orderkey tiebreak so
-    the LIMIT is deterministic across engines and partitionings.
+    Customer is sf-scaled, so its join strategy is left to AQE (a forced
+    broadcast works at sf0.1 and OOMs at 100×); orders⋈lineitem shuffles
+    once on orderkey. Ranking is on exact decimal revenue with orderkey
+    tiebreak so the LIMIT is deterministic across engines/partitionings.
     """
     cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").where(
@@ -111,7 +116,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
     )
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     )
     agg = (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -143,8 +148,10 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way star join with a co-nation equi constraint.
 
-    region/nation/customer/supplier broadcast; the only big shuffle is
-    orders⋈lineitem on orderkey.
+    Only the bounded dims broadcast (region 5 rows, nation 25 rows);
+    customer/supplier are sf-scaled and AQE picks their strategy. The
+    region filter reaches customer *through* the broadcast nation join, so
+    the fact side is pruned before its shuffle.
     """
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -155,14 +162,14 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    dim = (
-        cust.join(broadcast(nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)),
-                  cust.c_nationkey == nation.n_nationkey)
+    dim = cust.join(
+        broadcast(nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey)),
+        cust.c_nationkey == nation.n_nationkey,
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(dim), orders.o_custkey == dim.c_custkey)
-        .join(broadcast(supp),
+        .join(dim, orders.o_custkey == dim.c_custkey)
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == dim.c_nationkey))
     )
     return joined.groupBy("n_name").agg(dsum(_rev(), "revenue"))
@@ -263,7 +270,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     agg = (
@@ -300,7 +307,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
     )
-    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
         F.lit(0).cast("decimal(17,4)")
     )
@@ -327,18 +334,27 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "having", "topk"),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING over a grouped join (large-quantity orders)."""
+    """TPC-H Q18 shape: HAVING over a grouped join (large-quantity orders).
+
+    Classic Q18 plan: pre-aggregate lineitem by orderkey and apply the
+    HAVING threshold *before* joining orders/customer — the join input
+    shrinks from |lineitem| to |qualifying orders| (~4× fewer rows at any
+    scale, and the filter is applied at the cheapest point). Customer join
+    strategy is AQE's call (sf-scaled table, never force-broadcast).
+    """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-        broadcast(cust), orders.o_custkey == cust.c_custkey
-    )
-    return (
-        joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+    big_orders = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(qty("l_quantity")).alias("_qty_dec"))
         .where(F.col("_qty_dec") > 140)
-        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    joined = big_orders.join(orders, big_orders.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
@@ -363,7 +379,7 @@ def q19_bracket_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive bracket predicates across a join."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
@@ -444,8 +460,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = nation.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .where(
