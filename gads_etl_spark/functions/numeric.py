@@ -9,8 +9,8 @@ result to DOUBLE once. The DuckDB oracle does the identical casts, giving
 bit-equal hashes.
 
 Precision budget is chosen to stay within 38 digits through products:
-money(12,2) * rate(4,2) * rate(4,2) -> decimal(22,6); a 10^12-row sum still
-fits 38 digits.
+money(12,2) * rate(3,2) -> decimal(17,4), and a second rate factor (the
+Q1 charge term) -> decimal(20,6); a 10^12-row sum still fits 38 digits.
 """
 
 from __future__ import annotations

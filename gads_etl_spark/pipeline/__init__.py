@@ -22,5 +22,11 @@ from gads_etl_spark.pipeline.keys import LOGICAL_KEY, PartitionKey  # noqa: F401
 from gads_etl_spark.pipeline.raw_sink import RawZone  # noqa: F401
 from gads_etl_spark.pipeline.state_store import StateStore, STATE_SCHEMA  # noqa: F401
 from gads_etl_spark.pipeline.pointer_store import PointerStore  # noqa: F401
-from gads_etl_spark.pipeline.validator import validate_partition  # noqa: F401
+from gads_etl_spark.pipeline.validator import validate_batch, validate_partition  # noqa: F401
 from gads_etl_spark.pipeline.loader import ReconciliationPlan, WarehouseLoader  # noqa: F401
+from gads_etl_spark.pipeline.control_plane import (  # noqa: F401
+    ControlPlane,
+    PlanResult,
+    ThresholdExceededError,
+    UnfilteredMutationError,
+)

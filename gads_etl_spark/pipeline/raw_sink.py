@@ -4,31 +4,40 @@ Contract parity (reference docs/raw_sink_contract.md, raw_sink_local.py,
 raw_sink_object.py):
 
 - One directory per ``(logical key, run_id)`` holding the payload; the
-  partition becomes *visible and immutable* only when its manifest row
-  exists (metadata-last seal — reference docs/storage_realism.md:35-40,
+  partition becomes *visible and immutable* only when it is sealed
+  (metadata-last — reference docs/storage_realism.md:35-40,
   raw_sink_local.py:44-48).
 - Writing or sealing an already-sealed partition raises (overwrite refusal —
   reference raw_sink_local.py:34-36, docs/raw_sink_contract.md:48-51).
 - run_id discovery goes through the manifest table, never a recursive
   directory listing — at 100 TB, listing a prefix with millions of objects
-  is the classic S3 anti-pattern; a parquet manifest scan is one task
+  is the classic S3 anti-pattern; a parquet manifest scan is one job
   (reference's delimiter-listing S8, raw_sink_object.py:72-88, upgraded).
 
+The seal is two artifacts written in order:
+1. ``_SEALED.json`` inside the partition directory — the metadata-last
+   marker. ``is_sealed`` checks THIS single path: O(1) per check, no
+   manifest scan per write (a full-manifest read per write is an O(n)
+   listing storm at millions of partitions).
+2. A row appended to the ``_manifest`` parquet table — the queryable
+   index used by validators/loaders. ``seal_many`` appends one file per
+   *batch*, not per partition, so manifest file count tracks job count.
+
 Scale notes: payload is written by executors with Spark's committer (task
-temp → rename), so partial attempts are never visible even before the seal
-check. The manifest is an append-only parquet directory — each seal appends
-one tiny file; readers aggregate with last-writer-wins. Works on any Hadoop
-filesystem (file://, s3a://, ...).
+temp → rename), so partial attempts are never visible even before the seal.
+Works on any Hadoop filesystem (file://, s3a://, ...).
 """
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.utils import AnalysisException
 
 from gads_etl_spark.pipeline.keys import LOGICAL_KEY, PartitionKey
 
@@ -45,9 +54,11 @@ MANIFEST_SCHEMA = T.StructType([
     T.StructField("query_signature", T.StringType(), True),
 ])
 
+SEAL_MARKER = "_SEALED.json"
+
 
 class SealedPartitionError(RuntimeError):
-    """Raised on any attempt to mutate a sealed (manifested) partition."""
+    """Raised on any attempt to mutate a sealed partition."""
 
 
 class RawZone:
@@ -57,27 +68,52 @@ class RawZone:
         self.data_format = data_format
         self._manifest_dir = f"{self.root}/_manifest"
 
+    # -- filesystem (Hadoop FS API: file://, s3a://, ... all work) --------
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, hpath
+
+    def _path_exists(self, path: str) -> bool:
+        fs, hpath = self._fs(path)
+        return fs.exists(hpath)
+
+    def _write_file_atomic(self, path: str, content: str) -> None:
+        """Write via temp + rename — the metadata-last atomicity trick."""
+        fs, hpath = self._fs(path)
+        tmp = self.spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+        fs.rename(tmp, hpath)
+
     # -- manifest ---------------------------------------------------------
 
     def manifest(self) -> DataFrame:
-        """All sealed partitions. Empty DataFrame if nothing sealed yet."""
+        """All sealed partitions. Empty DataFrame only when the manifest
+        has never been written; real I/O errors propagate (a swallowed
+        read failure would make ``is_sealed`` return False and break the
+        immutability contract — reference raw_sink_local.py:34-36)."""
+        if not self._path_exists(self._manifest_dir):
+            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
         try:
             return self.spark.read.schema(MANIFEST_SCHEMA).parquet(self._manifest_dir)
-        except Exception:
-            return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc):
+                return self.spark.createDataFrame([], MANIFEST_SCHEMA)
+            raise
+
+    def _marker_path(self, key: PartitionKey, run_id: str) -> str:
+        return os.path.join(self.partition_path(key, run_id), SEAL_MARKER)
 
     def is_sealed(self, key: PartitionKey, run_id: str) -> bool:
-        m = self.manifest()
-        return (
-            m.where(
-                (F.col("source") == key.source)
-                & (F.col("customer_id") == key.customer_id)
-                & (F.col("query_name") == key.query_name)
-                & (F.col("logical_date") == F.lit(key.logical_date))
-                & (F.col("run_id") == run_id)
-            ).limit(1).count()
-            > 0
-        )
+        """O(1): existence of the partition's own seal marker — no
+        manifest scan, no directory listing."""
+        return self._path_exists(self._marker_path(key, run_id))
 
     # -- write path -------------------------------------------------------
 
@@ -93,22 +129,24 @@ class RawZone:
         api_version: str | None = None,
         query_signature: str | None = None,
     ) -> dict:
-        """Write payload then seal with a manifest row (metadata-last).
+        """Write payload, then seal (metadata-last). Returns the manifest row.
 
-        Returns the manifest row as a dict (incl. record_count, used by the
-        validator's count check A9).
+        ``record_count`` is counted from what was actually written (a
+        re-read of the committed files), so a nondeterministic input can
+        never seal a count that disagrees with the payload the validator
+        will later re-count (A9).
         """
         if self.is_sealed(key, run_id):
             raise SealedPartitionError(
                 f"partition {key} run_id={run_id} is sealed; raw partitions are immutable"
             )
         path = self.partition_path(key, run_id)
-        record_count = df.count()
         writer = df.write.mode("errorifexists")
         if self.data_format == "json":
             writer.json(path)
         else:
             writer.parquet(path)
+        record_count = self._read_payload(path).count()
         meta = {
             "source": key.source,
             "customer_id": key.customer_id,
@@ -125,25 +163,58 @@ class RawZone:
         return meta
 
     def seal(self, meta: dict) -> None:
-        """Append the manifest row — the atomic publish point of a partition."""
-        row_df = self.spark.createDataFrame([meta], MANIFEST_SCHEMA)
-        row_df.coalesce(1).write.mode("append").parquet(self._manifest_dir)
+        """Seal one partition (marker first, then manifest row)."""
+        self.seal_many([meta])
+
+    def seal_many(self, metas: list[dict]) -> None:
+        """Batch seal: one marker per partition + ONE manifest append for
+        the whole batch (manifest file count stays proportional to jobs,
+        not partitions — the small-files fix)."""
+        markers = {}
+        for meta in metas:
+            key = PartitionKey(
+                meta["source"], meta["customer_id"], meta["query_name"],
+                meta["logical_date"],
+            )
+            marker = self._marker_path(key, meta["run_id"])
+            if self._path_exists(marker):
+                raise SealedPartitionError(
+                    f"partition {key} run_id={meta['run_id']} is already sealed"
+                )
+            markers[marker] = meta
+        for marker, meta in markers.items():
+            self._write_file_atomic(marker, json.dumps({k: str(v) for k, v in meta.items()}))
+        rows = self.spark.createDataFrame(metas, MANIFEST_SCHEMA)
+        rows.coalesce(1).write.mode("append").parquet(self._manifest_dir)
 
     # -- read path --------------------------------------------------------
 
-    def read_partition(self, key: PartitionKey, run_id: str,
-                       schema: T.StructType | None = None) -> DataFrame:
-        if not self.is_sealed(key, run_id):
-            raise FileNotFoundError(
-                f"partition {key} run_id={run_id} has no manifest row (unsealed ⇒ invisible)"
-            )
-        path = self.partition_path(key, run_id)
+    def _read_payload(self, path: str, schema: T.StructType | None = None) -> DataFrame:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
         if self.data_format == "json":
             return reader.option("mode", "FAILFAST").json(path)
         return reader.parquet(path)
+
+    def read_partition(self, key: PartitionKey, run_id: str,
+                       schema: T.StructType | None = None) -> DataFrame:
+        if not self.is_sealed(key, run_id):
+            raise FileNotFoundError(
+                f"partition {key} run_id={run_id} is not sealed (unsealed ⇒ invisible)"
+            )
+        return self._read_payload(self.partition_path(key, run_id), schema)
+
+    def read_all(self, schema: T.StructType | None = None) -> DataFrame:
+        """Read the whole raw zone with hive partition discovery — the
+        batch-validation scan (payload columns + the 5 partition columns).
+        """
+        reader = self.spark.read.option("basePath", self.root)
+        if schema is not None:
+            reader = reader.schema(schema)
+        if self.data_format == "json":
+            return reader.option("mode", "FAILFAST").json(self.root)
+        return reader.parquet(self.root)
 
     def list_run_ids(self, key: PartitionKey) -> list[str]:
         """Sorted run_ids of a logical partition, from the manifest (S8)."""

@@ -1,0 +1,144 @@
+"""Control-plane transition tests: retry / mark-terminal / backfill with
+safety rails (reference cli.py:138-232,493-664; docs/control_plane.md)."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gads_etl_spark.pipeline import (
+    ControlPlane,
+    StateStore,
+    ThresholdExceededError,
+    UnfilteredMutationError,
+)
+from gads_etl_spark.pipeline.state_store import STATE_SCHEMA
+
+NOW = datetime(2024, 3, 1)
+
+
+def _state(customer_id, d, status, error=None, attempts=1, run_id="run-a"):
+    return {
+        "source": "google_ads", "customer_id": customer_id,
+        "query_name": "campaign_stats", "logical_date": d,
+        "status": status, "current_run_id": run_id, "schema_version": "v1",
+        "record_count": 10, "updated_at": NOW, "error_message": error,
+        "attempt_count": attempts,
+    }
+
+
+@pytest.fixture
+def states(spark, tmp_path):
+    s = StateStore(spark, str(tmp_path / "state"))
+    s.upsert(spark.createDataFrame([
+        _state("1", date(2024, 1, 1), "failed", "boom"),
+        _state("1", date(2024, 1, 2), "failed", "[terminal] dead"),
+        _state("1", date(2024, 1, 3), "success"),
+        _state("2", date(2024, 1, 1), "failed", "other"),
+    ], STATE_SCHEMA))
+    return s
+
+
+class TestRetry:
+    def test_requeues_non_terminal_only(self, states):
+        res = ControlPlane(states).retry(customer_id="1")
+        assert res.as_dict() == {"eligible": 1, "skipped": 1, "executed": True}
+        rows = {r.logical_date: r for r in states.read().where(
+            F.col("customer_id") == "1").collect()}
+        assert rows[date(2024, 1, 1)].status == "pending"
+        assert rows[date(2024, 1, 1)].error_message == "boom"  # preserved
+        assert rows[date(2024, 1, 1)].attempt_count == 1       # not reset
+        assert rows[date(2024, 1, 2)].status == "failed"       # terminal blocked
+
+    def test_clear_terminal_overrides(self, states):
+        ControlPlane(states).retry(customer_id="1", clear_terminal=True)
+        rows = {r.logical_date: r for r in states.read().where(
+            F.col("customer_id") == "1").collect()}
+        assert rows[date(2024, 1, 2)].status == "pending"
+        assert rows[date(2024, 1, 2)].error_message is None
+
+    def test_dry_run_mutates_nothing(self, states):
+        before = sorted(map(str, states.read().collect()))
+        res = ControlPlane(states).retry(customer_id="1", dry_run=True)
+        assert res.eligible == 1 and not res.executed
+        assert sorted(map(str, states.read().collect())) == before
+
+    def test_unfiltered_requires_force(self, states):
+        with pytest.raises(UnfilteredMutationError):
+            ControlPlane(states).retry()
+        res = ControlPlane(states).retry(force=True)
+        assert res.eligible == 2
+
+    def test_threshold_requires_force(self, spark, tmp_path):
+        s = StateStore(spark, str(tmp_path / "many"))
+        s.upsert(spark.createDataFrame(
+            [_state("9", date(2024, 2, 1 + i), "failed", "e") for i in range(25)],
+            STATE_SCHEMA))
+        with pytest.raises(ThresholdExceededError):
+            ControlPlane(s).retry(customer_id="9")
+        assert ControlPlane(s).retry(customer_id="9", force=True).eligible == 25
+
+
+class TestMarkTerminal:
+    def test_marks_and_is_idempotent(self, states):
+        cp = ControlPlane(states)
+        res = cp.mark_terminal(customer_id="1")
+        assert res.as_dict() == {"eligible": 1, "skipped": 1, "executed": True}
+        row = states.read().where(
+            (F.col("customer_id") == "1") & (F.col("logical_date") == F.lit(date(2024, 1, 1)))
+        ).collect()[0]
+        assert row.error_message == "[terminal] boom"
+        assert row.status == "failed"
+        # Second run: nothing left to mark; message unchanged.
+        res2 = cp.mark_terminal(customer_id="1")
+        assert res2.eligible == 0 and res2.skipped == 2
+        row2 = states.read().where(
+            (F.col("customer_id") == "1") & (F.col("logical_date") == F.lit(date(2024, 1, 1)))
+        ).collect()[0]
+        assert row2.error_message == "[terminal] boom"
+
+    def test_null_error_becomes_bare_marker(self, spark, tmp_path):
+        s = StateStore(spark, str(tmp_path / "nul"))
+        s.upsert(spark.createDataFrame(
+            [_state("5", date(2024, 1, 1), "failed", None)], STATE_SCHEMA))
+        ControlPlane(s).mark_terminal(customer_id="5")
+        assert s.read().collect()[0].error_message == "[terminal]"
+
+
+class TestBackfill:
+    def test_skips_existing_unless_forced(self, states):
+        cp = ControlPlane(states)
+        res = cp.backfill("1", "campaign_stats", date(2024, 1, 1), date(2024, 1, 5))
+        # 5 dates, 3 existing for customer 1 → 2 new pendings
+        assert res.as_dict() == {"eligible": 2, "skipped": 3, "executed": True}
+        rows = {r.logical_date: r for r in states.read().where(
+            F.col("customer_id") == "1").collect()}
+        assert rows[date(2024, 1, 4)].status == "pending"
+        assert rows[date(2024, 1, 4)].current_run_id is None
+        assert rows[date(2024, 1, 4)].attempt_count == 0
+        assert rows[date(2024, 1, 3)].status == "success"  # untouched
+
+    def test_force_pending_repends_existing(self, states):
+        ControlPlane(states).backfill(
+            "1", "campaign_stats", date(2024, 1, 1), date(2024, 1, 5),
+            force_pending=True,
+        )
+        rows = {r.logical_date: r for r in states.read().where(
+            F.col("customer_id") == "1").collect()}
+        assert rows[date(2024, 1, 3)].status == "pending"
+        assert rows[date(2024, 1, 3)].current_run_id == "run-a"  # preserved
+        assert rows[date(2024, 1, 3)].attempt_count == 1
+
+    def test_dry_run_and_threshold(self, states):
+        cp = ControlPlane(states)
+        before = states.read().count()
+        res = cp.backfill("7", "campaign_stats", date(2024, 1, 1), date(2024, 1, 10),
+                          dry_run=True)
+        assert res.eligible == 10 and not res.executed
+        assert states.read().count() == before
+        with pytest.raises(ThresholdExceededError):
+            cp.backfill("7", "campaign_stats", date(2024, 1, 1), date(2024, 6, 1))
+        with pytest.raises(ValueError):
+            cp.backfill("7", "campaign_stats", date(2024, 2, 1), date(2024, 1, 1))
