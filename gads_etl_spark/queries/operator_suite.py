@@ -1,1 +1,428 @@
-"""Operator suite — populated incrementally."""
+"""Relational operator coverage: set ops, multidimensional aggregation,
+window functions, pivot, and scalar function parity.
+
+SURVEY.md §2.6 notes the reference has no payload set operations and §2.9
+no window functions — Spark provides them natively; this suite is the test
+corpus proving each against the DuckDB oracle (the work is the corpus, not
+the engine — SURVEY §7.2 step 5).
+
+Determinism rules: every window ORDER BY ends in a unique key; every
+LIMIT follows a total order; decimal money math via functions.numeric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gads_etl_spark.catalog import load_table
+from gads_etl_spark.functions.numeric import dsum, money
+from gads_etl_spark.queries.registry import register
+
+
+def _orders_year(spark, sf_dir, year: int) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.where(F.year("o_orderdate") == year).select("o_custkey")
+
+
+@register(
+    "op_union_active",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    UNION
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("operator", "setop"),
+)
+def op_union_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers active in 1996 or 1997."""
+    u = _orders_year(spark, sf_dir, 1996).union(_orders_year(spark, sf_dir, 1997))
+    return u.distinct().select(F.col("o_custkey").alias("custkey"))
+
+
+@register(
+    "op_intersect_retained",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("operator", "setop"),
+)
+def op_intersect_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both years (retention)."""
+    return (
+        _orders_year(spark, sf_dir, 1996)
+        .intersect(_orders_year(spark, sf_dir, 1997))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@register(
+    "op_except_churned",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    tags=("operator", "setop"),
+)
+def op_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): customers active in 1996 but not
+    1997 (churn). ``subtract`` = EXCEPT; ``exceptAll`` would be the
+    multiset variant, which keeps a customer whose 1996 order count merely
+    exceeds their 1997 count — different semantics."""
+    return (
+        _orders_year(spark, sf_dir, 1996)
+        .subtract(_orders_year(spark, sf_dir, 1997))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+@register(
+    "op_rollup_returns",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("operator", "rollup"),
+)
+def op_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: subtotals per (returnflag, linestatus), per returnflag, and
+    grand total, distinguished by grouping_id."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(money("l_extendedprice"), "total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "n", "total_price",
+        )
+    )
+
+
+@register(
+    "op_cube_orders",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("operator", "cube"),
+)
+def op_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations over priority × status."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid", "n",
+        )
+    )
+
+
+@register(
+    "op_grouping_sets",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+           coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nationkey,
+           count(*) AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    tags=("operator", "grouping-sets"),
+)
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: segment totals and nation totals in one pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("_op_customer")
+    return spark.sql("""
+        SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+               coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+               count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        FROM _op_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """)
+
+
+@register(
+    "op_topk_per_group",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal, rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("operator", "window", "O6"),
+)
+def op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group head-N (O6 sampling shape): top-3 customers by balance
+    per nation via row_number with unique tiebreak."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "op_running_total",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders WHERE o_custkey < 100
+    """,
+    tags=("operator", "window"),
+)
+def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal sum + sequence number per customer ordered by
+    (date, orderkey) — cumulative window with a deterministic frame."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.row_number().over(wn).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "op_lead_lag",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(date_diff('day', o_orderdate,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+             AS days_until_next
+    FROM orders WHERE o_custkey < 100
+    """,
+    tags=("operator", "window"),
+)
+def op_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: inter-order gaps per customer (same machinery as the A8
+    gap coalescing, applied to a fact table)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long")
+        .alias("days_since_prev"),
+        F.datediff(F.lead("o_orderdate").over(w), "o_orderdate").cast("long")
+        .alias("days_until_next"),
+    )
+
+
+@register(
+    "op_rank_customers",
+    oracle="""
+    SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+           CAST(rank() OVER w AS BIGINT) AS bal_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    tags=("operator", "window"),
+)
+def op_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with ties (acctbal collisions rank equal —
+    deterministic because rank depends only on values, not row order)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+    )
+
+
+@register(
+    "op_pivot_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("operator", "pivot"),
+)
+def op_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per priority spread across status columns
+    (explicit value list → no extra distinct-discovery job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "op_distinct_aggs",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT year(o_orderdate)) AS n_years,
+           count(*) AS n_orders
+    FROM orders
+    """,
+    tags=("operator", "agg"),
+)
+def op_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregation (Catalyst expands to
+    a multi-phase plan automatically)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "op_string_funcs",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           replace(p_brand, 'Brand#', 'B') AS brand_short,
+           concat(p_type, '/', p_brand) AS type_brand,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           reverse(p_type) AS type_rev,
+           trim(upper(p_name)) AS name_trim_upper
+    FROM part WHERE p_partkey < 500
+    """,
+    tags=("operator", "scalar", "P10"),
+)
+def op_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String operator parity (P10: rename/split/concat/pad family)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.concat("p_type", F.lit("/"), "p_brand").alias("type_brand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_type").alias("type_rev"),
+        F.trim(F.upper("p_name")).alias("name_trim_upper"),
+    )
+
+
+@register(
+    "op_date_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(day(o_orderdate) AS BIGINT) AS d,
+           CAST(quarter(o_orderdate) AS BIGINT) AS q,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS BIGINT)
+             AS days_to_1998,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders WHERE o_orderkey < 1000
+    """,
+    tags=("operator", "scalar", "P8", "P13"),
+)
+def op_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic parity (P8/P13: parts, trunc, diff, last_day)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), "o_orderdate").cast("long")
+        .alias("days_to_1998"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+    )
+
+
+@register(
+    "op_math_case_funcs",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           abs(CAST(l_discount AS DOUBLE) - 0.05) AS disc_dev,
+           CAST(ceil(CAST(l_quantity AS DOUBLE) / 10) AS BIGINT) AS qty_decile,
+           CAST(floor(CAST(l_extendedprice AS DOUBLE) / 1000) AS BIGINT) AS price_k,
+           round(sqrt(CAST(l_extendedprice AS DOUBLE)), 6) AS price_sqrt,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'large' END AS qty_class,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS return_kind,
+           CAST(least(l_quantity, 25) AS DOUBLE) AS qty_capped,
+           CAST(greatest(l_linenumber, 3) AS BIGINT) AS line_floor
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+    tags=("operator", "scalar"),
+)
+def op_math_case_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional scalar parity (abs/ceil/floor/round/sqrt, CASE,
+    coalesce/nullif, least/greatest)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.abs(F.col("l_discount").cast("double") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity").cast("double") / 10).cast("long").alias("qty_decile"),
+        F.floor(F.col("l_extendedprice").cast("double") / 1000).cast("long").alias("price_k"),
+        F.round(F.sqrt(F.col("l_extendedprice").cast("double")), 6).alias("price_sqrt"),
+        F.when(F.col("l_quantity") < 10, "small")
+        .when(F.col("l_quantity") < 30, "mid").otherwise("large").alias("qty_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias("return_kind"),
+        F.least(F.col("l_quantity"), F.lit(25)).cast("double").alias("qty_capped"),
+        F.greatest(F.col("l_linenumber"), F.lit(3)).cast("long").alias("line_floor"),
+    )
