@@ -16,14 +16,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-#: Headline set: relational + operator + extension coverage. Kept explicit so
-#: bench timing is stable as the registry grows.
+#: Headline set: kept fixed across rounds so the driver's recorded total
+#: is comparable round-over-round.
 HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_regional_revenue",
     "q06_forecast_revenue",
     "q18_large_orders",
+]
+
+#: Breadth set: one representative query per suite (pipeline,
+#: observability, dedup, ANN, event windows). Timed separately and
+#: reported under "extra" — not part of the headline total.
+EXTRA = [
+    "pq_authority_dedup",
+    "obs_date_gaps",
+    "ext_exact_dedup",
+    "ext_minhash_candidates",
+    "ext_knn_bruteforce",
+    "ev_tumbling_hourly",
+    "ev_sessionization",
 ]
 
 
@@ -35,20 +48,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
-    if extra:
-        names += [n for n in extra.split(",") if n in REGISTRY and n not in names]
+    env_extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+    if env_extra:
+        names += [n for n in env_extra.split(",") if n in REGISTRY and n not in names]
 
     # Warm the JVM + parquet footers once so timings measure the queries.
     REGISTRY[names[0]].fn(spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    def run(batch: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in batch:
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            n = df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        return timings
+
+    timings = run(names)
+    extra = run([n for n in EXTRA if n in REGISTRY])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -56,6 +74,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "extra": extra,
+        "extra_total": round(sum(extra.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

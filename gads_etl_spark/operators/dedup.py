@@ -50,19 +50,17 @@ def bow_fingerprint(text: F.Column) -> F.Column:
 def shingles(text: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array<string> column.
 
-    ``transform`` over token indexes keeps this a single JVM expression —
-    no explode needed until the caller wants one row per shingle.
+    Built by zipping n shifted slices of the token array — each slice
+    evaluates the tokenizer once per row. (The index-lambda formulation
+    ``transform(sequence, i -> element_at(toks, i+j))`` re-evaluates the
+    split per element because higher-order functions are interpreted, not
+    codegen'd — measured ~10× slower on 100-token docs.)
     """
     toks = tokens(text)
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(0), k - 1)
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", *[
-                F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)
-            ]))
-        )
-    )
+    k = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)])
+    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(F.array_distinct(sh))
 
 
 def shingle_jaccard_pairs(
@@ -80,10 +78,12 @@ def shingle_jaccard_pairs(
     quadratic term is bounded per block — the scale-safe shape of pairwise
     similarity. For unblocked corpora use ``minhash_candidate_pairs``.
     """
-    t = df.select(
-        F.col(id_col), F.col(block_col).alias("_block"),
-        shingles(F.col(text_col), n).alias("_sh"),
-    )
+    t = df.select(F.col(id_col), F.col(block_col).alias("_block"), F.col(text_col)) \
+        .repartition(df.sparkSession.sparkContext.defaultParallelism) \
+        .select(
+            F.col(id_col), F.col("_block"),
+            shingles(F.col(text_col), n).alias("_sh"),
+        )
     a = t.select(F.col(id_col).alias("a_id"), F.col("_block"), F.col("_sh").alias("a_sh"))
     b = t.select(F.col(id_col).alias("b_id"), F.col("_block"), F.col("_sh").alias("b_sh"))
     pairs = a.join(b, "_block").where(F.col("a_id") < F.col("b_id"))
@@ -104,25 +104,30 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signatures: (id, seed, minhash) — one row per hash function.
+    """MinHash signatures: (id, sig: array<long>[num_hashes]).
 
-    shingle → explode → xxhash64(seed ⊕ shingle) → groupBy(id, seed).min.
-    Two shuffles total (explode is narrow; the groupBy shuffles on id),
-    row count = Σ|shingles| × num_hashes — linear, never pairwise.
+    shingle → explode → ONE base xxhash64 per shingle → ``num_hashes``
+    derived hashes as aggregate expressions ``min(xxhash64(h, i))`` in a
+    single groupBy(id). Row count stays Σ|shingles| — the naive
+    seed-cross-join shape multiplies rows by num_hashes for no reason
+    (measured 8.1s → 1.3s at sf0.1 for the candidate query).
     """
-    spark = df.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").alias("seed"))
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle")
+    # Shingling is CPU-bound and explodes rows; a compact input (one
+    # parquet file) would otherwise run it in a single task. Spread the
+    # *input* across cores before the expansion.
+    spread = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
     )
-    return (
-        exploded.crossJoin(F.broadcast(seeds))
-        .select(
-            id_col, "seed",
-            F.xxhash64(F.col("shingle"), F.col("seed")).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    hashed = spread.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).select(id_col, F.xxhash64("sh").alias("h"))
+    mins = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"_m{i}")
+            for i in range(num_hashes)]
+    wide = hashed.groupBy(id_col).agg(*mins)
+    return wide.select(
+        id_col,
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
@@ -136,20 +141,26 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
-    ``num_hashes`` minhashes split into ``bands`` bands of r = n/bands rows;
-    band key = hash of the band's minhash vector. Candidates are generated
-    by a *self equi-join on (band, band_key)* — the only pairs materialized
-    are same-bucket pairs, which is what makes MinHash-LSH tractable where
-    all-pairs Jaccard is not. Probability a pair with Jaccard s collides:
-    1 - (1 - s^r)^bands.
+    ``num_hashes`` minhashes split into ``bands`` bands of r = n/bands
+    values; band key = hash of the band's slice of the signature.
+    Candidates are generated by a *self equi-join on (band, band_key)* —
+    the only pairs materialized are same-bucket pairs, which is what makes
+    MinHash-LSH tractable where all-pairs Jaccard is not. Probability a
+    pair with Jaccard s collides: 1 - (1 - s^r)^bands.
     """
-    rows_per_band = num_hashes // bands
+    r = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_keys = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias("band_key"))
-    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.element_at("sig", b * r + j + 1)
+                                     for j in range(r)])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    band_keys = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
     a = band_keys.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b_id"), "band", "band_key")
     return (
@@ -169,7 +180,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     explode + one groupBy(id) with 64 conditional sums — all JVM-side.
     Near-duplicates = small hamming distance (``bit_count(a ^ b)``).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = df.select(id_col, text_col).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

@@ -50,7 +50,7 @@ def cosine_topk_bruteforce(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),

@@ -1,0 +1,114 @@
+"""Streaming jobs over the events schema.
+
+Each job takes a (possibly streaming) DataFrame and returns the
+transformed (streaming) DataFrame — callers attach sources and sinks, so
+the identical logic is testable in batch and runs under readStream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of event JSON files (one micro-batch per file by
+    default — deterministic batch boundaries for tests)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour counts per event_type with a late-data watermark.
+
+    The watermark bounds state: a window closes (and its state is freed)
+    once the event-time high-water mark passes window.end + watermark —
+    mandatory for unbounded streams.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
+            .alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "value_sum")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Session windows per user under a watermark — Spark merges/extends
+    session state across micro-batches until the watermark seals it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+_COUNTER_STATE = "n LONG, total_cents LONG"
+_COUNTER_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+
+
+def _update_counters(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: running per-user event count + exact cent total.
+
+    State is one (n, total_cents) pair per user, updated per micro-batch —
+    the custom-stateful-operator shape (applyInPandasWithState) for logic
+    windowed aggregation can't express.
+    """
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(float(pdf["value"].sum()) * 100))
+    state.update((n, cents))
+    yield pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100],
+    })
+
+
+def stateful_user_counters(events: DataFrame) -> DataFrame:
+    """Per-user running counters via ``applyInPandasWithState``
+    (update output mode; no timeout — counters live for the run)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_counters,
+            outputStructType=_COUNTER_OUT,
+            stateStructType=_COUNTER_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

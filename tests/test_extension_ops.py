@@ -62,8 +62,9 @@ class TestMinHashLSH:
 
     def test_signatures_shape(self, docs):
         sigs = D.minhash_signatures(docs, num_hashes=8)
-        counts = sigs.groupBy("doc_id").count().select("count").distinct().collect()
-        assert [r["count"] for r in counts] == [8]
+        assert sigs.count() == docs.count()
+        lens = sigs.select(F.size("sig").alias("k")).distinct().collect()
+        assert [r["k"] for r in lens] == [8]
 
 
 class TestSimHash:

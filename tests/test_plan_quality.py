@@ -1,0 +1,124 @@
+"""Plan-quality gates: the properties that decide 100 TB behavior.
+
+Correctness says the numbers match; these tests pin the *plan shape*:
+filters reach the parquet scan (PushedFilters), projections prune the
+read schema (ReadSchema), anti/semi joins stay joins, and no sf-scaled
+table carries an explicit broadcast hint (AQE may still choose to
+broadcast at small scale — that's fine and size-aware; a hard-coded hint
+is what breaks at 100×).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from gads_etl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.01"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _logical_plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+class TestPushdownAndPruning:
+    def test_q06_filters_reach_scan(self, spark):
+        plan = _formatted_plan(spark, "q06_forecast_revenue")
+        pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+        assert pushed, plan
+        assert "l_shipdate" in pushed.group(1)
+        assert "l_discount" in pushed.group(1)
+        assert "l_quantity" in pushed.group(1)
+
+    def test_q06_reads_only_needed_columns(self, spark):
+        plan = _formatted_plan(spark, "q06_forecast_revenue")
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert schema, plan
+        cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+        assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+    def test_q01_prunes_to_agg_inputs(self, spark):
+        plan = _formatted_plan(spark, "q01_pricing_summary")
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in schema.group(1).split(",") if c}
+        assert cols == {
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        }
+
+    def test_wholestage_codegen_active(self, spark):
+        """Executed plan carries `*(n)` codegen-stage markers — the agg
+        pipeline runs inside WholeStageCodegen, not interpreted."""
+        df = REGISTRY["q01_pricing_summary"].fn(spark, SF)
+        df.collect()  # let AQE finalize the executed plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in executed, executed
+
+
+class TestJoinStrategy:
+    #: Queries whose join inputs include sf-scaled tables; their LOGICAL
+    #: plans must not force a broadcast on those tables.
+    SF_SCALED_QUERIES = (
+        "q03_shipping_priority", "q05_regional_revenue", "q10_returned_items",
+        "q14_promo_revenue", "q18_large_orders", "q19_bracket_filter",
+        "q07_volume_shipping",
+    )
+
+    def test_no_broadcast_hints_on_scaled_tables(self, spark):
+        for name in self.SF_SCALED_QUERIES:
+            logical = _logical_plan(spark, name)
+            hints = re.findall(r"UnresolvedHint|ResolvedHint.*?BROADCAST.*", logical)
+            for h in hints:
+                # Hints are only legitimate on the bounded dims or 1-row
+                # scalar subqueries — those plans mention nation/region
+                # or an aggregated single-row relation.
+                assert re.search(r"n_nationkey|r_regionkey|sn_key|cn_key|\bv#", h), (
+                    f"{name}: broadcast hint on a scale-growing input: {h}"
+                )
+
+    def test_q04_uses_semi_join(self, spark):
+        plan = _formatted_plan(spark, "q04_order_priority")
+        assert "LeftSemi" in plan
+
+    def test_q22_uses_anti_join(self, spark):
+        plan = _formatted_plan(spark, "q22_idle_customers")
+        assert "LeftAnti" in plan
+
+    def test_q18_preaggregates_before_join(self, spark):
+        """The quantity aggregate must consume the lineitem scan directly
+        (below the joins): node (1) scans lineitem and node (3) is already
+        a HashAggregate — the join inputs are pre-shrunk order totals."""
+        plan = _formatted_plan(spark, "q18_large_orders")
+        scan1 = re.search(r"\(1\) Scan parquet.*?(?=\n\(2\))", plan, re.S)
+        assert scan1 and "lineitem.parquet" in scan1.group(0), plan
+        assert "(3) HashAggregate" in plan, plan
+
+
+class TestControlTablePlans:
+    def test_reconcile_is_single_left_join(self, spark):
+        plan = _formatted_plan(spark, "pq_reconcile_classify")
+        assert len(re.findall(r"Join LeftOuter|LeftOuter", plan)) >= 1
+
+    def test_gap_detection_uses_window(self, spark):
+        plan = _formatted_plan(spark, "obs_date_gaps")
+        assert "Window" in plan
+        assert "LeftAnti" in plan
+
+
+@pytest.fixture(autouse=True)
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    yield

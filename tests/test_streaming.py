@@ -1,0 +1,97 @@
+"""Structured Streaming tests: batch results are the oracle for streams.
+
+Events are split across multiple JSON files (one micro-batch each), run
+through the streaming jobs into memory sinks, and compared against the
+same logic executed in plain batch — plus a state-persistence check for
+the applyInPandasWithState counter.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gads_etl_spark.streaming.jobs import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    stateful_user_counters,
+    tumbling_counts_stream,
+)
+
+
+def _write_event_files(tmp_path, spark):
+    """Three files → three deterministic micro-batches."""
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, "2024-01-01 00:05:00", 1, "click", 1.50),
+        (2, "2024-01-01 00:10:00", 1, "view", 2.25),
+        (3, "2024-01-01 00:55:00", 2, "click", 4.00),
+        (4, "2024-01-01 01:05:00", 1, "click", 8.00),
+        (5, "2024-01-01 01:20:00", 2, "view", 0.75),
+        (6, "2024-01-01 02:10:00", 1, "click", 3.00),
+    ]
+    files = [rows[:3], rows[3:5], rows[5:]]
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    for i, batch in enumerate(files):
+        with open(src / f"batch-{i}.json", "w") as f:
+            for e in batch:
+                f.write(json.dumps({
+                    "event_id": e[0], "ts": e[1], "user_id": e[2],
+                    "event_type": e[3], "value": e[4], "props": "{}",
+                }) + "\n")
+    batch_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    return str(src), batch_df
+
+
+def _run_stream(df, name, mode):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+
+
+class TestStreaming:
+    def test_tumbling_counts_match_batch(self, spark, tmp_path):
+        src, batch_df = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        _run_stream(tumbling_counts_stream(stream), "t_tumbling", "complete")
+
+        got = {
+            (str(r.window_start), r.event_type): (r.n_events, r.value_sum)
+            for r in spark.table("t_tumbling").collect()
+        }
+        expected = {
+            (str(r.window_start), r.event_type): (r.n_events, r.value_sum)
+            for r in tumbling_counts_stream(batch_df).collect()
+        }
+        assert got == expected and len(got) == 5
+
+    def test_stateful_counters_accumulate_across_batches(self, spark, tmp_path):
+        src, batch_df = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        _run_stream(stateful_user_counters(stream), "t_counters", "update")
+
+        # Memory sink in update mode appends every state emission; the
+        # LAST emission per user must equal the batch totals, and earlier
+        # emissions prove state persisted across micro-batches.
+        rows = spark.sql(
+            "SELECT * FROM t_counters"
+        ).collect()
+        final = {}
+        for r in rows:
+            final[r.user_id] = (r.n_events, r.total_value)
+        batch_totals = {
+            r.user_id: (r.cnt, r.total)
+            for r in batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
+                .alias("total"),
+            ).collect()
+        }
+        assert final == batch_totals
+        emissions_user1 = [r for r in rows if r.user_id == 1]
+        assert len(emissions_user1) >= 2  # updated in more than one batch
+        assert final[1] == (4, 14.75)
