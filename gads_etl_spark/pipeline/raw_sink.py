@@ -61,6 +61,19 @@ class SealedPartitionError(RuntimeError):
     """Raised on any attempt to mutate a sealed partition."""
 
 
+def create_raw_zone(spark: SparkSession, root: str | None = None,
+                    data_format: str | None = None) -> "RawZone":
+    """S9 backend factory (reference raw_sink_factory.py:13-33): the
+    storage backend is pure configuration — a ``file://`` root for local,
+    ``s3a://`` (or any Hadoop FS URI) for object storage; no code change,
+    because every filesystem touch goes through the Hadoop FS API."""
+    root = root or os.environ.get("GADS_ETL_RAW_ROOT", "file:///tmp/gads_etl_raw")
+    fmt = data_format or os.environ.get("GADS_ETL_RAW_FORMAT", "json")
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"unsupported raw format {fmt!r} (json|parquet)")
+    return RawZone(spark, root, fmt)
+
+
 class RawZone:
     def __init__(self, spark: SparkSession, root: str, data_format: str = "json"):
         self.spark = spark

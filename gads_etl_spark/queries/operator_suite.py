@@ -306,6 +306,34 @@ def op_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "op_sql_monthly_revenue",
+    oracle="""
+    SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    """,
+    tags=("operator", "sql-surface"),
+)
+def op_sql_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark SQL string surface: the same engine through
+    ``spark.sql`` over catalog views (a user of the reference could run
+    plain SQL instead of the DataFrame API — both compile to the same
+    Catalyst plan)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sql_orders")
+    return spark.sql("""
+        SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM _sql_orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY year(o_orderdate), month(o_orderdate)
+    """)
+
+
+@register(
     "op_distinct_aggs",
     oracle="""
     SELECT count(DISTINCT o_custkey) AS n_customers,
