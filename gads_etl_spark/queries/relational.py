@@ -429,6 +429,107 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT order_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY order_count
+    """,
+    tags=("relational", "outerjoin", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers — the LEFT OUTER join keeps unmatched customers and
+    count(o_orderkey) counts only non-null matches (count(*) would be
+    wrong for the zero group). Double aggregation: per-customer, then
+    histogram."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+    tags=("relational", "correlated-subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-key scalar subquery (quantity below
+    20% of the part's average), decorrelated Spark-style into a
+    pre-aggregated per-part threshold joined back — the plan Catalyst
+    would produce for the subquery, stated explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    thresholds = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+    )
+    return joined.agg(
+        (F.sum(money("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH supplier_value AS (
+        SELECT s_nationkey, l_suppkey,
+               sum({_REV_SQL}) AS value_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_suppkey
+    )
+    SELECT l_suppkey AS suppkey, CAST(value_dec AS DOUBLE) AS supplier_value
+    FROM supplier_value
+    WHERE value_dec > (SELECT sum(value_dec) * 0.001 FROM supplier_value)
+    """,
+    tags=("relational", "scalar-subquery", "having"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a global scalar aggregate
+    (suppliers contributing > 0.1% of total revenue). The scalar side is a
+    1-row broadcast — the legitimate broadcast case."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_rev()).alias("value_dec"))
+    )
+    total = per_supp.agg((F.sum("value_dec") * F.lit(0.001)).alias("threshold"))
+    return (
+        per_supp.join(broadcast(total), per_supp.value_dec > F.col("threshold"))
+        .select(F.col("l_suppkey").alias("suppkey"),
+                F.col("value_dec").cast("double").alias("supplier_value"))
+    )
+
+
+@register(
     "q07_volume_shipping",
     oracle=f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
