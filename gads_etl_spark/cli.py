@@ -1,0 +1,232 @@
+"""CLI: the reference's command surface over the Spark engine.
+
+Mirrors the reference Typer app (src/gads_etl/cli.py) command-for-command
+with argparse (no extra dependency):
+
+    state inspect | retry | mark-terminal | backfill
+    observe state | freshness | retries
+    warehouse load
+    consume preview
+
+Every command is a thin shell over the batch primitives (ControlPlane,
+WarehouseLoader, observe aggregations) — the CLI does argument parsing and
+printing, never data logic, so the same operations drive programmatic use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import date
+
+from pyspark.sql import functions as F
+
+
+def _date(s: str | None):
+    return date.fromisoformat(s) if s else None
+
+
+def _stores(args):
+    from gads_etl_spark.pipeline import PointerStore, StateStore
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    return (
+        spark,
+        StateStore(spark, args.state_root),
+        PointerStore(spark, args.pointer_root),
+    )
+
+
+def _emit(rows, as_json: bool) -> None:
+    if as_json:
+        print(json.dumps(rows, default=str))
+    else:
+        for r in rows:
+            print("  " + " ".join(f"{k}={v}" for k, v in r.items()))
+
+
+def cmd_state_inspect(args) -> int:
+    _, states, _ = _stores(args)
+    df = states.list_states(
+        status=args.status, customer_id=args.customer_id,
+        query_name=args.query_name, since=_date(args.since),
+        until=_date(args.until), limit=args.limit,
+    )
+    rows = [r.asDict() for r in df.collect()]
+    print(f"{len(rows)} partition state record(s)")
+    _emit(rows, args.json)
+    return 0
+
+
+def _run_control(args, op) -> int:
+    from gads_etl_spark.pipeline import (
+        ControlPlane,
+        ThresholdExceededError,
+        UnfilteredMutationError,
+    )
+
+    _, states, _ = _stores(args)
+    cp = ControlPlane(states)
+    try:
+        res = op(cp)
+    except (UnfilteredMutationError, ThresholdExceededError) as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    print(json.dumps(res.as_dict()))
+    return 0
+
+
+def cmd_state_retry(args) -> int:
+    return _run_control(args, lambda cp: cp.retry(
+        customer_id=args.customer_id, query_name=args.query_name,
+        since=_date(args.since), until=_date(args.until),
+        dry_run=args.dry_run, force=args.force,
+        clear_terminal=args.clear_terminal,
+    ))
+
+
+def cmd_state_mark_terminal(args) -> int:
+    return _run_control(args, lambda cp: cp.mark_terminal(
+        customer_id=args.customer_id, query_name=args.query_name,
+        since=_date(args.since), until=_date(args.until),
+        dry_run=args.dry_run, force=args.force,
+    ))
+
+
+def cmd_state_backfill(args) -> int:
+    return _run_control(args, lambda cp: cp.backfill(
+        customer_id=args.customer_id, query_name=args.query_name,
+        since=_date(args.since), until=_date(args.until),
+        dry_run=args.dry_run, force_pending=args.force_pending,
+        force=args.force,
+    ))
+
+
+def cmd_warehouse_load(args) -> int:
+    from gads_etl_spark.pipeline import WarehouseLoader
+
+    _, states, pointers = _stores(args)
+    plan = WarehouseLoader(states, pointers).run()
+    c = plan.counts()
+    print(
+        f"Warehouse reconciliation complete | loads={c['load']} "
+        f"replacements={c['replace']} demotions={c['demote']}"
+    )
+    return 0
+
+
+def cmd_observe_state(args) -> int:
+    _, states, _ = _stores(args)
+    df = states.read()
+    total = df.count()
+    if not total:
+        print("No partition state records found.")
+        return 0
+    print(f"Total logical partitions: {total}")
+    print("Status counts:")
+    counts = {r["status"]: r["n"] for r in
+              df.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for status in ("pending", "success", "failed"):
+        print(f"  {status}: {counts.get(status, 0)}")
+    a = F.coalesce(F.col("attempt_count"), F.lit(0))
+    stats = df.agg(F.min(a).alias("mn"), F.max(a).alias("mx"),
+                   (F.sum(a) / F.count(F.lit(1))).alias("avg")).collect()[0]
+    print(f"Attempt counts: min={stats.mn} max={stats.mx} avg={stats.avg:.2f}")
+    return 0
+
+
+def cmd_observe_freshness(args) -> int:
+    _, states, _ = _stores(args)
+    success = states.read().where(F.col("status") == "success")
+    rows = (
+        success.groupBy("source", "query_name")
+        .agg(F.min("logical_date").alias("earliest"),
+             F.max("logical_date").alias("latest"),
+             F.countDistinct("logical_date").alias("total"))
+        .orderBy("source", "query_name")
+        .collect()
+    )
+    if not rows:
+        print("No successful partitions found.")
+        return 0
+    for r in rows:
+        print(f"{r.source} / {r.query_name}")
+        print(f"  earliest: {r.earliest}")
+        print(f"  latest: {r.latest}")
+        print(f"  total_successful_partitions: {r.total}")
+    return 0
+
+
+def cmd_consume_preview(args) -> int:
+    from gads_etl_spark.pipeline.consumer import preview
+    from gads_etl_spark.pipeline.raw_sink import RawZone
+
+    spark, _, pointers = _stores(args)
+    raw = RawZone(spark, args.raw_root)
+    rows = [r.asDict() for r in
+            preview(raw, pointers, sample_rows=args.sample_rows).collect()]
+    print(f"{len(rows)} preview row(s)")
+    _emit(rows, args.json)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gads-etl-spark")
+    p.add_argument("--state-root", default="data/state")
+    p.add_argument("--pointer-root", default="data/pointers")
+    p.add_argument("--raw-root", default="data/raw")
+    p.add_argument("--json", action="store_true")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def filters(sp, required_range=False):
+        sp.add_argument("--customer-id")
+        sp.add_argument("--query-name", required=required_range)
+        sp.add_argument("--since", required=required_range)
+        sp.add_argument("--until", required=required_range)
+
+    sp = sub.add_parser("state-inspect")
+    sp.add_argument("--status")
+    filters(sp)
+    sp.add_argument("--limit", type=int, default=20)
+    sp.set_defaults(fn=cmd_state_inspect)
+
+    for name, fn in (("state-retry", cmd_state_retry),
+                     ("state-mark-terminal", cmd_state_mark_terminal)):
+        sp = sub.add_parser(name)
+        filters(sp)
+        sp.add_argument("--dry-run", action="store_true")
+        sp.add_argument("--force", action="store_true")
+        if name == "state-retry":
+            sp.add_argument("--clear-terminal", action="store_true")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("state-backfill")
+    sp.add_argument("--customer-id", required=True)
+    sp.add_argument("--query-name", required=True)
+    sp.add_argument("--since", required=True)
+    sp.add_argument("--until", required=True)
+    sp.add_argument("--dry-run", action="store_true")
+    sp.add_argument("--force-pending", action="store_true")
+    sp.add_argument("--force", action="store_true")
+    sp.set_defaults(fn=cmd_state_backfill)
+
+    sub.add_parser("warehouse-load").set_defaults(fn=cmd_warehouse_load)
+    sub.add_parser("observe-state").set_defaults(fn=cmd_observe_state)
+    sub.add_parser("observe-freshness").set_defaults(fn=cmd_observe_freshness)
+
+    sp = sub.add_parser("consume-preview")
+    sp.add_argument("--sample-rows", type=int, default=5)
+    sp.set_defaults(fn=cmd_consume_preview)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

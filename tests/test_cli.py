@@ -1,0 +1,66 @@
+"""CLI surface tests: each command drives the batch primitives and prints."""
+
+from __future__ import annotations
+
+import json
+from datetime import date, datetime
+
+import pytest
+
+from gads_etl_spark.cli import main
+from gads_etl_spark.pipeline import StateStore
+from gads_etl_spark.pipeline.state_store import STATE_SCHEMA
+
+
+@pytest.fixture
+def roots(spark, tmp_path):
+    states = StateStore(spark, str(tmp_path / "state"))
+    states.upsert(spark.createDataFrame([
+        {"source": "google_ads", "customer_id": "1",
+         "query_name": "campaign_stats", "logical_date": date(2024, 1, d),
+         "status": s, "current_run_id": "run-a", "schema_version": "v1",
+         "record_count": 10, "updated_at": datetime(2024, 3, 1),
+         "error_message": e, "attempt_count": 2}
+        for d, s, e in ((1, "failed", "boom"), (2, "success", None),
+                        (3, "pending", None))
+    ], STATE_SCHEMA))
+    return ["--state-root", str(tmp_path / "state"),
+            "--pointer-root", str(tmp_path / "ptr"),
+            "--raw-root", str(tmp_path / "raw")]
+
+
+def test_inspect_filters_and_json(roots, capsys):
+    assert main([*roots, "--json", "state-inspect", "--status", "failed"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("1 partition state record(s)")
+    rows = json.loads(out.splitlines()[1])
+    assert rows[0]["error_message"] == "boom"
+
+
+def test_retry_then_observe(roots, capsys):
+    assert main([*roots, "state-retry", "--customer-id", "1"]) == 0
+    assert json.loads(capsys.readouterr().out)["eligible"] == 1
+    assert main([*roots, "observe-state"]) == 0
+    out = capsys.readouterr().out
+    assert "pending: 2" in out and "failed: 0" in out
+
+
+def test_unfiltered_retry_exits_nonzero(roots, capsys):
+    assert main([*roots, "state-retry"]) == 1
+    assert "force" in capsys.readouterr().err
+
+
+def test_backfill_and_freshness(roots, capsys):
+    assert main([*roots, "state-backfill", "--customer-id", "1",
+                 "--query-name", "campaign_stats",
+                 "--since", "2024-01-01", "--until", "2024-01-05"]) == 0
+    assert json.loads(capsys.readouterr().out)["eligible"] == 2
+    assert main([*roots, "observe-freshness"]) == 0
+    out = capsys.readouterr().out
+    assert "google_ads / campaign_stats" in out
+    assert "total_successful_partitions: 1" in out
+
+
+def test_warehouse_load_prints_plan(roots, capsys):
+    assert main([*roots, "warehouse-load"]) == 0
+    assert "loads=1 replacements=0 demotions=0" in capsys.readouterr().out
