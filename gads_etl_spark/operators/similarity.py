@@ -63,6 +63,70 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF (inverted-file) partitioning.
+
+    KMeans centroids partition the corpus (each vector lives in exactly
+    one cell); each query probes its ``n_probe`` nearest cells and scores
+    only those vectors. The centroid table is tiny and broadcast; corpus
+    assignment is one pass; the candidate join is an equi-join on the
+    cell id — the classic IVF trade: recall grows with n_probe, cost
+    with |cell| × n_probe instead of |corpus|.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed).fit(train)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+
+    def assign(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        rows = df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_alias), F.col("centroid"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("cell"))
+        return (
+            rows.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .withColumn("_cr", F.row_number().over(w))
+            .where(F.col("_cr") <= probes)
+            .select(id_alias, vec_alias, "cell")
+        )
+
+    c = assign(corpus.repartition(spark.sparkContext.defaultParallelism),
+               "neighbor_id", "c_vec", probes=1)
+    q = assign(queries, "query_id", "q_vec", probes=n_probe)
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

@@ -323,6 +323,43 @@ def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ext_knn_ivf", tags=("extension", "similarity", "ivf"))
+def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via IVF partitioning (KMeans cells,
+    4-probe). Rows-only (centroids are model output); recall vs brute
+    force asserted in tests/test_extension_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        corpus=emb.where(F.col("vec_id") >= 10),
+        queries=emb.where(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+@register(
+    "ext_regex_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+             AS n_regex_tokens,
+           CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_estimate
+    FROM documents
+    """,
+    tags=("extension", "text"),
+)
+def ext_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, tokenizer-style: a BPE-ish pre-tokenizer regex
+    (letter runs / digit runs / other symbols) plus the chars/4 BPE size
+    heuristic — both as JVM expressions, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("long").alias("n_regex_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_bpe_estimate"),
+    )
+
+
 @register(
     "ext_embedding_stats",
     oracle="""

@@ -109,6 +109,20 @@ class TestHyperplaneANN:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.5, f"ANN recall {hits}/{total} too low"
 
+    def test_ivf_recall_vs_bruteforce(self, emb):
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        approx = S.ivf_topk(corpus, queries, k=5, n_clusters=8, n_probe=3).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
+
     def test_bruteforce_self_similarity(self, emb):
         """A vector queried against a corpus containing itself ranks
         itself first with cos_sim 1.0."""

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the subtle single-purpose
+semantics: MERGE last-writer-wins, terminal-marker idempotency, run_id
+ordering. Each property is checked against a plain-Python model.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gads_etl_spark.pipeline.control_plane import TERMINAL_MARKER, terminal_message
+from gads_etl_spark.pipeline.keys import new_run_id
+from gads_etl_spark.pipeline.state_store import merge_upsert
+
+KEYS = st.integers(min_value=0, max_value=9)
+VALS = st.integers(min_value=0, max_value=1_000_000)
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+class TestMergeUpsertProperty:
+    @SLOW
+    @given(
+        current=st.lists(st.tuples(KEYS, VALS), max_size=12),
+        updates=st.lists(st.tuples(KEYS, VALS), max_size=12),
+    )
+    def test_matches_dict_model(self, spark, current, updates):
+        """merge_upsert == dict.update with update-priority, for any
+        key/value multiset (duplicate update keys: exactly one survives).
+        """
+        model = {}
+        for k, v in current:
+            model[k] = ("cur", k, v)
+        surviving_update_keys = {k for k, _ in updates}
+        cur_df = spark.createDataFrame(
+            [(k, v) for k, v in {k: (k, v) for k, v in current}.values()],
+            "k INT, v INT",
+        ) if current else spark.createDataFrame([], "k INT, v INT")
+        upd_df = spark.createDataFrame(updates, "k INT, v INT") \
+            if updates else spark.createDataFrame([], "k INT, v INT")
+
+        # Model: dedupe current by key (last wins is irrelevant — inputs
+        # deduped above), then any update key overrides.
+        cur_unique = {k: v for k, v in {k: (k, v) for k, v in current}.values()}
+        merged = merge_upsert(cur_df, upd_df, ("k",)).collect()
+
+        got_keys = {r.k for r in merged}
+        assert got_keys == set(cur_unique) | surviving_update_keys
+        upd_by_key = {}
+        for k, v in updates:
+            upd_by_key.setdefault(k, set()).add(v)
+        for r in merged:
+            if r.k in upd_by_key:
+                assert r.v in upd_by_key[r.k]  # an update row won
+            else:
+                assert r.v == cur_unique[r.k]  # untouched current row
+
+
+class TestTerminalMessageProperty:
+    @SLOW
+    @given(msgs=st.lists(
+        st.one_of(st.none(), st.text(
+            alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs")),
+            max_size=40,
+        )),
+        min_size=1, max_size=20,
+    ))
+    def test_idempotent_and_marking(self, spark, msgs):
+        """f(f(x)) == f(x), and f(x) always contains the marker; an
+        already-terminal message passes through unchanged."""
+        df = spark.createDataFrame([(m,) for m in msgs], "e STRING")
+        once = df.select(terminal_message(F.col("e")).alias("e"))
+        twice = once.select(terminal_message(F.col("e")).alias("e"))
+        a = [r.e for r in once.collect()]
+        b = [r.e for r in twice.collect()]
+        assert sorted(a) == sorted(b)
+        assert all(TERMINAL_MARKER in x for x in a)
+        for m, out in zip(msgs, [r.e for r in once.collect()]):
+            if m and TERMINAL_MARKER in m:
+                assert out == m
+
+
+class TestRunIdProperty:
+    @given(st.lists(
+        st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2099, 1, 1))
+        .map(lambda d: d.replace(tzinfo=timezone.utc)),
+        min_size=2, max_size=50,
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_lexicographic_equals_chronological(self, times):
+        """The whole authority design hinges on this: run_id string order
+        == timestamp order (at ms resolution)."""
+        ms = [t.replace(microsecond=(t.microsecond // 1000) * 1000) for t in times]
+        ids = [new_run_id(t) for t in ms]
+        assert sorted(ids) == [new_run_id(t) for t in sorted(ms)]
