@@ -429,6 +429,104 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q08_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year, {_REV_SQL} AS volume, n2.n_name AS nation
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+                      JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                      JOIN region ON n1.n_regionkey = r_regionkey
+                      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+    )
+    GROUP BY o_year
+    """,
+    tags=("relational", "join", "conditional-agg"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional trade volume per
+    year — an 8-way join with a conditional-aggregation ratio. Only
+    region/nation broadcast; part/supplier/customer join strategy is
+    AQE's call."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nkey"), "n_regionkey")
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("nation"))
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n1), cust.c_nationkey == F.col("c_nkey"))
+        .join(broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .join(broadcast(n2), supp.s_nationkey == F.col("s_nkey"))
+    )
+    vol = j.select(
+        F.year("o_orderdate").alias("o_year"), _rev().alias("volume"), F.col("nation")
+    )
+    nation_vol = F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return vol.groupBy("o_year").agg(
+        (F.sum(nation_vol).cast("double") / F.sum("volume").cast("double"))
+        .alias("mkt_share")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, sum({_REV_SQL}) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+    tags=("relational", "scalar-subquery", "view"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: derived revenue view + equality against its own
+    scalar max (exact decimal, so the max-equality is well-defined —
+    a double version of this query would be engine-dependent)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_rev")
+    )
+    top = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(broadcast(top), F.col("total_rev") == F.col("max_rev"))
+        .select("s_suppkey", "s_name",
+                F.col("total_rev").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
     "q13_customer_distribution",
     oracle="""
     SELECT order_count, count(*) AS custdist
