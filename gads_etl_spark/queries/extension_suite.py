@@ -397,6 +397,62 @@ def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PAIR_COS_SQL = """
+    round(
+      list_reduce(list_transform(generate_series(1, 64),
+                                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                  (acc, x) -> acc + x)
+      / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+                          (acc, x) -> acc + x))
+         * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                            (acc, x) -> acc + x))), 6)
+"""
+
+
+@register(
+    "ext_embedding_neardup",
+    oracle=f"""
+    SELECT label, a_id, b_id, cos_sim FROM (
+        SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+               {_PAIR_COS_SQL} AS cos_sim,
+               row_number() OVER (PARTITION BY a.label
+                                  ORDER BY {_PAIR_COS_SQL} DESC, a.vec_id, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE rn = 1
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, blocked by label: the
+    most-similar pair within each block. Pairs form only inside a
+    blocking key (equi-join), bounding the quadratic term per block —
+    identical dataflow to a thresholded near-dup pass (this fixture's
+    vectors have no pairs above any dedup threshold, so the query
+    surfaces the argmax pair instead of an empty set)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = emb.select(
+        "label", F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    a = t.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
+    b = t.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
+    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "label", "a_id", "b_id",
+        F.round(S.cosine(F.col("a_e"), F.col("b_e")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), "a_id", "b_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register(
     "ext_multimodal_manifest",
     oracle="""
