@@ -69,6 +69,28 @@ def test_restage_is_idempotent_and_refuses_mutation(spark, zones):
         curated.write_partition(_payload(spark), KEY, "run-a")
 
 
+def test_partition_pruning_on_lake_reads(spark, zones):
+    """A logical_date filter over the zone must become a PartitionFilter
+    (directory pruning), not a post-scan row filter — at 100 TB this is
+    the difference between touching one partition and listing them all."""
+    raw, _, _, _ = zones
+    for d in (1, 2, 3):
+        raw.write_partition(_payload(spark),
+                            PartitionKey("google_ads", "123", "campaign_stats",
+                                         date(2024, 1, d)), "run-a")
+    import io
+    from contextlib import redirect_stdout
+
+    df = raw.read_all().where(F.col("logical_date") == "2024-01-02")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "2024-01-02" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert df.count() == 4
+
+
 def test_replace_stages_new_run_only(spark, zones):
     raw, curated, states, pointers = zones
     loader = WarehouseLoader(states, pointers)
