@@ -160,6 +160,39 @@ def cmd_observe_freshness(args) -> int:
     return 0
 
 
+def cmd_observe_retries(args) -> int:
+    _, states, _ = _stores(args)
+    df = states.read()
+    total = df.count()
+    if not total:
+        print("No partition state records found.")
+        return 0
+    failed = F.col("status") == "failed"
+    terminal = F.coalesce(F.col("error_message"), F.lit("")).contains("[terminal]")
+    a = F.coalesce(F.col("attempt_count"), F.lit(0))
+    s = df.agg(
+        F.count(F.when(failed, 1)).alias("failed"),
+        F.count(F.when(failed & terminal, 1)).alias("terminal"),
+        F.count(F.when(failed & ~terminal, 1)).alias("retryable"),
+        F.min(a).alias("mn"), F.max(a).alias("mx"),
+        (F.sum(a) / F.count(F.lit(1))).alias("avg"),
+    ).collect()[0]
+    print("Retry overview")
+    print(f"  total partitions: {total}")
+    print(f"  failed partitions: {s.failed}")
+    print(f"  terminal partitions: {s.terminal}")
+    print(f"  retryable failed partitions: {s.retryable}")
+    print(f"  attempt counts: min={s.mn} max={s.mx} avg={s.avg:.2f}")
+    bucket = (F.when(a <= 2, "1-2").when(a <= 5, "3-5")
+              .when(a <= 10, "6-10").otherwise("10+"))
+    hist = {r["bucket"]: r["n"] for r in
+            df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    print("  attempt histogram:")
+    for label in ("1-2", "3-5", "6-10", "10+"):
+        print(f"    {label}: {hist.get(label, 0)}")
+    return 0
+
+
 def cmd_consume_preview(args) -> int:
     from gads_etl_spark.pipeline.consumer import preview
     from gads_etl_spark.pipeline.raw_sink import RawZone
@@ -216,6 +249,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("warehouse-load").set_defaults(fn=cmd_warehouse_load)
     sub.add_parser("observe-state").set_defaults(fn=cmd_observe_state)
     sub.add_parser("observe-freshness").set_defaults(fn=cmd_observe_freshness)
+    sub.add_parser("observe-retries").set_defaults(fn=cmd_observe_retries)
 
     sp = sub.add_parser("consume-preview")
     sp.add_argument("--sample-rows", type=int, default=5)

@@ -61,6 +61,14 @@ def test_backfill_and_freshness(roots, capsys):
     assert "total_successful_partitions: 1" in out
 
 
+def test_observe_retries(roots, capsys):
+    assert main([*roots, "observe-retries"]) == 0
+    out = capsys.readouterr().out
+    assert "failed partitions: 1" in out
+    assert "retryable failed partitions: 1" in out
+    assert "1-2: 3" in out
+
+
 def test_warehouse_load_prints_plan(roots, capsys):
     assert main([*roots, "warehouse-load"]) == 0
     assert "loads=1 replacements=0 demotions=0" in capsys.readouterr().out
