@@ -70,6 +70,43 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def continuous_validation(raw, states, checkpoint_dir: str):
+    """Continuous control plane: stream the manifest, validate each newly
+    sealed partition as it lands.
+
+    The manifest directory is an append-only parquet file stream — every
+    seal batch becomes a micro-batch of validation *requests*, executed
+    through the same ``validate_batch`` as the batch path (one count scan
+    + one ledger MERGE per micro-batch). ``foreachBatch`` is the right
+    shape because state commits are single-writer.
+
+    Returns the (unstarted query's) StreamingQuery handle; callers stop it.
+    """
+    from gads_etl_spark.pipeline.raw_sink import MANIFEST_SCHEMA
+    from gads_etl_spark.pipeline.validator import validate_batch
+
+    manifest_stream = (
+        raw.spark.readStream.schema(MANIFEST_SCHEMA)
+        .parquet(raw._manifest_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        requests = batch_df.select(
+            "source", "customer_id", "query_name", "logical_date",
+            "run_id", "schema_version",
+        )
+        if requests.limit(1).count():
+            validate_batch(raw, states, requests)
+
+    return (
+        manifest_stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _COUNTER_STATE = "n LONG, total_cents LONG"
 _COUNTER_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 from pyspark.sql import functions as F
 
 from gads_etl_spark.streaming.jobs import (
@@ -51,6 +50,42 @@ def _run_stream(df, name, mode):
          .outputMode(mode).trigger(availableNow=True).start())
     q.processAllAvailable()
     q.stop()
+
+
+class TestContinuousValidation:
+    def test_sealed_partitions_validate_via_stream(self, spark, tmp_path):
+        from datetime import date
+
+        from pyspark.sql import functions as F
+
+        from gads_etl_spark.pipeline import PartitionKey, RawZone, StateStore
+        from gads_etl_spark.streaming.jobs import continuous_validation
+
+        raw = RawZone(spark, str(tmp_path / "raw"))
+        states = StateStore(spark, str(tmp_path / "state"))
+        keys = [PartitionKey("google_ads", str(c), "campaign_stats", date(2024, 1, 1))
+                for c in range(3)]
+        for k in keys:
+            raw.write_partition(
+                spark.range(4).select(F.col("id").alias("campaign_id")), k, "run-a")
+
+        q = continuous_validation(raw, states, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        rows = states.read().collect()
+        assert len(rows) == 3
+        assert all(r.status == "success" and r.current_run_id == "run-a" for r in rows)
+
+        # New seals after a restart are picked up exactly once (checkpoint).
+        k2 = PartitionKey("google_ads", "9", "campaign_stats", date(2024, 1, 2))
+        raw.write_partition(
+            spark.range(2).select(F.col("id").alias("campaign_id")), k2, "run-b")
+        q2 = continuous_validation(raw, states, str(tmp_path / "ckpt"))
+        q2.awaitTermination(120)
+        rows = {(r.customer_id, r.status, r.attempt_count) for r in states.read().collect()}
+        assert ("9", "success", 1) in rows
+        # Previously validated partitions were NOT revalidated.
+        assert all(a == 1 for (_, _, a) in rows)
 
 
 class TestStreaming:
