@@ -200,6 +200,34 @@ class RawZone:
         rows = self.spark.createDataFrame(metas, MANIFEST_SCHEMA)
         rows.coalesce(1).write.mode("append").parquet(self._manifest_dir)
 
+    def compact_manifest(self) -> int:
+        """Rewrite the manifest directory into a single file (returns the
+        file count before compaction).
+
+        Append-only manifests accumulate one file per seal batch; a
+        long-running deployment compacts periodically so manifest reads
+        stay one-task. Single-writer discipline (only the sealing process
+        writes the manifest — same rule as the reference's state store,
+        docs/state_store_contract.md:32-33) makes the swap safe: write
+        compacted data aside, then replace the directory.
+        """
+        fs, hdir = self._fs(self._manifest_dir)
+        if not fs.exists(hdir):
+            return 0
+        before = sum(1 for f in fs.listStatus(hdir)
+                     if f.getPath().getName().endswith(".parquet"))
+        if before <= 1:
+            return before
+        rows = self.manifest()
+        tmp = self._manifest_dir + ".compact"
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = self._manifest_dir + ".old"
+        jvm = self.spark._jvm
+        fs.rename(hdir, jvm.org.apache.hadoop.fs.Path(old))
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hdir)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        return before
+
     # -- read path --------------------------------------------------------
 
     def _read_payload(self, path: str, schema: T.StructType | None = None) -> DataFrame:

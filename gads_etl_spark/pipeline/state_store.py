@@ -97,15 +97,59 @@ class _VersionedTable:
 
         Readers see either the old or the new version — never a partial
         table (the control-plane analogue of the metadata-last seal).
+        Old versions stay on disk until ``vacuum`` — free time travel
+        for audits of control-table transitions.
         """
         version = f"v_{uuid.uuid4().hex[:12]}"
         df.select([f.name for f in self.schema.fields]).coalesce(1).write.parquet(
             os.path.join(self.root, version)
         )
+        self._log_version(version)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, self._pointer)
+
+    @property
+    def _log(self) -> str:
+        return os.path.join(self.root, "VERSIONS")
+
+    def _log_version(self, version: str) -> None:
+        with open(self._log, "a") as f:
+            f.write(version + "\n")
+
+    def history(self) -> list[str]:
+        """Committed versions, oldest first."""
+        try:
+            with open(self._log) as f:
+                return [v for v in f.read().splitlines() if v]
+        except FileNotFoundError:
+            return []
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a specific committed version."""
+        if version not in self.history():
+            raise KeyError(f"unknown version {version!r}")
+        return self.spark.read.schema(self.schema).parquet(
+            os.path.join(self.root, version)
+        )
+
+    def vacuum(self, keep: int = 5) -> int:
+        """Drop all but the newest ``keep`` versions (never the current).
+        Returns the number of versions removed."""
+        import shutil
+
+        hist = self.history()
+        current = self._current_version()
+        drop = [v for v in hist[:-keep] if v != current] if len(hist) > keep else []
+        for v in drop:
+            shutil.rmtree(os.path.join(self.root, v), ignore_errors=True)
+        remaining = [v for v in hist if v not in drop]
+        tmp = self._log + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(remaining) + "\n")
+        os.replace(tmp, self._log)
+        return len(drop)
 
 
 class StateStore:
