@@ -356,6 +356,45 @@ def op_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("op_approx_distinct", tags=("operator", "approx-agg"))
+def op_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts next to the exact answer — the scale
+    substitute for COUNT(DISTINCT) when a shuffle of distinct values is
+    too expensive. Rows-only (approximation is engine-specific);
+    tests/test_approx_ops.py bounds the relative error at 5%."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("op_quantiles", tags=("operator", "approx-agg"))
+def op_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of order value —
+    mergeable across partitions, bounded memory, the distributed
+    percentile tool. Rows-only; accuracy bounded in tests."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.9, 0.99], 10_000)
+        .alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register("op_sample", tags=("operator", "sampling"))
+def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (per-row coin flips — no shuffle, no
+    collect; the 100 TB way to draw a working subset). Rows-only (the
+    sampled set is partitioning-dependent); statistical bounds tested."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+
+
 @register(
     "op_string_funcs",
     oracle="""
