@@ -17,7 +17,7 @@ Contract parity (reference src/gads_etl/pipeline.py):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import date
+from datetime import date, datetime, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,3 +69,85 @@ def extract_partition(
         schema_version=schema_version,
         query_signature=f"SELECT {', '.join(qdef.fields)} FROM {qdef.entity}",
     )
+
+
+def extract_day_bulk(
+    source: DataFrame,
+    raw: RawZone,
+    qdef: QueryDefinition,
+    customer_col: str,
+    logical_date: date,
+    run_id: str,
+    source_name: str = "google_ads",
+    schema_version: str = "v1",
+) -> list[dict]:
+    """Extract EVERY customer's partition for one day in ONE Spark job.
+
+    The reference (and ``extract_partition``) writes one partition per
+    call — one job per (query, customer); at 10k customers that is 10k
+    driver round-trips. Here the flattened day is written once with
+    ``partitionBy`` over the five layout columns (identical hive
+    directory layout, one job, tasks fan out per customer), record
+    counts come from ONE re-read of the committed files (write-then-count
+    discipline), and the seals land via one ``seal_many`` batch.
+
+    Returns the manifest rows, one per customer present in the source.
+    """
+    from pyspark.sql import functions as F
+
+    from gads_etl_spark.pipeline.raw_sink import SealedPartitionError
+
+    # Refuse BEFORE writing (overwrite refusal, S6): one manifest lookup
+    # for the whole (query, date, run) batch.
+    already = (
+        raw.manifest()
+        .where((F.col("run_id") == run_id) & (F.col("query_name") == qdef.name)
+               & (F.col("logical_date") == F.lit(logical_date)))
+        .limit(1).count()
+    )
+    if already:
+        raise SealedPartitionError(
+            f"bulk extraction for {qdef.name}/{logical_date} run_id={run_id} "
+            "is already sealed; raw partitions are immutable"
+        )
+
+    flat = flatten_projection(source, qdef, logical_date, logical_date)
+    partitioned = flat.select(
+        "*",
+        F.lit(source_name).alias("source"),
+        F.col(customer_col).cast("string").alias("customer_id"),
+        F.lit(qdef.name).alias("query_name"),
+        F.lit(logical_date.isoformat()).alias("logical_date"),
+        F.lit(run_id).alias("run_id"),
+    )
+    writer = partitioned.write.mode("append").partitionBy(
+        "source", "customer_id", "query_name", "logical_date", "run_id"
+    )
+    if raw.data_format == "json":
+        writer.json(raw.root)
+    else:
+        writer.parquet(raw.root)
+
+    counts = (
+        raw.read_all()
+        .where((F.col("run_id") == run_id) & (F.col("query_name") == qdef.name)
+               & (F.col("logical_date") == F.lit(logical_date)))
+        .groupBy("customer_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    extracted_at = datetime.now(timezone.utc).replace(tzinfo=None)
+    metas = [
+        {
+            "source": source_name, "customer_id": r["customer_id"],
+            "query_name": qdef.name, "logical_date": logical_date,
+            "run_id": run_id, "extracted_at": extracted_at,
+            "schema_version": schema_version, "record_count": r["n"],
+            "api_version": None,
+            "query_signature": f"SELECT {', '.join(qdef.fields)} FROM {qdef.entity}",
+        }
+        for r in sorted(counts, key=lambda r: r["customer_id"])
+    ]
+    if metas:
+        raw.seal_many(metas)
+    return metas
