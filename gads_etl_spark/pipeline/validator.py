@@ -54,11 +54,25 @@ def validate_batch(raw: RawZone, states: StateStore, requests: DataFrame) -> Dat
     requests = requests.select(*_REQ)
 
     # One distributed count of every requested partition: hive-discovery
-    # scan filtered by the request keys (semi-join), grouped on the full
-    # attempt key. No per-partition jobs.
+    # scan filtered by the request keys, grouped on the full attempt key.
+    # No per-partition jobs. The semi-join alone does NOT prune partition
+    # directories (no DPP for this shape), so literal IN-filters derived
+    # from the request batch are pushed first — the batch is driver-known
+    # and small, and static partition-column predicates prune the listing
+    # down to the requested run/query/date directories before any file
+    # is opened.
     if raw._path_exists(raw.root):
+        req_rows = requests.select(*LOGICAL_KEY, "run_id").collect()
+        run_ids = sorted({r["run_id"] for r in req_rows})
+        query_names = sorted({r["query_name"] for r in req_rows})
+        dates = sorted({r["logical_date"] for r in req_rows})
+        scan = raw.read_all().where(
+            F.col("run_id").isin(run_ids)
+            & F.col("query_name").isin(query_names)
+            & F.col("logical_date").between(F.lit(dates[0]), F.lit(dates[-1]))
+        )
         actual = (
-            raw.read_all()
+            scan
             .join(F.broadcast(requests.select(*LOGICAL_KEY, "run_id")), [*LOGICAL_KEY, "run_id"], "left_semi")
             .groupBy(*LOGICAL_KEY, "run_id")
             .agg(F.count(F.lit(1)).alias("actual_count"))
