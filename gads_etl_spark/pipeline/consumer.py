@@ -23,10 +23,17 @@ from gads_etl_spark.pipeline.raw_sink import RawZone
 
 
 def read_published(raw: RawZone, pointers: PointerStore) -> DataFrame:
-    """All consumer-visible rows: raw zone ⋉ published pointers.
+    """All consumer-visible rows: zone ⋉ published pointers.
 
-    The semi-join is on the 5 partition columns, so Catalyst's dynamic
-    partition pruning keeps unpublished run_id directories out of the scan.
+    The semi-join filters rows, not directories — Spark does not apply
+    dynamic partition pruning to this shape (measured), so over the RAW
+    zone superseded run_id directories are still *read* before being
+    discarded. That is why the scale read path is the CURATED zone: it
+    stages only published runs (curated_sink.materialize_plan), so the
+    same semi-join there touches no superseded data, and the pointer
+    check is a cheap consistency guard rather than the filter doing the
+    heavy lifting. Reading raw through this function is correct at any
+    scale, just not I/O-minimal when many superseded runs exist.
     """
     published = pointers.read().select(*LOGICAL_KEY, "run_id")
     return raw.read_all().join(
