@@ -57,6 +57,49 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [round(c / n, 6) for c in buckets]
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+])
+
+
+def _frame_stub(payload: bytes, idx: int, size: int) -> bytes:
+    """STUB frame decoder — a real one would seek/decode with pyav.
+    Deterministic slice standing in for one decoded+resized frame."""
+    start = (idx * size) % max(len(payload), 1)
+    chunk = payload[start:start + size]
+    return bytes(chunk) + b"\x00" * (size - len(chunk))
+
+
+def sample_frames(payloads: DataFrame, every_nth: int = 4,
+                  max_frames: int = 3, height: int = 8, width: int = 8) -> DataFrame:
+    """Frame sampling + resize plumbing: one payload row explodes into N
+    fixed-size frame rows via mapInPandas (the 1→N multimodal shape —
+    video → sampled frames, audio → windows). Decode/resize kernels are
+    stubs; the schema, Arrow batching, and fan-out are real.
+    """
+    frame_bytes = height * width
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": [],
+                   "height": [], "width": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(max_frames, max(len(payload) // (every_nth * frame_bytes), 1))
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i * every_nth)
+                    out["frame"].append(_frame_stub(payload, i * every_nth, frame_bytes))
+                    out["height"].append(height)
+                    out["width"].append(width)
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
 def decode_features(payloads: DataFrame) -> DataFrame:
     """Arrow-batched decode: mapInPandas over (doc_id, payload) batches.
 

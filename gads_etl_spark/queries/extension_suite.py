@@ -470,6 +470,18 @@ def ext_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.as_binary_payload(docs).select("doc_id", "byte_len", "payload_sha256")
 
 
+@register("ext_multimodal_frames", tags=("extension", "multimodal", "pandas-udf"))
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each binary payload fans out into ≤3 fixed-size
+    frames (video frame-sample / resize plumbing; stubbed kernels).
+    Rows-only; fan-out shape and determinism tested in
+    tests/test_extension_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_frames(MM.as_binary_payload(docs))
+    return frames.select("doc_id", "frame_idx", "height", "width",
+                         F.length("frame").alias("frame_bytes"))
+
+
 @register("ext_multimodal_decode", tags=("extension", "multimodal", "pandas-udf"))
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode of binary payloads via mapInPandas (decode

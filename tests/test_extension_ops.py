@@ -148,6 +148,22 @@ class TestMultimodal:
         dim = {len(v) for v in a.values()}
         assert dim == {MM.FEATURE_DIM}
 
+    def test_frame_sampling_fanout(self, docs):
+        payloads = MM.as_binary_payload(docs)
+        frames = MM.sample_frames(payloads, every_nth=4, max_frames=3,
+                                  height=8, width=8)
+        rows = frames.collect()
+        assert rows and all(len(r.frame) == 64 for r in rows)
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert all(1 <= len(v) <= 3 for v in per_doc.values())
+        assert all(sorted(v) == [4 * i for i in range(len(v))] for v in per_doc.values())
+        # Deterministic across runs.
+        again = {(r.doc_id, r.frame_idx): r.frame for r in
+                 MM.sample_frames(payloads, 4, 3, 8, 8).collect()}
+        assert all(again[(r.doc_id, r.frame_idx)] == r.frame for r in rows)
+
     def test_decode_batches_follow_partitioning(self, docs):
         payloads = MM.as_binary_payload(docs).repartition(4)
         out = MM.decode_features(payloads)
