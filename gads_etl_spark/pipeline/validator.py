@@ -51,7 +51,9 @@ def validate_batch(raw: RawZone, states: StateStore, requests: DataFrame) -> Dat
     if validated sequentially in run_id order. Returns the merged rows.
     """
     spark = raw.spark
-    requests = requests.select(*_REQ)
+    # Identical duplicate requests would double-count attempts and emit
+    # duplicate outcome rows; a batch is a *set* of attempts.
+    requests = requests.select(*_REQ).distinct()
 
     # One distributed count of every requested partition: hive-discovery
     # scan filtered by the request keys, grouped on the full attempt key.
