@@ -397,6 +397,32 @@ def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register(
+    "ext_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_clean,
+           regexp_replace(lower(text), '[^a-z ]', '', 'g') AS text_alpha,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS clean_hash
+    FROM documents
+    """,
+    tags=("extension", "text", "cleaning"),
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning/normalization — the stage before any dedup or
+    quality pass: lowercase, whitespace collapse, alpha-only projection,
+    and the canonical hash computed from the cleaned form (so dedup keys
+    ignore case/spacing noise). Pure JVM regexp expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.regexp_replace(F.lower("text"), "[^a-z ]", "").alias("text_alpha"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
 _PAIR_COS_SQL = """
     round(
       list_reduce(list_transform(generate_series(1, 64),
