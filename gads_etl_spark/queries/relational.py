@@ -673,3 +673,307 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(dsum(_rev(), "revenue"))
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(o.min_price AS DOUBLE) AS best_price
+    FROM offers o
+    JOIN part ON p_partkey = o.l_partkey
+    JOIN supplier ON s_suppkey = o.l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_size < 15 AND p_type = 'ECONOMY'
+      AND o.min_price = (SELECT min(o2.min_price) FROM offers o2
+                         WHERE o2.l_partkey = o.l_partkey)
+    ORDER BY best_price, p_partkey, s_name
+    LIMIT 100
+    """,
+    tags=("relational", "join", "window", "topk"),
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated-min subquery (cheapest supplier per part).
+
+    The reference's analogue is authority selection: pick the winning row per
+    key by an extremum (reference src/gads_etl/validator.py:60-69). DuckDB
+    states it as a correlated scalar subquery; Spark-first it is a window
+    min over the per-(part, supplier) aggregate — one shuffle on partkey,
+    no self-join, no correlated re-scan. Dimension decoration (supplier,
+    nation) joins after the extremum filter shrinks the row set.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "ECONOMY")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    best = offers.withColumn(
+        "part_best", F.min("min_price").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("min_price") == F.col("part_best"))
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supp, best.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.col("min_price").cast("double").alias("best_price"))
+        .orderBy("best_price", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q09_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum({_REV_SQL}
+                    - CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(3,2)))
+                AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%rod%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (nation, year) over a LIKE-filtered part set.
+
+    The fixtures have no supplycost column, so cost is modeled as 50% of
+    extended price — the shape (5-way star join, substring predicate on a
+    dimension, two-level group) is what matters. The LIKE filter cannot
+    push to parquet as a range, but Catalyst still prunes part columns and
+    AQE sizes the filtered part side for its join strategy. Decimal math
+    keeps the profit sum order-independent (exact) across any cluster size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%rod%"))
+    nation = load_table(spark, sf_dir, "nation")
+    half = F.lit(0.5).cast("decimal(3,2)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(_rev() - money("l_extendedprice") * half, "profit"))
+    )
+
+
+@register(
+    "q12_priority_class",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("relational", "join", "agg"),
+)
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + conditional counts per class.
+
+    Maps reference A5 (CASE-WHEN conditional counting,
+    reference src/gads_etl/cli.py:437-456) onto the orders⋈lineitem join.
+    The date range pushes into the lineitem scan; the join shuffles both
+    sides on orderkey once (AQE picks the physical strategy); the
+    conditional sums fold map-side so the final shuffle is |classes| rows.
+    """
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("relational", "join", "agg", "setop"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-count per part attribute, with an exclusion
+    anti-join (suppliers in deficit stand in for the complaints predicate).
+
+    countDistinct plans as a two-phase aggregate (partial distinct per
+    partition, then exchange on the group key) — no global dedup shuffle.
+    The exclusion list is tiny relative to supplier, so the anti-join's
+    build side is small; left to AQE rather than hinted, since "suppliers
+    in deficit" is not a bounded dimension at warehouse scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH partvol AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(12,2))) AS sup_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey, sum(sup_qty) AS total_qty FROM partvol GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT pv.l_suppkey FROM partvol pv JOIN tot ON pv.l_partkey = tot.l_partkey
+        WHERE pv.sup_qty > CAST(0.5 AS DECIMAL(3,2)) * tot.total_qty
+    )
+    ORDER BY s_name
+    """,
+    tags=("relational", "join", "semi"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: dominant suppliers via nested aggregate threshold.
+
+    Suppliers who shipped more than half of a part's 1996 volume. The IN
+    subquery becomes a left-semi join; the per-part total is a window sum
+    over the (part, supplier) aggregate — the same single-shuffle extremum
+    pattern as q02. Quantities aggregate in DECIMAL so the > comparison is
+    exact (a float sum could flip a borderline dominance test depending on
+    reduction order at cluster scale).
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    partvol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty("l_quantity")).alias("sup_qty")
+    )
+    half = F.lit(0.5).cast("decimal(3,2)")
+    dominant = (
+        partvol.withColumn(
+            "total_qty", F.sum("sup_qty").over(Window.partitionBy("l_partkey"))
+        )
+        .where(F.col("sup_qty") > half * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tags=("relational", "join", "semi", "anti", "topk"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact.
+
+    "The sole supplier at fault": the line's supplier returned goods
+    ('R'), the order involves other suppliers, and none of the others
+    returned. EXISTS plans as a left-semi join and NOT EXISTS as a
+    left-anti join, both keyed on orderkey with the inequality as a
+    residual condition — three scans of lineitem co-partitioned on
+    orderkey, which AQE/exchange-reuse overlap rather than re-shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, sf_dir, "supplier")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"),
+                   F.col("l_suppkey").alias("l2_suppkey"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"))
+    waited = (
+        l1.join(l2, (l1.l_orderkey == l2.l2_orderkey)
+                & (l1.l_suppkey != l2.l2_suppkey), "left_semi")
+        .join(l3, (l1.l_orderkey == l3.l3_orderkey)
+              & (l1.l_suppkey != l3.l3_suppkey), "left_anti")
+    )
+    return (
+        waited.join(orders, waited.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(supp, waited.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
