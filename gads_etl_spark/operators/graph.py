@@ -1,0 +1,95 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+Candidate-pair generators (MinHash-LSH bands, blocked Jaccard —
+operators/dedup.py) emit *edges*; collapsing edges into duplicate
+clusters so one canonical document survives per cluster is a connected
+components problem. Not in the reference (its dedup unit is the
+single-partition authority rule); required for an LLM-corpus pipeline
+where near-dup groups are chains (A~B, B~C, but A!~C).
+
+Scale design:
+- Min-label propagation: every node repeatedly adopts the smallest
+  component id among itself and its neighbors. Each round is one
+  shuffle-join + one groupBy-min — all JVM-side, no driver data.
+- Rounds needed = graph diameter. Near-dup clusters are small and dense
+  (diameter a handful), so this converges in a few rounds; ``max_iter``
+  guards pathological chains.
+- ``localCheckpoint`` truncates the lineage each round so the plan
+  doesn't grow exponentially across iterations (the classic iterative-
+  algorithm failure mode on Spark).
+- Convergence is detected with a count of changed labels — one action
+  per round, which AQE sizes off the (shrinking) label table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Resolve undirected edges to components; returns (node, component)
+    where ``component`` is the minimum node id reachable from ``node``.
+
+    Only nodes that appear in at least one edge are returned (singletons
+    never entered the candidate-pair set to begin with).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    if checkpoint:
+        e = e.localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("node")).distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor = (
+            e.join(labels, e.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per duplicate cluster (the minimum id — i.e. the
+    component representative) plus every row never seen in a pair.
+
+    A left join against the component map: rows with no component are
+    unique documents; rows whose id equals their component id are the
+    cluster canonicals; all other cluster members drop.
+    """
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    return (
+        df.join(comp, id_col, "left")
+        .where(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
+        .drop("component")
+    )

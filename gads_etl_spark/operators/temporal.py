@@ -1,0 +1,117 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join, interval join.
+
+Neither exists in the reference (its time logic is per-partition date fencing,
+reference src/gads_etl/pipeline.py:38-78); both are table stakes for an
+event-data training pipeline (attribution, feature backfill, burst analysis).
+
+Design rules for 100 TB:
+- **No range-join explosion.** A naive ``l JOIN r ON l.ts >= r.ts`` is a
+  cross product per key. The as-of join is instead a *union + ordered
+  window fill*: tag both sides, sort once on (key, ts), carry the latest
+  right payload forward with ``last(ignorenulls)``. One shuffle, linear
+  output, no BroadcastNestedLoopJoin anywhere in the plan.
+- **Interval joins bucket first.** Intervals explode to the fixed-width
+  time buckets they cover; events carry their own bucket; the join is an
+  equi-join on bucket with the precise range predicate as a residual
+  filter. Shuffle is on bucket keys, pair count is bounded by bucket
+  occupancy, not |events| × |intervals|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: each left row gets the right row with the
+    largest ``right_ts <= left_ts`` for the same ``on`` key (ties allowed
+    at equality, matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    Implementation is union + window, not a range join: both sides are
+    tagged and unioned, then a single window pass per key carries the most
+    recent right payload forward. Right rows sort *before* left rows at
+    equal timestamps so an exactly-simultaneous right row matches.
+
+    Unmatched left rows keep NULL payload columns (left-outer semantics).
+    Right value columns appear as ``{prefix}{col}``.
+    """
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(F.col(right_ts).alias(right_ts),
+                       *[F.col(c) for c in rcols])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ev_ts"),
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+    )
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ev_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        *[F.col(c) for c in left.columns if c != on],
+    )
+    # unionByName fills the left-only columns with NULL on the right side.
+    tagged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ev_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    out = filled.where(F.col("_side") == 1).select(
+        F.col(on),
+        *[F.col(c) for c in left.columns if c != on],
+        F.col(f"_match.{right_ts}").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in rcols],
+    )
+    return out
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Join events to the intervals containing them (inclusive bounds),
+    without an equality key — the pure range-join case.
+
+    Each interval is exploded to the sequence of fixed-width time buckets
+    it overlaps; each event computes its single bucket; the join is then
+    an equi-join on the bucket with ``start <= ts <= end`` as a residual
+    filter. An event's bucket matches each interval at most once (an
+    interval lists every covered bucket exactly once), so no dedup pass
+    is needed. Pick ``bucket`` ~ median interval width: shuffle keys stay
+    dense and the residual filter discards little. ``bucket`` is a
+    date_trunc unit (``hour`` or ``day``).
+    """
+    if bucket not in ("hour", "day"):
+        raise ValueError(f"bucket must be 'hour' or 'day', got {bucket!r}")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start_col)),
+                F.date_trunc(bucket, F.col(end_col)),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    ev = events.withColumn("_bucket", F.date_trunc(bucket, F.col(ts_col)))
+    return (
+        ev.join(iv, "_bucket")
+        .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_bucket")
+    )

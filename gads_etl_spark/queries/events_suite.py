@@ -211,3 +211,103 @@ def ev_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@register(
+    "ev_asof_attribution",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, max(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           v.ts AS view_ts,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS wait_us,
+           CAST(round(v.view_value * 100) AS BIGINT) AS view_cents
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("events", "asof", "join"),
+)
+def ev_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's latest prior view.
+
+    Spark has no ASOF JOIN; the scalable form is union + ordered window
+    fill (operators/temporal.py:asof_join) — one shuffle on user_id,
+    linear output, instead of the per-key range cross-product a naive
+    ``p.ts >= v.ts`` join plans as. Views pre-dedup to one row per
+    (user, ts) so tie-breaking is deterministic in both engines.
+    """
+    from gads_etl_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(purchases, views, on="user_id")
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.col("r_ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("wait_us"),
+        F.round(F.col("r_view_value") * 100).cast("bigint").alias("view_cents"),
+    )
+
+
+@register(
+    "ev_error_bursts",
+    oracle=f"""
+    WITH bursts AS (
+        SELECT min(ts) AS start_ts, max(ts) AS end_ts
+        FROM events WHERE event_type = 'error'
+        GROUP BY date_trunc('hour', ts) HAVING count(*) >= 6
+    )
+    SELECT b.start_ts, b.end_ts, count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum({_CENTS}) AS BIGINT) AS total_cents
+    FROM events e JOIN bursts b ON e.ts >= b.start_ts AND e.ts <= b.end_ts
+    GROUP BY b.start_ts, b.end_ts
+    ORDER BY b.start_ts
+    """,
+    tags=("events", "interval", "join"),
+)
+def ev_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: all traffic inside error-burst windows.
+
+    Bursts are irregular intervals (first..last error in hours with ≥6
+    errors); joining events into them has no equality key. The scale-safe
+    plan (operators/temporal.py:interval_join) buckets both sides by hour
+    and equi-joins on the bucket with the precise range as a residual
+    filter — shuffle on dense bucket keys, never |events| × |intervals|.
+    """
+    from gads_etl_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    bursts = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("_h"))
+        .agg(
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") >= 6)
+        .select("start_ts", "end_ts")
+    )
+    return (
+        interval_join(ev, bursts, ts_col="ts", start_col="start_ts",
+                      end_col="end_ts", bucket="hour")
+        .groupBy("start_ts", "end_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(_cents()).alias("total_cents"),
+        )
+        .orderBy("start_ts")
+    )

@@ -515,3 +515,102 @@ def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch shape and schema are asserted in tests/test_extension_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
     return MM.decode_features(MM.as_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+#: Shared CTE: undirected near-dup edges (3-gram Jaccard >= 0.7, blocked by
+#: source) + min-label reachability — the SQL mirror of
+#: operators/graph.py:connected_components for the oracle side.
+_COMPONENTS_CTE = """
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+        SELECT node, min(root) AS component FROM reach GROUP BY node
+    )
+"""
+
+
+@register(
+    "ext_dup_clusters",
+    oracle=f"""
+    {_COMPONENTS_CTE.replace('WITH t AS', 'WITH RECURSIVE t AS', 1)}
+    SELECT CAST(node AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component
+    FROM comp ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph", "iterative"),
+)
+def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: candidate pairs → connected components.
+
+    Pairwise similarity alone over-keeps chained duplicates (A~B, B~C but
+    A≁C must still collapse to one cluster). Components run as min-label
+    propagation (operators/graph.py) — a per-round shuffle join that
+    converges in diameter rounds, lineage-truncated between rounds. The
+    oracle states the same fixpoint as a recursive CTE.
+    """
+    from gads_etl_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
+    comps = G.connected_components(pairs.select("a_id", "b_id"),
+                                   src="a_id", dst="b_id")
+    return comps.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("component"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ext_cluster_dedup",
+    oracle=f"""
+    {_COMPONENTS_CTE.replace('WITH t AS', 'WITH RECURSIVE t AS', 1)}
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph"),
+)
+def ext_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus after cluster-level dedup: one canonical doc per near-dup
+    cluster (min doc_id) plus all never-paired docs — the end-to-end
+    "dedupe the corpus" operator an LLM pipeline actually runs.
+    """
+    from gads_etl_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
+    comps = G.connected_components(pairs.select("a_id", "b_id"),
+                                   src="a_id", dst="b_id")
+    return (
+        G.cluster_survivors(docs, comps, id_col="doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,128 @@
+"""Unit tests for the temporal joins and connected components.
+
+The registered queries (ev_asof_attribution, ev_error_bursts,
+ext_dup_clusters, ext_cluster_dedup) oracle-check these operators on the
+fixtures; the sf0.01 documents graph only has short chains, so the
+multi-hop / edge-case semantics are pinned here on synthetic frames.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gads_etl_spark.operators.graph import cluster_survivors, connected_components
+from gads_etl_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"), "a"),
+             (1, _ts("2024-01-01 12:00:00"), "b"),
+             (2, _ts("2024-01-01 09:00:00"), "c"),
+             (3, _ts("2024-01-01 10:00:00"), "d")],
+            "user_id long, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01 09:30:00"), 10.0),
+             (1, _ts("2024-01-01 11:00:00"), 20.0),
+             (2, _ts("2024-01-01 09:00:00"), 30.0),   # exactly simultaneous
+             (2, _ts("2024-01-01 09:30:00"), 40.0)],  # after the left row
+            "user_id long, ts timestamp, v double",
+        )
+        return left, right
+
+    def test_backward_match_and_null(self, spark):
+        left, right = self._frames(spark)
+        out = {r["tag"]: r for r in asof_join(left, right, on="user_id").collect()}
+        assert out["a"]["r_v"] == 10.0       # latest of the priors
+        assert out["b"]["r_v"] == 20.0       # picks the newer one
+        assert out["c"]["r_v"] == 30.0       # equality counts as prior
+        assert out["d"]["r_v"] is None       # key with no right rows
+        assert out["d"]["r_ts"] is None
+
+    def test_left_row_count_preserved(self, spark):
+        left, right = self._frames(spark)
+        assert asof_join(left, right, on="user_id").count() == left.count()
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        left, right = self._frames(spark)
+        plan = asof_join(left, right, on="user_id")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestIntervalJoin:
+    def test_multi_bucket_interval_no_duplicates(self, spark):
+        # One interval spanning 3 hour-buckets; events in/out/boundary.
+        intervals = spark.createDataFrame(
+            [( _ts("2024-01-01 10:30:00"), _ts("2024-01-01 12:30:00"), "w1")],
+            "start_ts timestamp, end_ts timestamp, name string",
+        )
+        events = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:29:59")),   # before start, same bucket
+             (2, _ts("2024-01-01 10:30:00")),   # inclusive start
+             (3, _ts("2024-01-01 11:15:00")),   # interior, middle bucket
+             (4, _ts("2024-01-01 12:30:00")),   # inclusive end
+             (5, _ts("2024-01-01 12:31:00"))],  # after end, same bucket
+            "event_id long, ts timestamp",
+        )
+        got = sorted(r["event_id"] for r in interval_join(events, intervals).collect())
+        assert got == [2, 3, 4]  # exactly once each — no per-bucket dup
+
+    def test_overlapping_intervals_multiply(self, spark):
+        intervals = spark.createDataFrame(
+            [(_ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "a"),
+             (_ts("2024-01-01 10:30:00"), _ts("2024-01-01 11:30:00"), "b")],
+            "start_ts timestamp, end_ts timestamp, name string",
+        )
+        events = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:45:00"))], "event_id long, ts timestamp",
+        )
+        names = sorted(r["name"] for r in interval_join(events, intervals).collect())
+        assert names == ["a", "b"]
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_component(self, spark):
+        # Diameter-4 chain: min-label needs several propagation rounds.
+        edges = spark.createDataFrame(
+            [(2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long",
+        )
+        comp = {r["node"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2}
+
+    def test_separate_components_stay_separate(self, spark):
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+            "src long, dst long",
+        )
+        comp = {r["node"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == comp[21] == comp[22] == 20
+
+    def test_edge_direction_irrelevant(self, spark):
+        a = spark.createDataFrame([(5, 1), (1, 9)], "src long, dst long")
+        b = spark.createDataFrame([(1, 5), (9, 1)], "src long, dst long")
+        ca = sorted(map(tuple, connected_components(a).collect()))
+        cb = sorted(map(tuple, connected_components(b).collect()))
+        assert ca == cb == [(1, 1), (5, 1), (9, 1)]
+
+    def test_cluster_survivors(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x"), (2, "x"), (3, "x"), (7, "y")], "doc_id long, text string",
+        )
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        comps = connected_components(edges)
+        kept = sorted(r["doc_id"]
+                      for r in cluster_survivors(docs, comps).collect())
+        assert kept == [1, 7]  # cluster canonical + untouched singleton
