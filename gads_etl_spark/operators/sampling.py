@@ -1,0 +1,114 @@
+"""Deterministic corpus sampling, splitting, and sequence packing.
+
+Training-data pipelines need *reproducible* sampling: the same document
+must land in the same split on every run, on any cluster size, under any
+partitioning — which rules out ``df.sample`` (seed + partitioning
+dependent) for anything that feeds a published dataset. The standard
+trick is content hashing: hash a stable id, compare against a threshold.
+
+Everything here is JVM-side expression work (md5 + string compare — no
+UDFs, no shuffle for the sampling itself) and engine-portable, so the
+DuckDB oracle states the identical expression.
+
+Granularity: thresholds quantize to 16^4 = 65536 buckets on the first
+four hex chars of the hash — plenty for split ratios, and it keeps the
+comparison a short string compare instead of 128-bit arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hex-prefix width used for thresholding (4 chars = 65536 buckets).
+_WIDTH = 4
+_BUCKETS = 16 ** _WIDTH
+
+
+def _hash_prefix(id_col: str, salt: str) -> Column:
+    """First 4 hex chars of md5(salt || id) — uniform in [0, 16^4)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, _WIDTH)
+
+
+def _threshold(rate: float) -> str:
+    """Hex threshold such that P(prefix < threshold) ≈ rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"  # 'g' sorts after every hex char, so prefix < 'g' always
+    return format(int(rate * _BUCKETS), f"0{_WIDTH}x")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         salt: str = "sample") -> DataFrame:
+    """Keep ≈``rate`` of rows, chosen by content hash of ``id_col``.
+
+    Scale properties: no shuffle, no state, no seed bookkeeping; the
+    predicate sits right above the scan so column pruning and partition
+    pruning still apply, and re-runs (or incremental extensions of the
+    corpus) keep prior membership decisions stable.
+    """
+    return df.where(_hash_prefix(id_col, salt) < F.lit(_threshold(rate)))
+
+
+def train_val_test_split(df: DataFrame, id_col: str,
+                         train: float = 0.8, val: float = 0.1,
+                         salt: str = "split") -> DataFrame:
+    """Assign a stable ``split`` column ('train' / 'val' / 'test').
+
+    Boundaries are hash-range cuts: [0, train) → train, [train,
+    train+val) → val, rest → test. A document's split never changes as
+    the corpus grows — the property random splits lack.
+    """
+    if train + val >= 1.0:
+        raise ValueError("train + val must leave room for test")
+    p = _hash_prefix(id_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(p < F.lit(_threshold(train)), "train")
+        .when(p < F.lit(_threshold(train + val)), "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_hash_sample(df: DataFrame, id_col: str, strata_col: str,
+                           rates: dict[str, float], default_rate: float = 0.0,
+                           salt: str = "strata") -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample boilerplate
+    sources hard, keep rare high-quality sources whole, in one pass.
+
+    Expressed as a CASE over hash thresholds: still scan-adjacent, still
+    shuffle-free, unlike ``sampleBy`` reproducible across runs/layouts.
+    """
+    p = _hash_prefix(id_col, salt)
+    cond = None
+    for stratum, rate in sorted(rates.items()):
+        this = (F.col(strata_col) == stratum) & (p < F.lit(_threshold(rate)))
+        cond = this if cond is None else cond | this
+    others = ~F.col(strata_col).isin(*rates.keys()) if rates else F.lit(True)
+    cond = cond | (others & (p < F.lit(_threshold(default_rate))))
+    return df.where(cond)
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   partition_col: str, order_col: str) -> DataFrame:
+    """Assign documents to fixed-budget training bins (sequence packing).
+
+    Greedy packing is inherently sequential; the distributed form is
+    *cumulative binning*: within each ``partition_col`` group, documents
+    in ``order_col`` order get ``bin_id = floor(exclusive_cumsum(tokens)
+    / budget)`` — every bin holds consecutive documents totalling ≈
+    ``budget`` tokens (the last doc may straddle). One shuffle on the
+    partition key; bins never span partitions, so packing parallelizes
+    across however many groups exist.
+
+    Documents longer than ``budget`` get a bin to themselves (their
+    cumsum jump skips whole bins) — truncation/chunking is a separate
+    upstream concern.
+    """
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(partition_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_excl = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("bin_id", F.floor(cum_excl / F.lit(budget)))

@@ -614,3 +614,146 @@ def ext_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting / packing (reproducible training data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+    ORDER BY doc_id
+    """,
+    tags=("extension", "sampling"),
+)
+def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% corpus sample by content hash (operators/sampling.py).
+
+    Unlike ``df.sample``, membership is a pure function of doc_id:
+    stable across runs, cluster sizes, and partition layouts — the only
+    sampling discipline that keeps a published training set reproducible.
+    No shuffle; the predicate sits on the scan.
+    """
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.deterministic_sample(docs, "doc_id", 0.25)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "ext_split_assign",
+    oracle="""
+    SELECT split, lang, count(*) AS n FROM (
+        SELECT lang,
+               CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                    WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ) GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    tags=("extension", "sampling"),
+)
+def ext_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by hash-range cuts, audited as
+    counts per (split, language). A document's split never changes as the
+    corpus grows — the reproducibility property random splits lack.
+    """
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.train_val_test_split(docs, "doc_id", train=0.8, val=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "ext_stratified_sample",
+    oracle="""
+    SELECT source, count(*) AS n FROM documents
+    WHERE (source = 'src0'
+           AND substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 4) < 'g')
+       OR (source = 'src1'
+           AND substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (source NOT IN ('src0', 'src1')
+           AND substring(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 4) < '1999')
+    GROUP BY source ORDER BY source
+    """,
+    tags=("extension", "sampling"),
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling mix in one pass: keep src0 whole, half of
+    src1, 10% of everything else — the "downweight boilerplate, keep
+    rare quality sources" move, still shuffle-free and reproducible.
+    """
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SA.stratified_hash_sample(
+            docs, "doc_id", "source",
+            rates={"src0": 1.0, "src1": 0.5}, default_rate=0.1,
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source")
+    )
+
+
+@register(
+    "ext_pack_bins",
+    oracle="""
+    WITH toks AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 2000.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    tags=("extension", "packing", "window"),
+)
+def ext_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ≈2000-token training bins.
+
+    Greedy packing is sequential; the distributed form is exclusive-
+    cumsum binning per source partition (operators/sampling.py:
+    pack_sequences) — one shuffle on source, bins never span partitions,
+    packing parallelizes across sources. Audited at bin granularity.
+    """
+    from gads_etl_spark.operators import sampling as SA
+    from gads_etl_spark.operators.dedup import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    packed = SA.pack_sequences(docs, "n_tokens", budget=2000,
+                               partition_col="source", order_col="doc_id")
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("bin_tokens"))
+        .orderBy("source", "bin_id")
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for deterministic sampling / splitting / packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gads_etl_spark.operators.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    stratified_hash_sample,
+    train_val_test_split,
+)
+
+
+def _ids(spark, n=2000, parts=4):
+    return spark.range(0, n, 1, parts).withColumnRenamed("id", "doc_id")
+
+
+class TestDeterministicSample:
+    def test_rate_within_tolerance(self, spark):
+        n = deterministic_sample(_ids(spark), "doc_id", 0.25).count()
+        assert 0.20 * 2000 < n < 0.30 * 2000
+
+    def test_partitioning_invariant(self, spark):
+        # Same ids, wildly different physical layout → identical members.
+        a = deterministic_sample(_ids(spark, parts=1), "doc_id", 0.3)
+        b = deterministic_sample(_ids(spark, parts=13), "doc_id", 0.3)
+        assert sorted(r[0] for r in a.collect()) == sorted(r[0] for r in b.collect())
+
+    def test_monotone_in_rate(self, spark):
+        # A 10% sample is a subset of the 30% sample (hash-range nesting).
+        small = {r[0] for r in deterministic_sample(_ids(spark), "doc_id", 0.1).collect()}
+        big = {r[0] for r in deterministic_sample(_ids(spark), "doc_id", 0.3).collect()}
+        assert small <= big
+
+    def test_rate_one_keeps_everything(self, spark):
+        assert deterministic_sample(_ids(spark), "doc_id", 1.0).count() == 2000
+
+    def test_rate_zero_keeps_nothing(self, spark):
+        assert deterministic_sample(_ids(spark), "doc_id", 0.0).count() == 0
+
+
+class TestSplit:
+    def test_exclusive_and_exhaustive(self, spark):
+        out = train_val_test_split(_ids(spark), "doc_id")
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert sum(counts.values()) == 2000
+        assert 0.74 < counts["train"] / 2000 < 0.86
+        assert counts["val"] > 0 and counts["test"] > 0
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        # Adding rows never moves an existing row between splits.
+        before = {r["doc_id"]: r["split"]
+                  for r in train_val_test_split(_ids(spark, 500), "doc_id").collect()}
+        after = {r["doc_id"]: r["split"]
+                 for r in train_val_test_split(_ids(spark, 2000), "doc_id").collect()}
+        assert all(after[k] == v for k, v in before.items())
+
+
+class TestStratified:
+    def test_rates_per_stratum(self, spark):
+        df = _ids(spark, 3000).withColumn(
+            "src", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+        )
+        out = stratified_hash_sample(df, "doc_id", "src",
+                                     rates={"s0": 1.0, "s1": 0.5}, default_rate=0.0)
+        counts = {r["src"]: r["n"] for r in
+                  out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        assert counts["s0"] == 1000           # kept whole
+        assert 400 < counts["s1"] < 600       # ≈ half
+        assert "s2" not in counts             # default 0 → dropped
+
+
+class TestPacking:
+    def test_bins_respect_budget(self, spark):
+        # 40 docs of 300 tokens, one group → budget 1000 fits 3-4 per bin;
+        # consecutive ids share bins, totals never exceed budget + one doc.
+        df = (spark.range(40).withColumnRenamed("id", "doc_id")
+              .withColumn("grp", F.lit("g"))
+              .withColumn("n_tokens", F.lit(300)))
+        out = pack_sequences(df, "n_tokens", budget=1000,
+                             partition_col="grp", order_col="doc_id")
+        bins = (out.groupBy("bin_id").agg(F.sum("n_tokens").alias("tok"),
+                                          F.count("*").alias("n")).collect())
+        for r in bins:
+            assert r["tok"] <= 1000 + 300     # last doc may straddle
+        assert sum(r["n"] for r in bins) == 40
+
+    def test_oversized_doc_gets_own_jump(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1, 100), ("g", 2, 5000), ("g", 3, 100)],
+            "grp string, doc_id long, n_tokens long",
+        )
+        out = {r["doc_id"]: r["bin_id"] for r in
+               pack_sequences(df, "n_tokens", 1000, "grp", "doc_id").collect()}
+        assert out[1] == 0 and out[2] == 0    # starts in bin 0
+        assert out[3] == 5                    # cumsum jumped past bins 1-4
+
+    def test_bins_never_span_partitions(self, spark):
+        df = (spark.range(100).withColumnRenamed("id", "doc_id")
+              .withColumn("grp", (F.col("doc_id") % 4).cast("string"))
+              .withColumn("n_tokens", F.lit(250)))
+        out = pack_sequences(df, "n_tokens", 1000, "grp", "doc_id")
+        per = (out.groupBy("grp", "bin_id").agg(F.count("*").alias("n"))
+               .groupBy("grp").agg(F.max("n").alias("mx")).collect())
+        for r in per:
+            assert r["mx"] <= 4               # 4 × 250 = budget
