@@ -31,6 +31,10 @@ _SCALE_DEFAULTS = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Managed-table warehouse (bucketed tables, operators/layout.py);
+    # kept out of the repo tree locally, set to the lake root on a cluster.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/gads_etl_spark_warehouse"),
 }
 
 
