@@ -149,3 +149,31 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event feed from an at-least-once source: drop replayed
+    event_ids, with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key only
+    until the event-time watermark passes it — the unbounded-state trap
+    of plain ``dropDuplicates(key)`` on an infinite stream is the reason
+    this operator exists. Replays later than the watermark are the
+    upstream contract's problem (same late-data bound as every other
+    stateful op here).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         on: str = "event_type") -> DataFrame:
+    """Enrich a stream against a static dimension snapshot.
+
+    Stream-static joins re-plan the static side per micro-batch (it is
+    re-read if the underlying files changed) and broadcast it when small —
+    no stream-side state at all, unlike stream-stream joins. The standard
+    shape for decorating events with slowly-changing reference data.
+    """
+    return events.join(F.broadcast(dim), on, "left")

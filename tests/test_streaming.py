@@ -130,3 +130,49 @@ class TestStreaming:
         emissions_user1 = [r for r in rows if r.user_id == 1]
         assert len(emissions_user1) >= 2  # updated in more than one batch
         assert final[1] == (4, 14.75)
+
+
+class TestDedupStream:
+    def test_replayed_ids_dropped_across_batches(self, spark, tmp_path):
+        from gads_etl_spark.streaming.jobs import dedup_stream
+
+        src = tmp_path / "dup-src"
+        src.mkdir()
+        rows = [
+            [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:06:00")],
+            [(2, "2024-01-01 00:06:00"), (3, "2024-01-01 00:07:00")],  # replay id 2
+            [(1, "2024-01-01 00:05:00"), (4, "2024-01-01 00:08:00")],  # replay id 1
+        ]
+        for i, batch in enumerate(rows):
+            with open(src / f"b{i}.json", "w") as f:
+                for eid, ts in batch:
+                    f.write(json.dumps({
+                        "event_id": eid, "ts": ts, "user_id": 1,
+                        "event_type": "click", "value": 1.0, "props": "{}",
+                    }) + "\n")
+
+        stream = read_events_stream(spark, str(src))
+        _run_stream(dedup_stream(stream, watermark="10 minutes"),
+                    "t_dedup", "append")
+        got = sorted(r.event_id for r in spark.table("t_dedup").collect())
+        assert got == [1, 2, 3, 4]
+
+
+class TestStreamStaticJoin:
+    def test_enrichment_matches_batch_join(self, spark, tmp_path):
+        from gads_etl_spark.streaming.jobs import stream_static_enrich
+
+        src, batch_df = _write_event_files(tmp_path, spark)
+        dim = spark.createDataFrame(
+            [("click", "engagement"), ("view", "impression")],
+            "event_type string, category string",
+        )
+        stream = read_events_stream(spark, src)
+        _run_stream(stream_static_enrich(stream, dim), "t_enrich", "append")
+
+        got = sorted((r.event_id, r.category)
+                     for r in spark.table("t_enrich").collect())
+        expected = sorted((r.event_id, r.category)
+                          for r in stream_static_enrich(batch_df, dim).collect())
+        assert got == expected and len(got) == 6
+        assert all(c in ("engagement", "impression") for _, c in got)
