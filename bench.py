@@ -37,6 +37,10 @@ EXTRA = [
     "ext_knn_bruteforce",
     "ev_tumbling_hourly",
     "ev_sessionization",
+    "ev_asof_attribution",
+    "ext_cluster_dedup",
+    "ext_pack_bins",
+    "q21_waiting_suppliers",
 ]
 
 

@@ -83,12 +83,26 @@ def shingle_jaccard_pairs(
         .select(
             F.col(id_col), F.col("_block"),
             shingles(F.col(text_col), n).alias("_sh"),
-        )
-    a = t.select(F.col(id_col).alias("a_id"), F.col("_block"), F.col("_sh").alias("a_sh"))
-    b = t.select(F.col(id_col).alias("b_id"), F.col("_block"), F.col("_sh").alias("b_sh"))
-    pairs = a.join(b, "_block").where(F.col("a_id") < F.col("b_id"))
+        ) \
+        .withColumn("_n", F.size("_sh"))
+    a = t.select(F.col(id_col).alias("a_id"), F.col("_block"),
+                 F.col("_sh").alias("a_sh"), F.col("_n").alias("a_n"))
+    b = t.select(F.col(id_col).alias("b_id"), F.col("_block"),
+                 F.col("_sh").alias("b_sh"), F.col("_n").alias("b_n"))
+    # Size prefilter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    # jaccard ≤ min/max — pairs whose shingle counts differ by more than
+    # the threshold ratio can never qualify and skip the O(|A|+|B|)
+    # intersection entirely. Sound (never drops a qualifying pair).
+    size_ok = (
+        F.least("a_n", "b_n").cast("double")
+        / F.greatest("a_n", "b_n") >= threshold
+    )
+    pairs = (
+        a.join(b, "_block")
+        .where((F.col("a_id") < F.col("b_id")) & size_ok)
+    )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.size("a_sh") + F.size("b_sh") - inter
+    union = F.col("a_n") + F.col("b_n") - inter
     jac = inter.cast("double") / union
     return (
         pairs.withColumn("jaccard", jac)

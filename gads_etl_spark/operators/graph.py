@@ -40,36 +40,52 @@ def connected_components(
     Only nodes that appear in at least one edge are returned (singletons
     never entered the candidate-pair set to begin with).
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if checkpoint:
+        # Materialize the upstream plan (often an expensive candidate-pair
+        # computation) exactly once, BEFORE symmetrizing — the union below
+        # references its input twice, and checkpointing after the union
+        # would execute the pair generation twice.
+        e0 = e0.localCheckpoint()
+    e = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Partition proportionally to the graph, not the session default: a
+    # post-blocking dup graph is usually tiny and per-round scheduling
+    # overhead dominates if every round shuffles into 32+ partitions.
+    n_parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism,
+                         e0.count() // 50_000 + 1))
+    e = e.repartition(n_parts, "b")
     if checkpoint:
         e = e.localCheckpoint()
     labels = (
         e.select(F.col("a").alias("node")).distinct()
         .withColumn("component", F.col("node"))
     )
+
+    def label_sum(lbl: DataFrame):
+        # Exact, overflow-safe fingerprint of the labeling.
+        return lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = None
     for _ in range(max_iter):
         neighbor = (
             e.join(labels, e.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
         if checkpoint:
-            new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            labels = labels.localCheckpoint()
+        # Min-label propagation is monotone: labels only decrease, so the
+        # label sum strictly decreases every round until the fixpoint.
+        # One scan of the (checkpointed) label table per round — no
+        # compare-join.
+        s = label_sum(labels)
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 
