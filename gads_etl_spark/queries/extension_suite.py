@@ -757,3 +757,127 @@ def ext_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_tokens").cast("bigint").alias("bin_tokens"))
         .orderBy("source", "bin_id")
     )
+
+
+@register(
+    "ext_embedding_centroids",
+    oracle="""
+    SELECT label, dim,
+           CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+                AS DOUBLE) / 1e6 / count(*) AS centroid
+    FROM (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    )
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+    tags=("extension", "embedding", "agg"),
+)
+def ext_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid vectors: posexplode the embedding array, one
+    grouped aggregation over (label, dimension).
+
+    The building block of prototype classifiers and KMeans E-steps. At
+    100 TB this is a single shuffle of |labels| × dim partial sums
+    (map-side combine collapses rows before the exchange); values sum in
+    integer micro-units so the centroid is bit-identical on any cluster
+    (a float sum would depend on the reduction order).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"),
+                F.round(F.col("val").cast("double") * 1e6).cast("bigint").alias("micro"))
+        .groupBy("label", "dim")
+        .agg((F.sum("micro").cast("double") / 1e6 / F.count(F.lit(1))).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "ext_nearest_centroid",
+    oracle="""
+    WITH unn AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label, dim,
+               CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+                    AS DOUBLE) / 1e6 / count(*) AS centroid
+        FROM unn GROUP BY label, dim
+    ),
+    cvec AS (
+        SELECT c_label, list(centroid ORDER BY dim) AS c_vec
+        FROM cent GROUP BY c_label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.c_label,
+               round(
+                 list_reduce(list_transform(generate_series(1, 64),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.c_vec[i]),
+                     (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+                        (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                        i -> c.c_vec[i] * c.c_vec[i]),
+                        (acc, x) -> acc + x))), 6) AS cos
+        FROM embeddings e CROSS JOIN cvec c
+    )
+    SELECT label, c_label AS assigned, count(*) AS n FROM (
+        SELECT vec_id, label, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, c_label) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    GROUP BY label, c_label
+    ORDER BY label, assigned
+    """,
+    tags=("extension", "embedding", "similarity"),
+)
+def ext_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit (confusion counts).
+
+    Class centroids build with exact micro-unit sums (one shuffle of
+    |labels| × dim rows); the centroid table is bounded (classes × dim),
+    so it broadcasts — the corpus side streams through map tasks with no
+    shuffle, exactly the KNN-bruteforce shape. Scores round to 6 decimals
+    with a label tiebreak so the argmax is engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    from gads_etl_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"),
+                F.round(F.col("val").cast("double") * 1e6).cast("bigint").alias("micro"))
+        .groupBy("label", "dim")
+        .agg((F.sum("micro").cast("double") / 1e6 / F.count(F.lit(1))).alias("centroid"))
+        .groupBy("label")
+        .agg(F.transform(F.array_sort(F.collect_list(F.struct("dim", "centroid"))),
+                         lambda s: s["centroid"]).alias("c_vec"))
+        .select(F.col("label").alias("c_label"), "c_vec")
+    )
+    scored = (
+        emb.select("vec_id", "label",
+                   F.col("embedding").cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label",
+                F.round(cosine(F.col("v"), F.col("c_vec")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("label", F.col("c_label").alias("assigned"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned")
+    )
