@@ -1,0 +1,86 @@
+"""Hypertable-style rollup maintenance: incremental continuous aggregates.
+
+A 100 TB event store cannot re-aggregate history every time a batch of
+(possibly late) events lands. Two maintenance strategies, both standard:
+
+- **Additive merge** (``merge_additive``): for decomposable aggregates
+  (count, sum — anything associative over disjoint inputs), aggregate
+  only the delta batch and fold it into the prior rollup with one
+  union + re-aggregate. Cost scales with |delta buckets|, not history.
+  The delta's rows combine map-side, so the shuffle is |affected
+  groups| — late data works for free because addition commutes.
+- **Replace-by-bucket** (``refresh_buckets``): for non-decomposable
+  aggregates (distinct counts, percentiles) recompute *only the affected
+  buckets* from the source with a pushed-down bucket filter and swap
+  them in with an anti-join — the reference's replace-by-partition
+  authority semantic (reference src/gads_etl/warehouse/loader.py:92-107)
+  applied to aggregate maintenance.
+
+Correctness contract (tested): any split of the input into delta batches,
+applied in any order, converges to exactly the full-recompute rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame, keys: tuple[str, ...] = ("event_type",),
+                  ts_col: str = "ts", bucket: str = "hour") -> DataFrame:
+    """Base continuous aggregate: per (bucket, *keys) counts and exact
+    cent sums (integer micro-money — order-independent, see SCALING.md)."""
+    return (
+        events.groupBy(
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_start"), *keys
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+def merge_additive(prior: DataFrame, delta_events: DataFrame,
+                   keys: tuple[str, ...] = ("event_type",),
+                   ts_col: str = "ts", bucket: str = "hour") -> DataFrame:
+    """Fold a batch of new/late events into an existing rollup.
+
+    ``aggregate(delta) ∪ prior → re-aggregate``: counts and sums add, so
+    the union collapses with one shuffle of the affected groups. Never
+    touches source history.
+    """
+    delta = hourly_rollup(delta_events, keys, ts_col, bucket)
+    return (
+        prior.unionByName(delta)
+        .groupBy("bucket_start", *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+def refresh_buckets(source: DataFrame, prior: DataFrame,
+                    buckets: DataFrame,
+                    keys: tuple[str, ...] = ("event_type",),
+                    ts_col: str = "ts", bucket: str = "hour") -> DataFrame:
+    """Replace whole buckets of the rollup from source truth.
+
+    ``buckets`` is a one-column (``bucket_start``) DataFrame naming the
+    buckets to rebuild. The source scan filters to those buckets (the
+    predicate pushes to the file scan; with a time-partitioned lake this
+    is partition pruning), the prior rollup drops them via anti-join, and
+    the recomputed rows union in. Use when the aggregate doesn't
+    decompose (distinct users, percentiles) or when correcting data.
+    """
+    b = buckets.select(F.col("bucket_start").alias("_refresh"))
+    scoped = source.join(
+        F.broadcast(b),
+        F.date_trunc(bucket, F.col(ts_col)) == F.col("_refresh"),
+    ).drop("_refresh")
+    rebuilt = hourly_rollup(scoped, keys, ts_col, bucket)
+    kept = prior.join(
+        F.broadcast(b), prior.bucket_start == b._refresh, "left_anti"
+    )
+    return kept.unionByName(rebuilt)

@@ -311,3 +311,31 @@ def ev_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("start_ts")
     )
+
+
+@register(
+    "ev_rollup_incremental",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+           count(*) AS n_events,
+           CAST(sum({_CENTS}) AS BIGINT) AS cents
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY bucket_start, event_type
+    """,
+    tags=("events", "rollup", "incremental"),
+)
+def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the rollup is built from the
+    first two-thirds of the month, then the remaining (``late``) events
+    fold in via additive merge — and the result must equal the full
+    recompute (the oracle). Incremental cost scales with the delta's
+    buckets, never with history (operators/rollup.py).
+    """
+    from gads_etl_spark.operators import rollup as R
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+    prior = R.hourly_rollup(ev.where(F.col("ts") < cutoff))
+    merged = R.merge_additive(prior, ev.where(F.col("ts") >= cutoff))
+    return merged.orderBy("bucket_start", "event_type")

@@ -1,0 +1,74 @@
+"""Convergence properties of incremental rollup maintenance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gads_etl_spark.operators.rollup import (
+    hourly_rollup,
+    merge_additive,
+    refresh_buckets,
+)
+
+
+def _events(spark, n=500):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), i % 13,
+         ["click", "view", "purchase"][i % 3], round(0.25 * (i % 40), 2))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double")
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in
+                  df.select("bucket_start", "event_type", "n_events", "cents").collect())
+
+
+class TestAdditiveMerge:
+    def test_any_split_converges_to_full_recompute(self, spark):
+        ev = _events(spark)
+        full = hourly_rollup(ev)
+        # Three different splits, including an out-of-order (late) one.
+        for pred in [F.col("event_id") < 250,
+                     F.col("event_id") % 2 == 0,
+                     F.col("event_id") >= 400]:
+            prior = hourly_rollup(ev.where(pred))
+            merged = merge_additive(prior, ev.where(~pred))
+            assert _canon(merged) == _canon(full), pred
+
+    def test_iterated_batches_converge(self, spark):
+        ev = _events(spark)
+        full = hourly_rollup(ev)
+        acc = hourly_rollup(ev.where(F.col("event_id") < 100))
+        for lo, hi in [(100, 300), (300, 450), (450, 10**9)]:
+            acc = merge_additive(
+                acc, ev.where((F.col("event_id") >= lo) & (F.col("event_id") < hi)))
+        assert _canon(acc) == _canon(full)
+
+
+class TestRefreshBuckets:
+    def test_refresh_replaces_only_named_buckets(self, spark):
+        ev = _events(spark)
+        # Prior rollup built from a corrupted source (values doubled).
+        corrupted = ev.withColumn("value", F.col("value") * 2)
+        prior = hourly_rollup(corrupted)
+        # Refresh the first 3 hours from the true source.
+        buckets = (ev.select(F.date_trunc("hour", "ts").alias("bucket_start"))
+                   .distinct().orderBy("bucket_start").limit(3))
+        fixed = refresh_buckets(ev, prior, buckets)
+        truth = {t[:2]: t for t in _canon(hourly_rollup(ev))}
+        bad = {t[:2]: t for t in _canon(prior)}
+        refreshed = {r["bucket_start"] for r in buckets.collect()}
+        for key, row in {t[:2]: t for t in _canon(fixed)}.items():
+            assert row == (truth[key] if key[0] in refreshed else bad[key])
+
+    def test_refresh_everything_equals_full(self, spark):
+        ev = _events(spark)
+        prior = hourly_rollup(ev.where(F.lit(False)))  # empty prior
+        buckets = ev.select(F.date_trunc("hour", "ts").alias("bucket_start")).distinct()
+        assert _canon(refresh_buckets(ev, prior, buckets)) == _canon(hourly_rollup(ev))
