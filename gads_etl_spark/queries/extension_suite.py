@@ -881,3 +881,66 @@ def ext_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label", "assigned")
     )
+
+
+@register(
+    "ext_tfidf_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rank FROM (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    tags=("extension", "text", "tfidf"),
+)
+def ext_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic keyword extractor.
+
+    Term frequencies combine map-side before the (doc, term) shuffle;
+    document frequencies are a second aggregate over distinct (term, doc)
+    — at corpus scale both shuffles are on term-ish keys and the score
+    join is a plain shuffled equi-join on term (the vocabulary is too
+    big to broadcast; AQE may still choose to). The corpus size joins in
+    as a 1-row broadcast. Scores round to 6 decimals with a term
+    tiebreak so ranking is engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                    6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
