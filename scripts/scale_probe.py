@@ -1,0 +1,148 @@
+"""Scale probe: run the round-3 operators on amplified synthetic data.
+
+Not a pytest (minutes, not seconds) — this is the measured evidence
+behind SCALING.md's 100 TB claims. Synthesizes millions of rows in-JVM
+(spark.range + hash arithmetic; no Python row generation), times each
+operator, and sanity-checks the output invariants.
+
+Usage: python scripts/scale_probe.py [probe ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def probe_asof(spark):
+    """5M purchases as-of-joined to 5M views over 100k users."""
+    from gads_etl_spark.operators.temporal import asof_join
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    left = spark.range(5_000_000).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        (base + F.make_interval(secs=(F.col("id") % 2_592_000).cast("double"))).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    right = spark.range(5_000_000).select(
+        (F.col("id") % 100_000).alias("user_id"),
+        (base + F.make_interval(secs=((F.col("id") * 7) % 2_592_000).cast("double"))).alias("ts"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    t0 = time.perf_counter()
+    out = asof_join(left, right, on="user_id")
+    n = out.count()
+    dt = time.perf_counter() - t0
+    assert n == 5_000_000, n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    return f"asof_join 5M⋈5M over 100k keys: {dt:.1f}s, rows preserved, no NL join"
+
+
+def probe_components(spark):
+    """1M-edge graph: 100k chains of depth 10 (worst-case propagation)."""
+    from gads_etl_spark.operators.graph import connected_components
+
+    edges = (
+        spark.range(1_000_000)
+        .where(F.col("id") % 10 != 9)
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    t0 = time.perf_counter()
+    comps = connected_components(edges, max_iter=15)
+    n_nodes = comps.count()
+    n_comps = comps.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    assert n_comps == 100_000, n_comps
+    return f"connected_components 900k edges / 100k chains depth-10: {dt:.1f}s, {n_comps} components"
+
+
+def probe_sampling(spark):
+    """Deterministic sample + split over 20M ids."""
+    from gads_etl_spark.operators.sampling import (
+        deterministic_sample,
+        train_val_test_split,
+    )
+
+    ids = spark.range(20_000_000).withColumnRenamed("id", "doc_id")
+    t0 = time.perf_counter()
+    n = deterministic_sample(ids, "doc_id", 0.1).count()
+    dt1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    splits = (train_val_test_split(ids, "doc_id").groupBy("split").count().collect())
+    dt2 = time.perf_counter() - t0
+    rate = n / 20_000_000
+    assert 0.099 < rate < 0.101, rate
+    total = sum(r["count"] for r in splits)
+    assert total == 20_000_000
+    return (f"hash sample 20M rows: {dt1:.1f}s (rate {rate:.4f}); "
+            f"3-way split: {dt2:.1f}s")
+
+
+def probe_interval(spark):
+    """5M events against 50k bursty intervals via bucketed range join."""
+    from gads_etl_spark.operators.temporal import interval_join
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    events = spark.range(5_000_000).select(
+        F.col("id").alias("event_id"),
+        (base + F.make_interval(secs=(F.col("id") % 8_640_000).cast("double") / 3.333)).alias("ts"),
+    )
+    # 50k intervals of ~10 min scattered over the month
+    intervals = spark.range(50_000).select(
+        (base + F.make_interval(secs=((F.col("id") * 51.84) % 2_592_000))).alias("start_ts"),
+    ).withColumn("end_ts", F.col("start_ts") + F.make_interval(mins=F.lit(10.0)))
+    t0 = time.perf_counter()
+    out = interval_join(events, intervals)
+    n = out.count()
+    dt = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    return f"interval_join 5M events × 50k intervals: {dt:.1f}s, {n} hits, no cartesian"
+
+
+def probe_packing(spark):
+    """Pack 10M docs into token bins across 1000 groups."""
+    from gads_etl_spark.operators.sampling import pack_sequences
+
+    docs = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 1000).cast("string").alias("grp"),
+        ((F.col("id") * 37) % 900 + 100).alias("n_tokens"),
+    )
+    t0 = time.perf_counter()
+    out = pack_sequences(docs, "n_tokens", budget=8192,
+                         partition_col="grp", order_col="doc_id")
+    n_bins = out.select("grp", "bin_id").distinct().count()
+    dt = time.perf_counter() - t0
+    return f"pack_sequences 10M docs / 1000 groups: {dt:.1f}s, {n_bins} bins"
+
+
+PROBES = {
+    "asof": probe_asof,
+    "components": probe_components,
+    "sampling": probe_sampling,
+    "interval": probe_interval,
+    "packing": probe_packing,
+}
+
+
+def main() -> int:
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    names = sys.argv[1:] or list(PROBES)
+    for name in names:
+        print(PROBES[name](spark), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
