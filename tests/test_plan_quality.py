@@ -122,3 +122,47 @@ class TestControlTablePlans:
 def _quiet(spark):
     spark.sparkContext.setLogLevel("ERROR")
     yield
+
+
+class TestRound3Plans:
+    def test_q21_plans_semi_and_anti(self, spark):
+        # EXISTS → left-semi, NOT EXISTS → left-anti, both as joins
+        # (never a correlated re-scan per row).
+        plan = _formatted_plan(spark, "q21_waiting_suppliers")
+        assert "LeftSemi" in plan, plan
+        assert "LeftAnti" in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_q02_extremum_is_window_not_selfjoin(self, spark):
+        # The correlated-min resolves as one window over the aggregate;
+        # the only joins are the dimension decorations (3 of them).
+        plan = _formatted_plan(spark, "q02_min_cost_supplier")
+        assert "Window" in plan, plan
+        # Count physical join *nodes* (detail headers), not mentions.
+        assert len(re.findall(r"\(\d+\) \w*Join", plan)) <= 3, plan
+
+    def test_asof_attribution_no_nested_loop(self, spark):
+        plan = _formatted_plan(spark, "ev_asof_attribution")
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
+
+    def test_interval_join_is_equi_on_bucket(self, spark):
+        # The range predicate must ride an equi-join (hash/merge), never
+        # a nested loop over events × intervals.
+        plan = _formatted_plan(spark, "ev_error_bursts")
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan
+
+    def test_hash_sample_filter_reaches_scan_stage(self, spark):
+        # The sampling predicate sits directly on the scan (no shuffle
+        # below it); the only Exchange is the final presentation sort.
+        plan = _formatted_plan(spark, "ext_hash_sample")
+        assert re.search(r"Filter \(\d+\)\s*\n\s*\+- Scan parquet", plan), plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
+    def test_nearest_centroid_broadcasts_bounded_side(self, spark):
+        # The centroid table (|classes| × dim) broadcasts; the corpus
+        # side must not shuffle for the scoring join.
+        plan = _formatted_plan(spark, "ext_nearest_centroid")
+        assert "BroadcastExchange" in plan, plan

@@ -96,3 +96,43 @@ class TestRunIdProperty:
         ms = [t.replace(microsecond=(t.microsecond // 1000) * 1000) for t in times]
         ids = [new_run_id(t) for t in ms]
         assert sorted(ids) == [new_run_id(t) for t in sorted(ms)]
+
+
+class TestAsofJoinProperty:
+    @SLOW
+    @given(
+        left=st.lists(st.tuples(KEYS, st.integers(0, 50)), min_size=1, max_size=15),
+        right=st.lists(st.tuples(KEYS, st.integers(0, 50), VALS), max_size=15),
+    )
+    def test_matches_quadratic_model(self, spark, left, right):
+        """asof_join == the O(n²) definition: for each left row, the right
+        row with max ts ≤ left.ts on the same key (None if no such row),
+        for any key/timestamp multiset including ties."""
+        import datetime as dt
+
+        from gads_etl_spark.operators.temporal import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        # Dedup right to one row per (key, ts) — the documented contract
+        # (pre-aggregate the right side), keeping the max payload.
+        rdict = {}
+        for k, ts, v in right:
+            rdict[(k, ts)] = max(v, rdict.get((k, ts), v))
+        rrows = [(k, base + dt.timedelta(seconds=ts), v)
+                 for (k, ts), v in rdict.items()]
+        lrows = [(i, k, base + dt.timedelta(seconds=ts))
+                 for i, (k, ts) in enumerate(left)]
+
+        ldf = spark.createDataFrame(lrows, "row_id long, user_id int, ts timestamp")
+        rdf = spark.createDataFrame(rrows, "user_id int, ts timestamp, v long") \
+            if rrows else spark.createDataFrame([], "user_id int, ts timestamp, v long")
+
+        got = {r["row_id"]: (r["r_ts"], r["r_v"])
+               for r in asof_join(ldf, rdf, on="user_id").collect()}
+
+        for row_id, k, lts in lrows:
+            cands = [(ts, v) for (kk, ts2), v in rdict.items()
+                     for ts in [base + dt.timedelta(seconds=ts2)]
+                     if kk == k and ts <= lts]
+            expect = max(cands) if cands else (None, None)
+            assert got[row_id] == expect, (row_id, got[row_id], expect)
