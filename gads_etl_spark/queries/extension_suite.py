@@ -944,3 +944,120 @@ def ext_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "ext_chunk_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(generate_series(1, len(t), 20)) AS start, t
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 20 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, start, start + 29)) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, start, start + 29), ' ') AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("extension", "text", "chunking"),
+)
+def ext_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token windows (size 30, stride
+    20) — context-window chunking for embedding/training.
+
+    A 1-to-N fan-out done entirely with JVM array functions: sequence of
+    chunk starts → explode → slice. No shuffle at all until a downstream
+    op needs one; at 100 TB this is a pure map stage whose output feeds
+    the embedding/packing steps.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = D.tokens(F.col("text"))
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", "t",
+                F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(20))).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / 20).cast("bigint").alias("chunk_idx"),
+            F.size(F.slice(F.col("t"), F.col("start"), 30)).cast("bigint")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("start"), 30))
+            .alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@register(
+    "ext_curation_pipeline",
+    oracle="""
+    WITH dedup AS (
+        SELECT doc_id, lang, source, text FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    quality AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM dedup
+        WHERE len(string_split(text, ' ')) >= 30
+    ),
+    split AS (
+        SELECT *,
+               CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                    WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM quality
+    ),
+    sampled AS (
+        SELECT * FROM split
+        WHERE split <> 'train'
+           OR substring(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+    )
+    SELECT s.doc_id, s.lang, s.source, s.n_tokens, s.split,
+           (e.vec_id IS NOT NULL) AS has_embedding
+    FROM sampled s LEFT JOIN embeddings e ON e.vec_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+    tags=("extension", "pipeline", "composite"),
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one declarative plan: exact dedup →
+    length filter → split assignment → 75% downsample of train →
+    embedding-coverage join.
+
+    The point is composition: each stage is the already-tested operator,
+    and because everything stays declarative Catalyst fuses the dedup
+    window, filters, and hash predicates into a handful of stages — the
+    scans prune to referenced columns and the only shuffles are the dedup
+    hash and the final join. This is the query a user actually ships.
+    """
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    deduped = D.exact_dedup(docs)
+    quality = (
+        deduped.withColumn("n_tokens", F.size(D.tokens(F.col("text"))).cast("bigint"))
+        .where(F.col("n_tokens") >= 30)
+    )
+    split = SA.train_val_test_split(quality, "doc_id", train=0.8, val=0.1)
+    sampled = split.where(
+        (F.col("split") != "train")
+        | (F.substring(F.md5(F.concat(F.lit("sample"), F.col("doc_id").cast("string"))),
+                       1, 4) < F.lit("c000"))
+    )
+    return (
+        sampled.join(emb, sampled.doc_id == emb.vec_id, "left")
+        .select("doc_id", "lang", "source", "n_tokens", "split",
+                F.col("vec_id").isNotNull().alias("has_embedding"))
+        .orderBy("doc_id")
+    )
