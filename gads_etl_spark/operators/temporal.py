@@ -31,6 +31,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     prefix: str = "r_",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row gets the right row with the
     largest ``right_ts <= left_ts`` for the same ``on`` key (ties allowed
@@ -42,7 +43,10 @@ def asof_join(
     equal timestamps so an exactly-simultaneous right row matches.
 
     Unmatched left rows keep NULL payload columns (left-outer semantics).
-    Right value columns appear as ``{prefix}{col}``.
+    Right value columns appear as ``{prefix}{col}``. With ``tolerance``
+    (an INTERVAL string, e.g. ``'1 hour'``), matches staler than
+    ``left_ts - tolerance`` are nulled out — same cost, the bound applies
+    as a post-fill filter.
     """
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(F.col(right_ts).alias(right_ts),
@@ -68,6 +72,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = tagged.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        fresh = F.col(f"_match.{right_ts}") >= (
+            F.col("_ev_ts") - F.expr(f"INTERVAL {tolerance}")
+        )
+        filled = filled.withColumn(
+            "_match", F.when(fresh, F.col("_match")).otherwise(F.lit(None))
+        )
     out = filled.where(F.col("_side") == 1).select(
         F.col(on),
         *[F.col(c) for c in left.columns if c != on],

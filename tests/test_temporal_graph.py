@@ -126,3 +126,46 @@ class TestConnectedComponents:
         kept = sorted(r["doc_id"]
                       for r in cluster_survivors(docs, comps).collect())
         assert kept == [1, 7]  # cluster canonical + untouched singleton
+
+
+class TestEdgeCases:
+    def test_asof_tolerance_nulls_stale_matches(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 12:00:00"), "recent"),
+             (2, _ts("2024-01-01 12:00:00"), "stale")],
+            "user_id long, ts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, _ts("2024-01-01 11:30:00"), 1.0),    # 30 min old — keeps
+             (2, _ts("2024-01-01 09:00:00"), 2.0)],   # 3 h old — nulled
+            "user_id long, ts timestamp, v double",
+        )
+        out = {r["tag"]: r for r in
+               asof_join(left, right, on="user_id", tolerance="1 hour").collect()}
+        assert out["recent"]["r_v"] == 1.0
+        assert out["stale"]["r_v"] is None and out["stale"]["r_ts"] is None
+
+    def test_asof_empty_right(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"), "a")],
+            "user_id long, ts timestamp, tag string")
+        right = spark.createDataFrame([], "user_id long, ts timestamp, v double")
+        rows = asof_join(left, right, on="user_id").collect()
+        assert len(rows) == 1 and rows[0]["r_v"] is None
+
+    def test_interval_join_no_intervals(self, spark):
+        events = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"))], "event_id long, ts timestamp")
+        intervals = spark.createDataFrame(
+            [], "start_ts timestamp, end_ts timestamp, name string")
+        assert interval_join(events, intervals).count() == 0
+
+    def test_components_empty_edges(self, spark):
+        edges = spark.createDataFrame([], "src long, dst long")
+        assert connected_components(edges).count() == 0
+
+    def test_components_self_loop(self, spark):
+        edges = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+        comp = {r["node"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert comp[5] == 5 and comp[1] == comp[2] == 1
