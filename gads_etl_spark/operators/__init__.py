@@ -24,8 +24,31 @@ from gads_etl_spark.operators.multimodal import (  # noqa: F401
     as_binary_payload,
     decode_features,
 )
+from gads_etl_spark.operators.graph import (  # noqa: F401
+    cluster_survivors,
+    connected_components,
+)
+from gads_etl_spark.operators.layout import (  # noqa: F401
+    write_bucketed,
+    write_range_layout,
+)
+from gads_etl_spark.operators.rollup import (  # noqa: F401
+    hourly_rollup,
+    merge_additive,
+    refresh_buckets,
+)
+from gads_etl_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    pack_sequences,
+    stratified_hash_sample,
+    train_val_test_split,
+)
 from gads_etl_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     lsh_topk,
     random_hyperplanes,
+)
+from gads_etl_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    interval_join,
 )
