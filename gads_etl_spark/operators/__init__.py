@@ -43,6 +43,12 @@ from gads_etl_spark.operators.sampling import (  # noqa: F401
     stratified_hash_sample,
     train_val_test_split,
 )
+from gads_etl_spark.operators.quality import (  # noqa: F401
+    mix_to_budget,
+    ngram_contamination,
+    redact_pii,
+    repetition_stats,
+)
 from gads_etl_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     lsh_topk,

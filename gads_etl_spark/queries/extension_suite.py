@@ -1061,3 +1061,232 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").isNotNull().alias("has_embedding"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality: PII redaction, decontamination, repetition, domain mixing
+# ---------------------------------------------------------------------------
+
+_GRAM4 = " || ' ' || ".join(f"string_split(text, ' ')[i+{j}]" for j in range(4))
+
+
+@register(
+    "ext_pii_redact",
+    oracle="""
+    WITH injected AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+               AS text
+        FROM documents
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS clean_text
+        FROM injected
+    )
+    SELECT doc_id, clean_text,
+           CAST((len(clean_text) - len(replace(clean_text, '[EMAIL]', ''))) / 7 AS BIGINT) AS n_email,
+           CAST((len(clean_text) - len(replace(clean_text, '[PHONE]', ''))) / 7 AS BIGINT) AS n_phone,
+           CAST((len(clean_text) - len(replace(clean_text, '[SSN]', ''))) / 5 AS BIGINT) AS n_ssn,
+           CAST((len(clean_text) - len(replace(clean_text, '[IP]', ''))) / 4 AS BIGINT) AS n_ip,
+           ((len(clean_text) - len(replace(clean_text, '[EMAIL]', ''))) / 7
+            + (len(clean_text) - len(replace(clean_text, '[PHONE]', ''))) / 7
+            + (len(clean_text) - len(replace(clean_text, '[SSN]', ''))) / 5
+            + (len(clean_text) - len(replace(clean_text, '[IP]', ''))) / 4) > 0 AS pii_found
+    FROM red
+    """,
+    tags=("extension", "quality"),
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub emails/phones/SSNs/IPv4s to typed placeholders.
+
+    The fixture text is PII-free word salad, so the query first injects
+    deterministic synthetic PII keyed off doc_id (so the redactor is
+    actually exercised, and the oracle can state the same injection), then
+    runs the ordered regexp_replace chain from operators.quality. Pure
+    per-row codegen'd expression work — the pass streams over any corpus
+    size with zero shuffle.
+    """
+    from gads_etl_spark.operators import quality as Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" reach user"), did.cast("string"),
+                F.lit("@mail.example.com now"))).otherwise(""),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+            F.when(did % 13 == 0, F.lit(" ssn 123-45-6789")).otherwise(""),
+            F.when(did % 17 == 0, F.concat(
+                F.lit(" host 10.0."), (did % 256).cast("string"),
+                F.lit("."), ((did * 7) % 256).cast("string"))).otherwise(""),
+        ),
+    )
+    return Q.redact_pii(injected).select(
+        "doc_id", "clean_text", "n_email", "n_phone", "n_ssn", "n_ip", "pii_found"
+    )
+
+
+@register(
+    "ext_decontaminate",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 3, 0)),
+                   i -> {_GRAM4}
+               )) AS grams
+        FROM documents
+    ),
+    e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+    t AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_overlap
+    FROM t JOIN e USING (gram)
+    GROUP BY t.doc_id
+    """,
+    tags=("extension", "quality", "join"),
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 4-gram
+    with the eval set (here: every 97th doc stands in for the benchmark;
+    4 because the fixture salad only repeats short windows — production
+    decontamination uses 8-13-gram windows, same plan).
+
+    Scale shape: the eval side's distinct hashed n-grams BROADCAST (eval
+    suites are bounded); the 100 TB train side is never shuffled — each
+    scan task probes the broadcast set and only matches reach the tiny
+    per-doc aggregation. Matches land on exact duplicates and any salad
+    that happens to repeat an 8-token window.
+    """
+    from gads_etl_spark.operators import quality as Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return Q.ngram_contamination(train, eval_df, n=4)
+
+
+@register(
+    "ext_repetition_filter",
+    oracle="""
+    WITH raw2 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+                   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+               )) AS gram
+        FROM documents
+    ),
+    per_gram AS (SELECT doc_id, gram, count(*) AS c FROM raw2 GROUP BY doc_id, gram),
+    per_doc AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+               CAST(max(c) AS BIGINT) AS top_2gram_count
+        FROM per_gram GROUP BY doc_id
+    ),
+    base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(p.n_2grams, 0) AS n_2grams,
+           coalesce(p.top_2gram_count, 0) AS top_2gram_count,
+           1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS dup_word_frac,
+           CAST(coalesce(p.top_2gram_count, 0) AS DOUBLE)
+             / nullif(coalesce(p.n_2grams, 0), 0) AS top_2gram_frac,
+           (1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens) > 0.72
+             OR (CAST(coalesce(p.top_2gram_count, 0) AS DOUBLE)
+                 / nullif(coalesce(p.n_2grams, 0), 0)) > 0.05 AS is_repetitive
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("extension", "quality"),
+)
+def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction and the
+    share of 2-gram mass taken by the most frequent 2-gram, plus the
+    filter verdict. Explode + two-level aggregation (map-side combine on
+    (doc_id, gram)) — the scale shape; no per-row O(d^2) scans.
+    """
+    from gads_etl_spark.operators import quality as Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = Q.repetition_stats(docs)
+    return stats.withColumn(
+        "is_repetitive",
+        (F.col("dup_word_frac") > 0.72) | (F.col("top_2gram_frac") > 0.05),
+    )
+
+
+@register(
+    "ext_domain_mix",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS nt FROM documents
+    ),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS total_tokens FROM tok),
+    strata AS (
+        SELECT source, CAST(sum(nt) AS BIGINT) AS stratum_tokens
+        FROM tok GROUP BY source
+    ),
+    rates AS (
+        SELECT source, stratum_tokens,
+               CAST(least(1000000, floor(
+                   (CASE source WHEN 'src0' THEN 300000 WHEN 'src1' THEN 200000
+                                WHEN 'src2' THEN 100000 WHEN 'src3' THEN 100000
+                                ELSE 25000 END)
+                   * floor(total_tokens * 30 / 100) / stratum_tokens)) AS BIGINT)
+               AS rate_micro
+        FROM strata, tot
+    ),
+    kept AS (
+        SELECT t.doc_id, t.source, t.nt, r.stratum_tokens, r.rate_micro
+        FROM tok t JOIN rates r USING (source)
+        WHERE substring(md5('mix' || CAST(t.doc_id AS VARCHAR)), 1, 4)
+              < CASE WHEN r.rate_micro >= 1000000 THEN 'g'
+                     ELSE printf('%04x', CAST(floor(r.rate_micro * 65536 / 1000000) AS BIGINT)) END
+    )
+    SELECT source, stratum_tokens, rate_micro,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source, stratum_tokens, rate_micro
+    """,
+    tags=("extension", "quality", "sampling"),
+)
+def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained domain mixing: resample the corpus so each
+    source contributes its target share of a 30%-of-corpus token budget.
+
+    Per-source keep rates come from ONE aggregation (integer micro-unit
+    arithmetic, so both engines agree bit-for-bit), broadcast back onto
+    the corpus; the keep decision is the shuffle-free md5-prefix
+    threshold. Reports the per-source mix actually achieved.
+    """
+    from gads_etl_spark.operators import quality as Q
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = Q.mix_to_budget(
+        docs,
+        weights_micro={"src0": 300_000, "src1": 200_000,
+                       "src2": 100_000, "src3": 100_000},
+        budget_pct=30,
+        default_weight_micro=25_000,
+    )
+    return kept.groupBy("source", "stratum_tokens", "rate_micro").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.size(D.tokens(F.col("text"))).cast("long")).alias("tokens_kept"),
+    )
