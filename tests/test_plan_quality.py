@@ -166,3 +166,23 @@ class TestRound3Plans:
         # side must not shuffle for the scoring join.
         plan = _formatted_plan(spark, "ext_nearest_centroid")
         assert "BroadcastExchange" in plan, plan
+
+    def test_pii_redact_is_shuffle_free(self, spark):
+        # Redaction is per-row expression work: no Exchange anywhere.
+        plan = _formatted_plan(spark, "ext_pii_redact")
+        assert "Exchange" not in plan, plan
+        assert "* Project" in plan  # '*' = inside whole-stage codegen
+
+    def test_decontaminate_broadcasts_eval_grams(self, spark):
+        # The bounded eval n-gram set broadcasts; the train corpus must
+        # not shuffle to meet it (the only shuffle is the tiny per-doc
+        # overlap aggregation after the join).
+        plan = _formatted_plan(spark, "ext_decontaminate")
+        assert "BroadcastExchange" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_domain_mix_broadcasts_rates(self, spark):
+        # The per-source rates table (bounded by #domains) broadcasts
+        # back onto the corpus — the corpus never shuffles for the join.
+        plan = _formatted_plan(spark, "ext_domain_mix")
+        assert "BroadcastExchange" in plan, plan
