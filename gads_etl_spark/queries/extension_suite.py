@@ -1290,3 +1290,67 @@ def ext_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.sum(F.size(D.tokens(F.col("text"))).cast("long")).alias("tokens_kept"),
     )
+
+
+@register(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                 AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, embedding, scale,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS scale6,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max,
+           round(
+             list_reduce(list_transform(generate_series(1, 64),
+                         i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                         (acc, x) -> acc + x)
+             / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                         (acc, x) -> acc + x))
+                * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                         (acc, x) -> acc + x))), 6) AS cos_fid
+    FROM q
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with per-vector fidelity report.
+
+    Emits the quantization summary (scale, int8 value bounds/sum — which
+    pin every quantized component through the sum) and the cosine between
+    each original vector and its quantized form (≈1.0: int8 is enough for
+    cosine ANN). The storage story is the point: 4 bytes/dim → 1, so the
+    100 TB ANN corpus broadcast/shuffle volume drops 4×.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = S.quantize_int8(emb)
+    v = F.col("embedding").cast("array<double>")
+    qd = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, qd, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nq = F.sqrt(F.aggregate(F.zip_with(qd, qd, lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return quant.select(
+        "vec_id", "label",
+        F.round(F.col("q_scale"), 6).alias("scale6"),
+        F.aggregate("q_vec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+        F.array_min("q_vec").cast("long").alias("q_min"),
+        F.array_max("q_vec").cast("long").alias("q_max"),
+        F.round(dot / (nv * nq), 6).alias("cos_fid"),
+    )

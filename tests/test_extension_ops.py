@@ -169,3 +169,48 @@ class TestMultimodal:
         out = MM.decode_features(payloads)
         assert out.rdd.getNumPartitions() == 4
         assert out.count() == docs.count()
+
+
+class TestInt8Quantization:
+    def test_bounds_and_fidelity(self, emb):
+        q = S.quantize_int8(emb)
+        rows = q.select(
+            F.array_min("q_vec").alias("lo"), F.array_max("q_vec").alias("hi"),
+            F.col("q_scale"),
+        ).collect()
+        assert all(-127 <= r.lo and r.hi <= 127 for r in rows)
+        assert all(r.q_scale > 0 for r in rows)
+        # Every vector hits the ±127 envelope somewhere (scale = max/127).
+        assert all(max(abs(r.lo), abs(r.hi)) == 127 for r in rows)
+
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        r = S.quantize_int8(df).collect()[0]
+        assert list(r.q_vec) == [0] * 8
+        assert r.q_scale == 0.0
+
+    def test_quantized_topk_recall(self, emb):
+        # Brute-force top-5 on dequantized int8 vectors recovers almost
+        # all exact-float neighbours — the memory/recall trade the scale
+        # path relies on.
+        corpus, queries = emb.where(F.col("vec_id") >= 10), emb.where(F.col("vec_id") < 10)
+        deq = (
+            S.quantize_int8(corpus)
+            .select(
+                "vec_id",
+                F.transform("q_vec", lambda x: (x.cast("double") * F.col("q_scale")).cast("float"))
+                .alias("embedding"),
+            )
+        )
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        approx = S.cosine_topk_bruteforce(deq, queries, k=5).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.9, f"int8 recall {hits}/{total} too low"
