@@ -339,3 +339,38 @@ def ev_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = R.hourly_rollup(ev.where(F.col("ts") < cutoff))
     merged = R.merge_additive(prior, ev.where(F.col("ts") >= cutoff))
     return merged.orderBy("bucket_start", "event_type")
+
+
+@register(
+    "ev_view_purchase_attribution",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts,
+           p.value AS amount
+    FROM events p
+    JOIN events v
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("events", "streaming", "join"),
+)
+def ev_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: every purchase joined to the same
+    user's views in the preceding 30 minutes — the SAME function that
+    runs as a watermarked stream-stream join in streaming/jobs.py,
+    executed here in batch mode (one API, both execution modes; stream ==
+    batch is asserted in tests/test_streaming.py). The time-bound
+    predicate is what makes the streaming form's state finite.
+    """
+    from gads_etl_spark.streaming.jobs import stream_stream_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    out = stream_stream_attribution(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    return out.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts",
+        "view_id", "view_ts", "amount",
+    )

@@ -177,3 +177,44 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame,
     shape for decorating events with slowly-changing reference data.
     """
     return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: attribute each purchase to the
+    same user's preceding view within ``window``.
+
+    Both sides carry watermarks and the join predicate bounds purchase
+    time to [view.ts, view.ts + window], so Spark can size state: a
+    buffered view is dropped once the purchase-side watermark passes
+    view.ts + window — without the time bound the state grows forever
+    (the stream-stream trap). Inner join: emitted as soon as both sides
+    arrive; late rows beyond the watermark are dropped on ingestion.
+    """
+    v = (
+        views.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
+    ).select("p_user", "purchase_id", "purchase_ts", "view_id", "view_ts", "amount")

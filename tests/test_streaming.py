@@ -176,3 +176,57 @@ class TestStreamStaticJoin:
                           for r in stream_static_enrich(batch_df, dim).collect())
         assert got == expected and len(got) == 6
         assert all(c in ("engagement", "impression") for _, c in got)
+
+
+class TestStreamStreamJoin:
+    def test_stream_equals_batch_attribution(self, spark, tmp_path):
+        import json as _json
+
+        from gads_etl_spark.streaming.jobs import stream_stream_attribution
+
+        rows = [
+            # view then purchase inside 30min → attributed
+            (10, "2024-01-01 00:05:00", 1, "view", 0.0),
+            (11, "2024-01-01 00:20:00", 1, "purchase", 9.99),
+            # purchase 40min after the view → outside the bound
+            (12, "2024-01-01 01:00:00", 2, "view", 0.0),
+            (13, "2024-01-01 01:40:00", 2, "purchase", 5.00),
+            # different users, same timing → never joined
+            (14, "2024-01-01 02:00:00", 3, "view", 0.0),
+            (15, "2024-01-01 02:10:00", 4, "purchase", 1.00),
+            # two views before one purchase → both attributions emit
+            (16, "2024-01-01 03:00:00", 5, "view", 0.0),
+            (17, "2024-01-01 03:10:00", 5, "view", 0.0),
+            (18, "2024-01-01 03:20:00", 5, "purchase", 2.50),
+        ]
+        src = tmp_path / "ss-src"
+        src.mkdir()
+        # Two micro-batch files split mid-pair: the join must buffer the
+        # 03:00 views until the purchase arrives in the next batch.
+        for i, batch in enumerate([rows[:7], rows[7:]]):
+            with open(src / f"b{i}.json", "w") as f:
+                for e in batch:
+                    f.write(_json.dumps({
+                        "event_id": e[0], "ts": e[1], "user_id": e[2],
+                        "event_type": e[3], "value": e[4], "props": "{}",
+                    }) + "\n")
+
+        stream = read_events_stream(spark, str(src))
+        joined = stream_stream_attribution(
+            stream.where(F.col("event_type") == "view"),
+            stream.where(F.col("event_type") == "purchase"),
+        )
+        _run_stream(joined, "ss_attr", "append")
+        got = sorted(
+            (r.purchase_id, r.view_id)
+            for r in spark.table("ss_attr").collect()
+        )
+        # Batch oracle: same join in plain batch mode.
+        batch = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+        expected_df = stream_stream_attribution(
+            batch.where(F.col("event_type") == "view"),
+            batch.where(F.col("event_type") == "purchase"),
+        )
+        expected = sorted((r.purchase_id, r.view_id) for r in expected_df.collect())
+        assert got == expected
+        assert got == [(11, 10), (18, 16), (18, 17)]
