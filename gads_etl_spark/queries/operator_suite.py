@@ -493,3 +493,41 @@ def op_math_case_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_quantity"), F.lit(25)).cast("double").alias("qty_capped"),
         F.greatest(F.col("l_linenumber"), F.lit(3)).cast("long").alias("line_floor"),
     )
+
+
+@register(
+    "op_unpivot_flag_metrics",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_orders', n_orders FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'n_suppliers', n_suppliers FROM agg
+    """,
+    tags=("operator", "unpivot"),
+)
+def op_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-returnflag metrics to long (flag, metric,
+    value) — the inverse of op_pivot_status. `DataFrame.unpivot` plans as
+    an Expand node: each input row fans out JVM-side, no shuffle beyond
+    the aggregation that built the wide table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["n_items", "n_orders", "n_suppliers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
