@@ -148,6 +148,61 @@ def probe_skew(spark):
             f"AQE-skew {dt_plain:.1f}s vs salted {dt_salt:.1f}s, equal results")
 
 
+def _synth_docs(spark, n, vocab=1000, doc_len=50):
+    """n synthetic docs: deterministic pseudo-random token sequences,
+    built JVM-side (no Python row generation)."""
+    word = lambda j: F.concat(  # noqa: E731
+        F.lit("w"), ((F.xxhash64(F.col("id"), F.lit(j)) % vocab + vocab) % vocab).cast("string")
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 20).cast("string")).alias("source"),
+        F.concat_ws(" ", *[word(j) for j in range(doc_len)]).alias("text"),
+    )
+
+
+def probe_quality(spark):
+    """Corpus-quality passes at millions-of-docs scale: redaction (pure
+    scan), decontamination (broadcast probe), repetition stats (two-level
+    agg), domain mixing (one agg + broadcast rates)."""
+    from gads_etl_spark.operators.quality import (
+        mix_to_budget, ngram_contamination, redact_pii, repetition_stats,
+    )
+
+    docs = _synth_docs(spark, 2_000_000).localCheckpoint()
+
+    t0 = time.perf_counter()
+    n_red = redact_pii(docs).where(~F.col("pii_found")).count()
+    dt_red = time.perf_counter() - t0
+    assert n_red == 2_000_000  # synthetic tokens contain no PII shapes
+
+    eval_df = _synth_docs(spark, 10_000).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "source", "text")
+    t0 = time.perf_counter()
+    out = ngram_contamination(docs, eval_df, n=8)
+    n_cont = out.count()
+    dt_cont = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan  # train side must not shuffle to join
+
+    t0 = time.perf_counter()
+    n_rep = repetition_stats(docs).where(F.col("dup_word_frac") > 0.5).count()
+    dt_rep = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_mix = mix_to_budget(
+        docs, weights_micro={"s0": 300_000, "s1": 200_000},
+        budget_pct=30, default_weight_micro=25_000,
+    ).count()
+    dt_mix = time.perf_counter() - t0
+    assert 0 < n_mix < 2_000_000
+
+    return (f"quality passes over 2M docs (50 tokens each): "
+            f"redact {dt_red:.1f}s | decontaminate-vs-10k-evals {dt_cont:.1f}s "
+            f"({n_cont} hits, broadcast probe) | repetition {dt_rep:.1f}s "
+            f"({n_rep} flagged) | domain-mix {dt_mix:.1f}s ({n_mix} kept)")
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -155,6 +210,7 @@ PROBES = {
     "interval": probe_interval,
     "packing": probe_packing,
     "skew": probe_skew,
+    "quality": probe_quality,
 }
 
 
