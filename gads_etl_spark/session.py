@@ -27,6 +27,9 @@ _SCALE_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
+    # Let Python DataSource connectors (sources/ads_source.py) receive
+    # pushed filters for partition pruning.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",

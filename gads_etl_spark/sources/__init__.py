@@ -1,0 +1,10 @@
+"""Custom Spark data sources (Python DataSource API, Spark 4).
+
+The fixture-parquet catalog (gads_etl_spark.catalog) covers the
+correctness harness; this package holds the *connector* surface — the
+Spark-native replacement for the reference's per-customer API client
+loop (one InputPartition per customer×day, filter-pushdown partition
+pruning).
+"""
+
+from gads_etl_spark.sources.ads_source import AdsFixtureDataSource  # noqa: F401
