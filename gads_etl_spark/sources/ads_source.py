@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -137,6 +138,50 @@ class AdsFixtureReader(DataSourceReader):
             yield from page
 
 
+class AdsFixtureStreamReader(SimpleDataSourceStreamReader):
+    """Incremental daily ingest: each micro-batch pulls the next day for
+    every customer — the streaming form of the reference's daily
+    catch-up loop (`cli.py` daily/catch-up planning), with the offset
+    (the last ingested day) checkpointed by Spark instead of hand-rolled
+    state. ``end_date`` bounds the replay so ``availableNow`` triggers
+    terminate; omit it for a live tail.
+    """
+
+    def __init__(self, options: dict):
+        self.customers = [c.strip() for c in options.get("customers", "").split(",") if c.strip()]
+        if not self.customers:
+            raise ValueError("gads_fixture: 'customers' option is required")
+        self.start = options.get("start_date", "2024-01-01")
+        self.end = options.get("end_date", "2024-01-07")
+        self.rows_per_day = int(options.get("rows_per_day", "120"))
+
+    def initialOffset(self) -> dict:
+        return {"next_day": self.start}
+
+    def _rows_between(self, start_day: str, end_day: str) -> Iterator[tuple]:
+        d = date.fromisoformat(start_day)
+        stop = date.fromisoformat(end_day)
+        while d < stop:
+            for c in self.customers:
+                yield from _rows_for(c, d.isoformat(), self.rows_per_day)
+            d += timedelta(days=1)
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        day = start["next_day"]
+        if day > self.end:
+            return iter([]), start  # caught up — no new offset
+        nxt = (date.fromisoformat(day) + timedelta(days=1)).isoformat()
+        # iter(list): Spark's prefetch wrapper needs an iterator it can
+        # also copy.copy() for replay — a list-iterator is both; a bare
+        # generator is neither.
+        return iter(list(self._rows_between(day, nxt))), {"next_day": nxt}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # Deterministic replay for recovery: regenerate exactly the
+        # committed range (same contract a real API replay would need).
+        return self._rows_between(start["next_day"], end["next_day"])
+
+
 class AdsFixtureDataSource(DataSource):
     """``spark.read.format("gads_fixture")`` — see module docstring."""
 
@@ -149,3 +194,6 @@ class AdsFixtureDataSource(DataSource):
 
     def reader(self, schema: StructType) -> AdsFixtureReader:
         return AdsFixtureReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> AdsFixtureStreamReader:
+        return AdsFixtureStreamReader(self.options)

@@ -85,3 +85,70 @@ class TestAdsSource:
     def test_missing_customers_option_fails_fast(self, registered):
         with pytest.raises(Exception, match="customers"):
             registered.read.format("gads_fixture").load().count()
+
+
+class TestAdsSourceStreaming:
+    def test_one_day_per_microbatch_equals_batch(self, registered, tmp_path):
+        stream = (
+            registered.readStream.format("gads_fixture")
+            .option("customers", "111,222")
+            .option("start_date", "2024-01-01")
+            .option("end_date", "2024-01-03")
+            .option("rows_per_day", "40")
+            .load()
+        )
+        # Default micro-batch trigger (not availableNow: that snapshots
+        # the end offset at start, which for an incremental source is
+        # just the first prefetched day); processAllAvailable cycles
+        # until the reader reports no new offset.
+        q = (
+            stream.writeStream.format("memory").queryName("ads_ingest")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = registered.table("ads_ingest")
+        # 2 customers × 3 days × 40 rows, one day per micro-batch.
+        assert got.count() == 2 * 3 * 40
+        days = sorted(r.segments_date.isoformat()
+                      for r in got.select("segments_date").distinct().collect())
+        assert days == ["2024-01-01", "2024-01-02", "2024-01-03"]
+        # Stream rows == batch rows for the same window (shared transport).
+        batch = _read(registered, customers="111,222", rows_per_day=40,
+                      start_date="2024-01-01", end_date="2024-01-03")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    def test_restart_resumes_from_checkpoint(self, registered, tmp_path):
+        # File sink + checkpoint: the offset (last ingested day) lives in
+        # the checkpoint, so a restart with a wider window ingests ONLY
+        # the new days — no re-extraction, no duplicates.
+        ckpt = str(tmp_path / "ckpt2")
+        out = str(tmp_path / "ingested")
+
+        def run(end_date):
+            stream = (
+                registered.readStream.format("gads_fixture")
+                .option("customers", "111")
+                .option("start_date", "2024-01-01")
+                .option("end_date", end_date)
+                .option("rows_per_day", "10")
+                .load()
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("2024-01-02")   # ingests days 1-2
+        first = registered.read.parquet(out)
+        assert first.count() == 2 * 10
+        run("2024-01-04")   # restart: only days 3-4 are new
+        rows = registered.read.parquet(out).collect()
+        assert len(rows) == 4 * 10  # resumed, not re-ingested
+        days = sorted(set(r.segments_date.isoformat() for r in rows))
+        assert days == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
