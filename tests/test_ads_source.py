@@ -152,3 +152,64 @@ class TestAdsSourceStreaming:
         assert len(rows) == 4 * 10  # resumed, not re-ingested
         days = sorted(set(r.segments_date.isoformat() for r in rows))
         assert days == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+class TestConnectorToPipeline:
+    def test_connector_feeds_full_pipeline(self, registered, tmp_path):
+        """API connector → bulk extract → raw seal → validate → publish →
+        consumer read: the reference's whole daily flow with the source
+        swapped from parquet fixtures to the DataSource connector."""
+        from datetime import date
+
+        from gads_etl_spark.pipeline import (
+            PointerStore, RawZone, StateStore, WarehouseLoader,
+        )
+        from gads_etl_spark.pipeline.consumer import read_published
+        from gads_etl_spark.pipeline.extract import QueryDefinition, extract_day_bulk
+        from gads_etl_spark.pipeline.validator import validate_batch
+
+        day = date(2024, 3, 2)
+        source = (
+            registered.read.format("gads_fixture")
+            .option("customers", "901,902,903")
+            .option("start_date", "2024-03-01")
+            .option("end_date", "2024-03-03")
+            .option("rows_per_day", "25")
+            .load()
+            # The extractor adds its own customer_id layout column; keep
+            # the API's copy under its payload name (GAQL: customer.id).
+            .withColumnRenamed("customer_id", "api_customer_id")
+        )
+        qdef = QueryDefinition(
+            name="campaign_stats", entity="campaign",
+            date_column="segments_date",
+            fields=("campaign_id", "api_customer_id", "segments_date",
+                    "clicks", "cost_micros"),
+        )
+        raw = RawZone(registered, str(tmp_path / "raw"))
+        states = StateStore(registered, str(tmp_path / "state"))
+        pointers = PointerStore(registered, str(tmp_path / "ptr"))
+
+        metas = extract_day_bulk(
+            source, raw, qdef, customer_col="api_customer_id",
+            logical_date=day, run_id="run-api",
+        )
+        assert len(metas) == 3                      # one partition per customer
+        assert all(m["record_count"] == 25 for m in metas)  # one day's rows only
+
+        requests = registered.createDataFrame([
+            {"source": m["source"], "customer_id": m["customer_id"],
+             "query_name": m["query_name"], "logical_date": m["logical_date"],
+             "run_id": m["run_id"], "schema_version": m["schema_version"]}
+            for m in metas
+        ])
+        outcome = validate_batch(raw, states, requests)
+        assert outcome.where(F.col("status") == "success").count() == 3
+
+        plan = WarehouseLoader(states, pointers).run()
+        assert plan.counts()["load"] == 3
+        published = read_published(raw, pointers)
+        assert published.count() == 3 * 25
+        # Published rows carry provenance and only the extracted day.
+        assert set(r["__query_name"] for r in
+                   published.select("__query_name").distinct().collect()) == {"campaign_stats"}
