@@ -531,3 +531,84 @@ def op_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "op_full_outer_join",
+    oracle="""
+    WITH y96 AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    ),
+    y97 AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+    )
+    SELECT coalesce(y96.o_custkey, y97.o_custkey) AS custkey,
+           coalesce(y96.n_orders, 0) AS orders_1996,
+           coalesce(y97.n_orders, 0) AS orders_1997,
+           (y96.o_custkey IS NULL) AS new_in_1997,
+           (y97.o_custkey IS NULL) AS churned_after_1996
+    FROM y96 FULL OUTER JOIN y97 ON y96.o_custkey = y97.o_custkey
+    """,
+    tags=("operator", "join"),
+)
+def op_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN: year-over-year customer activity reconciliation —
+    present-one-side rows survive with null indicators (churn / new
+    flags). The only §2.3 join type not exercised elsewhere; planned as
+    a shuffle join (full outer cannot broadcast either side).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_counts(y):
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    a, b = year_counts(1996), year_counts(1997)
+    return (
+        a.alias("a").join(b.alias("b"), F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+        .select(
+            F.coalesce("a.o_custkey", "b.o_custkey").alias("custkey"),
+            F.coalesce("a.n_orders", F.lit(0)).alias("orders_1996"),
+            F.coalesce("b.n_orders", F.lit(0)).alias("orders_1997"),
+            F.col("a.o_custkey").isNull().alias("new_in_1997"),
+            F.col("b.o_custkey").isNull().alias("churned_after_1996"),
+        )
+    )
+
+
+@register(
+    "op_map_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment, year(o_orderdate)
+    """,
+    tags=("operator", "map"),
+)
+def op_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: per-segment yearly counts packed into a
+    map<year, n> (map_from_entries) and exploded back to rows — the
+    engine-side map machinery (build, carry through a shuffle, explode)
+    with a value-identical relational oracle. Maps are how sparse
+    per-entity feature bags travel in training pipelines without
+    exploding the schema.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_year = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    packed = per_year.groupBy("c_mktsegment").agg(
+        F.map_from_entries(F.collect_list(F.struct("yr", "n"))).alias("by_year")
+    )
+    return packed.select(
+        "c_mktsegment", F.explode("by_year").alias("yr", "n")
+    )
