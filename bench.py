@@ -41,6 +41,9 @@ EXTRA = [
     "ext_cluster_dedup",
     "ext_pack_bins",
     "q21_waiting_suppliers",
+    "ext_decontaminate",
+    "ext_domain_mix",
+    "ext_embedding_quantize",
 ]
 
 
