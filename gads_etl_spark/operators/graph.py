@@ -76,6 +76,20 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        # Pointer jumping (path halving): follow each node's label to
+        # ITS label and adopt the smaller — chains collapse
+        # exponentially, so convergence is O(log diameter) rounds
+        # instead of O(diameter). Safe because a label is always a
+        # reachable node id, so the jump target's label is reachable
+        # too and monotonicity (labels only decrease) is preserved.
+        parent = labels.select(F.col("node").alias("p_node"),
+                               F.col("component").alias("p_comp"))
+        labels = (
+            labels.join(parent, labels.component == parent.p_node, "left")
+            .select("node",
+                    F.least("component", F.coalesce("p_comp", "component"))
+                    .alias("component"))
+        )
         if checkpoint:
             labels = labels.localCheckpoint()
         # Min-label propagation is monotone: labels only decrease, so the

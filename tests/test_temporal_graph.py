@@ -99,6 +99,18 @@ class TestConnectedComponents:
                 for r in connected_components(edges).collect()}
         assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 6: 2}
 
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        # A single 2000-node chain has diameter 2000: plain min-label
+        # propagation could never converge within max_iter=25, but the
+        # pointer-jumping (path-halving) step collapses chains
+        # exponentially, so ~log2(2000) ~= 11 rounds suffice.
+        edges = spark.range(0, 1999, 1, 4).selectExpr(
+            "id AS src", "id + 1 AS dst")
+        comps = connected_components(edges, max_iter=25)
+        assert comps.select("component").distinct().count() == 1
+        assert comps.agg({"component": "max"}).collect()[0][0] == 0
+        assert comps.count() == 2000
+
     def test_separate_components_stay_separate(self, spark):
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
