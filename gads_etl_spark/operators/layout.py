@@ -74,5 +74,73 @@ def write_range_layout(
     )
 
 
+def zorder_code(a, b, bits: int = 16):
+    """Morton (Z-order) code: interleave the low ``bits`` of two
+    non-negative integer columns — bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. Pure JVM bit arithmetic (one expression tree,
+    codegen'd)."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i)).cast("long"))
+            + (F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long")
+               * F.lit(1 << (2 * i + 1)).cast("long"))
+        )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "errorifexists",
+) -> None:
+    """Persist ``df`` parquet clustered on the Z-order curve of TWO
+    columns — multi-dimensional file skipping.
+
+    Range layout gives perfect pruning on one column and none on any
+    other; the Morton curve's locality means each output file covers a
+    bounded rectangle in (a, b) space, so footer min/max stats prune
+    files for predicates on EITHER column (at ~sqrt efficiency each,
+    instead of 1.0/0.0). The right layout when two independent
+    predicates are both hot — e.g. (customer_id, date) lookups.
+
+    Columns are linearly scaled to ``bits``-bit grid cells from their
+    min/max (one tiny aggregation). Uniform-ish keys scale well; heavily
+    skewed keys should be rank-bucketized (approxQuantile) first.
+    """
+    from pyspark.sql import functions as F
+
+    lo_hi = df.agg(
+        F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
+    ).collect()[0]
+    cells = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        span = max(hi - lo, 1)
+        return F.floor(
+            (F.col(col).cast("double") - F.lit(float(lo))) * cells / span
+        ).cast("long")
+
+    z = zorder_code(scaled(col_a, lo_hi["a_lo"], lo_hi["a_hi"]),
+                    scaled(col_b, lo_hi["b_lo"], lo_hi["b_hi"]), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def table_exists(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table)

@@ -12,6 +12,7 @@ from gads_etl_spark.operators.layout import (
     table_exists,
     write_bucketed,
     write_range_layout,
+    write_zorder_layout,
 )
 
 
@@ -104,3 +105,63 @@ class TestRangeLayout:
         write_range_layout(df, path, "k", n_files=5)
         narrow = spark.read.parquet(path).where(F.col("k") < 100)
         assert narrow.count() == 100
+
+
+class TestZOrderLayout:
+    @staticmethod
+    def _file_spans(path, col_idx):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    def test_both_dimensions_bounded(self, spark, tmp_path):
+        # 256×256 uniform grid. Z-order files must cover a bounded
+        # rectangle in BOTH x and y; a 1-D range layout on x leaves y
+        # unbounded (full span in every file) — the control.
+        n = 256
+        df = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y"))
+        zpath, rpath = str(tmp_path / "zord"), str(tmp_path / "rng")
+        write_zorder_layout(df, zpath, "x", "y", n_files=16)
+        write_range_layout(df, rpath, "x", n_files=16)
+
+        x_idx, y_idx = 0, 1  # column order preserved by the writers
+        z_x = self._file_spans(zpath, x_idx)
+        z_y = self._file_spans(zpath, y_idx)
+        r_y = self._file_spans(rpath, y_idx)
+        full = n - 1
+        # Control: range-on-x files span all of y.
+        assert sum(r_y) / len(r_y) >= 0.95 * full
+        # Z-order: 16 files ≈ 4×4 quadrants → each file ≈ 1/4 span per
+        # dimension; allow slack for files straddling quadrant seams.
+        assert sum(z_x) / len(z_x) <= 0.6 * full, z_x
+        assert sum(z_y) / len(z_y) <= 0.6 * full, z_y
+
+    def test_rows_and_values_preserved(self, spark, tmp_path):
+        df = spark.range(10_000).select(
+            (F.col("id") % 100).alias("x"), (F.col("id") / 100).cast("long").alias("y"),
+            F.col("id").alias("payload"))
+        path = str(tmp_path / "z2")
+        write_zorder_layout(df, path, "x", "y", n_files=8)
+        got = spark.read.parquet(path)
+        assert got.count() == 10_000
+        assert got.agg(F.sum("payload")).collect()[0][0] == sum(range(10_000))
+
+    def test_zorder_code_interleaves(self, spark):
+        from gads_etl_spark.operators.layout import zorder_code
+
+        df = spark.createDataFrame([(3, 5)], "a long, b long").select(
+            zorder_code(F.col("a"), F.col("b"), bits=4).alias("z"))
+        # a=0b0011, b=0b0101 → z bits: b3 a3 b2 a2 b1 a1 b0 a0
+        #  = 0 0 1 0 0 1 1 1 = 0b00100111 = 39
+        assert df.collect()[0]["z"] == 39
