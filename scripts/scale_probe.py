@@ -62,6 +62,23 @@ def probe_components(spark):
     return f"connected_components 900k edges / 100k chains depth-10: {dt:.1f}s, {n_comps} components"
 
 
+def probe_deep_chain(spark):
+    """One 200k-node chain (diameter 200k): converges only because of
+    the pointer-jumping step — plain min-label would need 200k rounds."""
+    from gads_etl_spark.operators.graph import connected_components
+
+    edges = spark.range(200_000 - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    t0 = time.perf_counter()
+    comps = connected_components(edges, max_iter=40)
+    n_comps = comps.select("component").distinct().count()
+    dt = time.perf_counter() - t0
+    assert n_comps == 1, n_comps
+    return (f"connected_components single 200k-deep chain: {dt:.1f}s, "
+            f"1 component (pointer jumping: ~log2(200k)≈18 rounds, "
+            f"min-label alone would need 200k)")
+
+
 def probe_sampling(spark):
     """Deterministic sample + split over 20M ids."""
     from gads_etl_spark.operators.sampling import (
@@ -206,6 +223,7 @@ def probe_quality(spark):
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
+    "deep_chain": probe_deep_chain,
     "sampling": probe_sampling,
     "interval": probe_interval,
     "packing": probe_packing,
