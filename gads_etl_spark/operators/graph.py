@@ -66,7 +66,7 @@ def connected_components(
         return lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor = (
             e.join(labels, e.b == labels.node)
             .select(F.col("a").alias("node"), "component")
@@ -76,20 +76,25 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # Pointer jumping (path halving): follow each node's label to
-        # ITS label and adopt the smaller — chains collapse
-        # exponentially, so convergence is O(log diameter) rounds
-        # instead of O(diameter). Safe because a label is always a
-        # reachable node id, so the jump target's label is reachable
-        # too and monotonicity (labels only decrease) is preserved.
-        parent = labels.select(F.col("node").alias("p_node"),
-                               F.col("component").alias("p_comp"))
-        labels = (
-            labels.join(parent, labels.component == parent.p_node, "left")
-            .select("node",
-                    F.least("component", F.coalesce("p_comp", "component"))
-                    .alias("component"))
-        )
+        if i >= 2:
+            # Pointer jumping (path halving): follow each node's label
+            # to ITS label and adopt the smaller — chains collapse
+            # exponentially, so convergence is O(log diameter) rounds
+            # instead of O(diameter). Safe because a label is always a
+            # reachable node id, so the jump target's label is reachable
+            # too and monotonicity (labels only decrease) holds. Engaged
+            # only from round 3: shallow graphs (real near-dup clusters,
+            # diameter ≲ 4) converge before paying the extra self-join;
+            # anything still moving by round 3 is chain-shaped and needs
+            # the exponential collapse.
+            parent = labels.select(F.col("node").alias("p_node"),
+                                   F.col("component").alias("p_comp"))
+            labels = (
+                labels.join(parent, labels.component == parent.p_node, "left")
+                .select("node",
+                        F.least("component", F.coalesce("p_comp", "component"))
+                        .alias("component"))
+            )
         if checkpoint:
             labels = labels.localCheckpoint()
         # Min-label propagation is monotone: labels only decrease, so the
