@@ -1354,3 +1354,67 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("q_vec").cast("long").alias("q_max"),
         F.round(dot / (nv * nq), 6).alias("cos_fid"),
     )
+
+
+@register(
+    "ext_knn_quantized",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+                 AS scale
+        FROM embeddings WHERE vec_id >= 10
+    ),
+    c AS (
+        SELECT vec_id,
+               list_transform(
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)),
+                   v -> v * scale) AS emb
+        FROM s
+    ),
+    q AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(
+                 list_reduce(list_transform(generate_series(1, 64),
+                             i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x)
+                 / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                             i -> q.emb[i] * q.emb[i]), (acc, x) -> acc + x))
+                    * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                             i -> c.emb[i] * c.emb[i]), (acc, x) -> acc + x))), 6)
+                 AS cos_sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(
+                   list_reduce(list_transform(generate_series(1, 64),
+                               i -> q.emb[i] * c.emb[i]), (acc, x) -> acc + x)
+                   / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                               i -> q.emb[i] * q.emb[i]), (acc, x) -> acc + x))
+                      * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                               i -> c.emb[i] * c.emb[i]), (acc, x) -> acc + x))), 6)
+                 DESC, c.vec_id) AS rank
+        FROM q JOIN c ON true
+    ) WHERE rank <= 5
+    """,
+    tags=("extension", "similarity", "quantization"),
+)
+def ext_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine over the INT8-QUANTIZED corpus: quantize,
+    dequantize on the fly (q * scale), then the same broadcast-query
+    brute-force scan as ext_knn_bruteforce. The point of the oracle here
+    is that quantization is deterministic arithmetic, not a model — both
+    engines derive identical int8 codes and identical dequantized
+    scores. At 100 TB this scan reads 1 byte/dim instead of 4.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 10)
+    queries = emb.where(F.col("vec_id") < 10)
+    deq = S.quantize_int8(corpus).select(
+        "vec_id",
+        F.transform("q_vec", lambda x: x.cast("double") * F.col("q_scale"))
+        .alias("embedding"),
+    )
+    return S.cosine_topk_bruteforce(corpus=deq, queries=queries, k=5)
