@@ -31,6 +31,8 @@ from gads_etl_spark.operators.graph import (  # noqa: F401
 from gads_etl_spark.operators.layout import (  # noqa: F401
     write_bucketed,
     write_range_layout,
+    write_zorder_layout,
+    zorder_code,
 )
 from gads_etl_spark.operators.rollup import (  # noqa: F401
     hourly_rollup,

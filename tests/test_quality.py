@@ -139,3 +139,27 @@ class TestMixToBudget:
                           default_weight_micro=50_000)
         assert sorted(r["doc_id"] for r in a.select("doc_id").collect()) == \
                sorted(r["doc_id"] for r in b.select("doc_id").collect())
+
+
+class TestRedactionProperties:
+    def test_redaction_is_idempotent(self, spark):
+        # Placeholders contain no digits or '@', so a second pass can
+        # never re-match: redact(redact(x)) == redact(x). This is the
+        # property that makes the pass safe to re-run over a partially
+        # cleaned corpus (reruns, backfills).
+        import random
+
+        rng = random.Random(7)
+        pieces = ["foo", "a@b.co", "555-123-4567", "1.2.3.4", "987-65-4321",
+                  "x" * 5, "bar baz", "9.9.9.9", "no-pii-here", "42"]
+        rows = [
+            (i, " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 12))))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = redact_pii(df).select("doc_id", F.col("clean_text").alias("text"))
+        twice = redact_pii(once)
+        changed = twice.where(F.col("clean_text") != F.col("text")).count()
+        assert changed == 0
+        # And the first pass did redact something in this corpus.
+        assert redact_pii(df).where(F.col("pii_found")).count() > 0
