@@ -15,6 +15,7 @@ mods = [
     "gads_etl_spark.session", "gads_etl_spark.catalog", "gads_etl_spark.oracle",
     "gads_etl_spark.cli", "gads_etl_spark.pipeline", "gads_etl_spark.operators",
     "gads_etl_spark.queries", "gads_etl_spark.streaming",
+    "gads_etl_spark.sources",
     "gads_etl_spark.functions.numeric",
 ]
 for m in mods:
