@@ -612,3 +612,37 @@ def op_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "c_mktsegment", F.explode("by_year").alias("yr", "n")
     )
+
+
+@register(
+    "op_percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.50) AS p50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("operator", "aggregation"),
+)
+def op_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation) per group — the
+    sort-based complement to the GK-sketch op_quantiles. Spark's
+    `percentile` and DuckDB's `quantile_cont` share the interpolation
+    formula, so values match bit-for-bit. Exact percentiles shuffle the
+    group's values (unlike the sketch); at 100 TB use op_quantiles
+    unless exactness is contractual.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(
+            "percentile(CAST(l_quantity AS DOUBLE), array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("p"))
+        .select(
+            "l_returnflag",
+            F.col("p")[0].alias("p25"), F.col("p")[1].alias("p50"),
+            F.col("p")[2].alias("p75"), F.col("p")[3].alias("p99"),
+        )
+    )
