@@ -646,3 +646,98 @@ def op_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p")[2].alias("p75"), F.col("p")[3].alias("p99"),
         )
     )
+
+
+@register(
+    "op_window_frames",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(ntile(4) OVER wo AS BIGINT) AS spend_quartile,
+           round(percent_rank() OVER wo, 6) AS pr,
+           round(cume_dist() OVER wo, 6) AS cd,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM orders WHERE o_custkey < 100
+    WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("operator", "window"),
+)
+def op_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist) plus
+    a value-RANGE frame: trailing-30-day spend per customer. The range frame
+    orders by an integer day ordinal so Spark and DuckDB share identical
+    frame semantics (ties in date fall into one frame in both engines).
+    percent_rank/cume_dist are exact rationals; rounded to 6 decimals only
+    to keep the hash insensitive to double formatting. ntile needs a total
+    order — (totalprice, orderkey) is unique.
+
+    Scale note: each window shuffles once on o_custkey; all four functions
+    share the two sort orders, so Catalyst plans exactly two Window nodes
+    over one Exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    day_ord = F.datediff("o_orderdate", F.lit("1970-01-01").cast("date"))
+    wo = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(day_ord).rangeBetween(-30, 0)
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(wo).cast("long").alias("spend_quartile"),
+        F.round(F.percent_rank().over(wo), 6).alias("pr"),
+        F.round(F.cume_dist().over(wo), 6).alias("cd"),
+        F.sum(money("o_totalprice")).over(wr).cast("double").alias("spend_30d"),
+    )
+
+
+@register(
+    "op_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(round(abs(CAST(x AS DOUBLE)) * 1000000) AS BIGINT)))
+                AS BIGINT) AS l1_micro,
+           len(list_filter(embedding, x -> abs(x) > 0.12)) > 0 AS has_tail,
+           list_reverse_sort(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[1] AS top1_micro,
+           list_reverse_sort(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[2] AS top2_micro,
+           list_reverse_sort(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))[3] AS top3_micro
+    FROM embeddings WHERE vec_id < 2000
+    """,
+    tags=("operator", "scalar", "array"),
+)
+def op_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class scalar operators:
+    filter (lambda predicate), transform (per-element map), exists
+    (short-circuit any-match), aggregate via integer micro-units (exact,
+    order-independent), and sort+element_at for per-row top-k. All run
+    inside whole-stage codegen — zero shuffles, zero Python. Float elements
+    are quantized to BIGINT micro-units before summing so the oracle
+    comparison is exact rather than float-formatting-dependent; top-k is
+    projected to scalar columns so the hash never depends on how an engine
+    renders array cells.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
+    as_micro = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("long"),
+    )
+    abs_micro = F.transform(
+        "embedding",
+        lambda x: F.round(F.abs(x.cast("double")) * 1_000_000).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.aggregate(abs_micro, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("l1_micro"),
+        F.exists("embedding", lambda x: F.abs(x) > 0.12).alias("has_tail"),
+        F.element_at(F.sort_array(as_micro, asc=False), 1).alias("top1_micro"),
+        F.element_at(F.sort_array(as_micro, asc=False), 2).alias("top2_micro"),
+        F.element_at(F.sort_array(as_micro, asc=False), 3).alias("top3_micro"),
+    )
