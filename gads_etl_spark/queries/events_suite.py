@@ -374,3 +374,76 @@ def ev_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts",
         "view_id", "view_ts", "amount",
     )
+
+
+@register(
+    "ev_funnel_cohorts",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(CAST(s1.t1 AS DATE) AS TIMESTAMP) AS cohort_date,
+           CAST(count(*) AS BIGINT) AS n_signed_up,
+           CAST(count(s2.t2) AS BIGINT) AS n_viewed,
+           CAST(count(s3.t3) AS BIGINT) AS n_purchased
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    WHERE s1.t1 IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("events", "window", "funnel"),
+)
+def ev_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → first view after it → first purchase after
+    that) cohorted by signup date. Expressed as three chained conditional
+    window-mins over ONE partitionBy(user_id) — Catalyst plans a single
+    Exchange for all three Window nodes, and the per-user fold that
+    follows reuses the same partitioning, so the whole funnel costs one
+    shuffle on user_id plus one tiny shuffle on cohort_date. The oracle
+    writes the identical semantics as three joined aggregation CTEs.
+    Strict `>` step ordering keeps tie handling engine-identical.
+
+    At 100 TB: window-over-user beats the oracle's 3x self-join shape —
+    events shuffle once, and skewed power users stay a single partition's
+    problem (AQE skew split applies) instead of a join blowup.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    typed = ev.select("user_id", "ts", "event_type")
+    staged = (
+        typed
+        .withColumn("t1", F.min(F.when(F.col("event_type") == "signup",
+                                       F.col("ts"))).over(w))
+        .withColumn("t2", F.min(F.when((F.col("event_type") == "view")
+                                       & (F.col("ts") > F.col("t1")),
+                                       F.col("ts"))).over(w))
+        .withColumn("t3", F.min(F.when((F.col("event_type") == "purchase")
+                                       & (F.col("ts") > F.col("t2")),
+                                       F.col("ts"))).over(w))
+    )
+    per_user = (
+        staged.groupBy("user_id")
+        .agg(F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+             F.first("t3").alias("t3"))
+        .where(F.col("t1").isNotNull())
+    )
+    return (
+        per_user.groupBy(F.to_date("t1").cast("timestamp").alias("cohort_date"))
+        .agg(F.count(F.lit(1)).alias("n_signed_up"),
+             F.count("t2").alias("n_viewed"),
+             F.count("t3").alias("n_purchased"))
+    )

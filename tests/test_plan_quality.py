@@ -186,3 +186,16 @@ class TestRound3Plans:
         # back onto the corpus — the corpus never shuffles for the join.
         plan = _formatted_plan(spark, "ext_domain_mix")
         assert "BroadcastExchange" in plan, plan
+
+
+class TestFunnelPlan:
+    def test_funnel_shuffles_once_on_user(self, spark):
+        # Three chained conditional window-mins share one
+        # partitionBy(user_id) Exchange; the per-user fold reuses that
+        # partitioning, so besides it only the tiny cohort_date
+        # aggregation exchanges. At most 2 shuffles total.
+        plan = _formatted_plan(spark, "ev_funnel_cohorts")
+        import re as _re
+        n_exchange = len(_re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchange <= 2, plan
+        assert plan.count("Window") >= 1, plan
