@@ -44,6 +44,8 @@ EXTRA = [
     "ext_decontaminate",
     "ext_domain_mix",
     "ext_embedding_quantize",
+    "ev_funnel_cohorts",
+    "op_window_frames",
 ]
 
 

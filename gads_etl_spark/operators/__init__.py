@@ -55,6 +55,7 @@ from gads_etl_spark.operators.similarity import (  # noqa: F401
     cosine_topk_bruteforce,
     lsh_topk,
     random_hyperplanes,
+    semantic_dedup,
 )
 from gads_etl_spark.operators.temporal import (  # noqa: F401
     asof_join,

@@ -127,6 +127,75 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: cluster-blocked semantic near-duplicate pruning
+    (Abbas et al. 2023, arXiv:2303.09540 — public method).
+
+    KMeans cells block the candidate space; within each cell a vector is
+    dropped when a LOWER-id cell-mate has cosine >= threshold (greedy
+    keep-lowest-id, the standard SemDeDup simplification). Returns the
+    surviving corpus rows unchanged.
+
+    Clustering can only MISS pairs, never invent them — cosine does not
+    depend on the cell — so false drops are impossible at any clustering,
+    and identical vectors always land in the same cell (identical
+    centroid distances, deterministic tie-break), so exact duplicates are
+    always caught.
+
+    At 100 TB: cost is sum(|cell|^2) instead of |corpus|^2 — grow
+    n_clusters ~ sqrt(N) to keep cells bounded; the pair join shuffles on
+    the cell id only, and the centroid table stays driver-tiny. The
+    reference has no embedding operators (SURVEY.md: extension mandate).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed).fit(train)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+
+    v = F.col(vec_col).cast("array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
+    cells = (
+        corpus.select(F.col(id_col), v.alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", d2)
+        .withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") == 1)
+        .select(id_col, "_v", "cell")
+    )
+
+    keep = cells.select(F.col(id_col).alias("_keep_id"), F.col("_v").alias("_keep_v"),
+                        "cell")
+    cand = cells.select(F.col(id_col).alias("_cand_id"), F.col("_v").alias("_cand_v"),
+                        "cell")
+    dropped = (
+        cand.join(keep, "cell")
+        .where(F.col("_keep_id") < F.col("_cand_id"))
+        .where(cosine(F.col("_keep_v"), F.col("_cand_v")) >= F.lit(threshold))
+        .select(F.col("_cand_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dropped, id_col, "left_anti")
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

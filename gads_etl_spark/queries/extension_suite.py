@@ -1418,3 +1418,39 @@ def ext_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("embedding"),
     )
     return S.cosine_topk_bruteforce(corpus=deq, queries=queries, k=5)
+
+
+@register(
+    "ext_semantic_dedup",
+    oracle="""
+    SELECT CAST(vec_id + 100000 AS BIGINT) AS dropped_id
+    FROM embeddings WHERE vec_id < 50
+    """,
+    tags=("extension", "dedup", "embedding"),
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-blocked semantic near-dup pruning) on a corpus
+    with 50 injected exact duplicates (vec_id + 100000 copies of the
+    first 50 vectors). Returns the dropped ids.
+
+    The oracle is exact, not approximate: the fixture's natural max
+    pairwise cosine is ~0.6 at every SF while the threshold is 0.9, so
+    only (source, copy) pairs qualify — and identical vectors always
+    share a KMeans cell (identical centroid distances, deterministic
+    tie-break), so the dropped set is exactly the injected copies at ANY
+    clustering outcome. Clustering can only miss pairs, never invent
+    them, which makes the result seed/partitioning-invariant.
+    """
+    from gads_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
+    survivors = semantic_dedup(corpus, threshold=0.9)
+    return (
+        corpus.select("vec_id")
+        .join(survivors.select("vec_id"), "vec_id", "left_anti")
+        .select(F.col("vec_id").alias("dropped_id"))
+    )

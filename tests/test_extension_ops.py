@@ -214,3 +214,51 @@ class TestInt8Quantization:
         hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.9, f"int8 recall {hits}/{total} too low"
+
+
+class TestSemanticDedup:
+    """semantic_dedup: cluster-blocked SemDeDup pruning invariants."""
+
+    def _with_copies(self, emb, n=20, offset=100_000):
+        copies = emb.where(F.col("vec_id") < n).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding", "label"
+        )
+        return emb.select("vec_id", "embedding", "label").unionByName(copies)
+
+    def test_injected_exact_duplicates_all_dropped(self, emb):
+        corpus = self._with_copies(emb, n=20)
+        surv = S.semantic_dedup(corpus, threshold=0.9)
+        surv_ids = {r.vec_id for r in surv.select("vec_id").collect()}
+        # every injected copy dropped, every source kept
+        assert not any(i >= 100_000 for i in surv_ids)
+        all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+        assert surv_ids == {i for i in all_ids if i < 100_000}
+
+    def test_survivors_are_subset_rows(self, emb):
+        corpus = self._with_copies(emb, n=5)
+        surv = S.semantic_dedup(corpus, threshold=0.9)
+        assert surv.columns == corpus.columns
+        assert surv.join(corpus, ["vec_id"], "left_anti").count() == 0
+
+    def test_unreachable_threshold_keeps_everything(self, emb):
+        corpus = emb.select("vec_id", "embedding", "label")
+        surv = S.semantic_dedup(corpus, threshold=1.01)
+        assert surv.count() == corpus.count()
+
+    def test_every_dropped_has_lower_id_witness(self, emb):
+        import numpy as np
+
+        corpus = self._with_copies(emb, n=20)
+        surv = S.semantic_dedup(corpus, threshold=0.9)
+        dropped = corpus.join(surv.select("vec_id"), "vec_id", "left_anti")
+        rows = {r.vec_id: np.array(r.embedding, dtype=float)
+                for r in corpus.collect()}
+        for r in dropped.collect():
+            v = np.array(r.embedding, dtype=float)
+            ok = any(
+                i < r.vec_id
+                and float(np.dot(rows[i], v)
+                          / (np.linalg.norm(rows[i]) * np.linalg.norm(v))) >= 0.9 - 1e-9
+                for i in rows
+            )
+            assert ok, f"dropped {r.vec_id} has no lower-id near-dup witness"
