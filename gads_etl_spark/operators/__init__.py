@@ -29,6 +29,7 @@ from gads_etl_spark.operators.graph import (  # noqa: F401
     connected_components,
 )
 from gads_etl_spark.operators.layout import (  # noqa: F401
+    compact_small_files,
     write_bucketed,
     write_range_layout,
     write_zorder_layout,
@@ -60,4 +61,5 @@ from gads_etl_spark.operators.similarity import (  # noqa: F401
 from gads_etl_spark.operators.temporal import (  # noqa: F401
     asof_join,
     interval_join,
+    scd2_history,
 )

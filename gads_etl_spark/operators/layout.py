@@ -144,3 +144,44 @@ def write_zorder_layout(
 
 def table_exists(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Rewrite a parquet directory into ``ceil(total_bytes /
+    target_bytes)`` files at ``out_path``; returns the output file count.
+
+    Small-file sprawl is the steady-state failure mode of incremental
+    sinks (the reference's per-day seal — raw_sink_contract.md — lands
+    one file per partition per run): at 100 TB a scan's task count and
+    the namenode/listing load are both per-file, so periodic compaction
+    is what keeps read amplification flat. File sizes come from the
+    Hadoop FileSystem API, so the same code sizes local disk, HDFS, or
+    object stores. ``coalesce`` (not ``repartition``) merges partitions
+    without a shuffle — output files pack input splits, which is exactly
+    right for already-uniform parquet; use a shuffle only if inputs are
+    pathologically skewed.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            total += f.getLen()
+    n = max(1, -(-total // target_bytes))
+    spark.read.parquet(path).coalesce(n).write.mode("errorifexists").parquet(out_path)
+    out = jvm.org.apache.hadoop.fs.Path(out_path)
+    oit = fs.listFiles(out, True)
+    count = 0
+    while oit.hasNext():
+        if oit.next().getPath().getName().endswith(".parquet"):
+            count += 1
+    return count

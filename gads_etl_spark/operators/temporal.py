@@ -126,3 +126,51 @@ def interval_join(
         .where((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a changelog.
+
+    Collapses consecutive rows with the same ``attr_col`` value per key
+    (gaps-and-islands), then emits one row per run with
+    ``valid_from`` / ``valid_to`` (null = still current), ``is_current``,
+    and ``n_events`` (rows collapsed into the run). The reference keeps
+    only latest-state (reference src/gads_etl/state_store.py — point
+    lookups, no history); SCD2 is the warehouse-side complement.
+
+    One shuffle at 100 TB: the change-flag window, the running-sum
+    window, the per-run aggregate, and the valid_to lead are ALL keyed by
+    ``key_col`` (aggregate keys are a superset), so Catalyst plans a
+    single hashpartitioning Exchange on ``key_col`` and sorts within
+    partitions. State is bounded by rows-per-key, never all-pairs.
+    ``tiebreak_col`` must make (ts, tiebreak) unique per key or run
+    membership is nondeterministic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    chg = F.when(
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col)),
+        1,
+    ).otherwise(0)
+    versioned = changelog.withColumn(
+        "_version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = versioned.groupBy(key_col, "_version", attr_col).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy("_version")
+    return runs.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -447,3 +447,49 @@ def ev_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count("t2").alias("n_viewed"),
              F.count("t3").alias("n_purchased"))
     )
+
+
+@register(
+    "ev_scd2_history",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ver AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM ord
+    ), runs AS (
+      SELECT user_id, version, event_type,
+             MIN(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      FROM ver GROUP BY user_id, version, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER wv AS valid_to,
+           lead(valid_from) OVER wv IS NULL AS is_current,
+           n_events
+    FROM runs
+    WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+    tags=("events", "scd2", "window"),
+)
+def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type: consecutive
+    same-type runs collapse to one row with [valid_from, valid_to)
+    validity and an is_current flag. (event_id tiebreaks equal
+    timestamps, making run membership deterministic.)
+
+    Single hashpartitioning(user_id) Exchange for all four keyed steps —
+    asserted by the plan gate in tests/test_plan_quality.py.
+    """
+    from gads_etl_spark.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key_col="user_id", attr_col="event_type",
+        ts_col="ts", tiebreak_col="event_id",
+    )

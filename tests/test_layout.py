@@ -165,3 +165,47 @@ class TestZOrderLayout:
         # a=0b0011, b=0b0101 → z bits: b3 a3 b2 a2 b1 a1 b0 a0
         #  = 0 0 1 0 0 1 1 1 = 0b00100111 = 39
         assert df.collect()[0]["z"] == 39
+
+
+class TestCompaction:
+    """compact_small_files: sprawl in, right-sized files out, rows exact."""
+
+    def _sprawl(self, spark, tmp_path, n_files=32):
+        src = str(tmp_path / "sprawl")
+        df = spark.range(20_000).withColumn("v", F.col("id") * 2)
+        df.repartition(n_files).write.parquet(src)
+        return src, df
+
+    def _parquet_files(self, tmp_path, sub):
+        return list((tmp_path / sub).glob("*.parquet"))
+
+    def test_compacts_to_size_target(self, spark, tmp_path):
+        from gads_etl_spark.operators.layout import compact_small_files
+
+        src, df = self._sprawl(spark, tmp_path)
+        assert len(self._parquet_files(tmp_path, "sprawl")) == 32
+        total = sum(p.stat().st_size for p in self._parquet_files(tmp_path, "sprawl"))
+        out = str(tmp_path / "compacted")
+        # target = half the payload → exactly 2 output files
+        n = compact_small_files(spark, src, out, target_bytes=(total + 1) // 2)
+        assert n == 2
+        assert len(self._parquet_files(tmp_path, "compacted")) == 2
+
+    def test_rows_and_values_preserved(self, spark, tmp_path):
+        from gads_etl_spark.operators.layout import compact_small_files
+
+        src, df = self._sprawl(spark, tmp_path)
+        out = str(tmp_path / "compacted")
+        compact_small_files(spark, src, out, target_bytes=1 << 40)
+        got = spark.read.parquet(out)
+        assert got.count() == 20_000
+        assert got.join(df, ["id", "v"], "left_anti").count() == 0
+
+    def test_refuses_overwrite(self, spark, tmp_path):
+        from gads_etl_spark.operators.layout import compact_small_files
+
+        src, _ = self._sprawl(spark, tmp_path, n_files=4)
+        out = str(tmp_path / "compacted")
+        compact_small_files(spark, src, out, target_bytes=1 << 40)
+        with pytest.raises(Exception):
+            compact_small_files(spark, src, out, target_bytes=1 << 40)

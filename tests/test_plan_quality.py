@@ -199,3 +199,14 @@ class TestFunnelPlan:
         n_exchange = len(_re.findall(r"\(\d+\) Exchange", plan))
         assert n_exchange <= 2, plan
         assert plan.count("Window") >= 1, plan
+
+
+class TestScd2Plan:
+    def test_scd2_single_exchange(self, spark):
+        # Change-flag window, running-sum window, run aggregate, and
+        # valid_to lead are all keyed by user_id: one hashpartitioning
+        # Exchange serves the whole pipeline, and the run aggregate
+        # still gets a map-side partial.
+        plan = _formatted_plan(spark, "ev_scd2_history")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "partial_min" in plan, plan

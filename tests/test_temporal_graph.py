@@ -181,3 +181,70 @@ class TestEdgeCases:
         comp = {r["node"]: r["component"]
                 for r in connected_components(edges).collect()}
         assert comp[5] == 5 and comp[1] == comp[2] == 1
+
+
+class TestScd2History:
+    """scd2_history: gaps-and-islands edge cases on synthetic changelogs."""
+
+    def _hist(self, spark, rows):
+        from gads_etl_spark.operators.temporal import scd2_history
+
+        df = spark.createDataFrame(
+            rows, "k long, ts timestamp, eid long, v string"
+        )
+        return {
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current, r.n_events)
+            for r in scd2_history(df, "k", "v", "ts", "eid").collect()
+        }
+
+    def test_runs_collapse_and_reopen(self, spark):
+        # a,a,b,a → three runs: the value returning later opens a NEW
+        # run (Type-2 history), never merges with the first.
+        t = [_ts(f"2024-01-01 0{i}:00:00") for i in range(4)]
+        got = self._hist(
+            spark,
+            [(1, t[0], 0, "a"), (1, t[1], 1, "a"),
+             (1, t[2], 2, "b"), (1, t[3], 3, "a")],
+        )
+        assert got == {
+            (1, "a", t[0], t[2], False, 2),
+            (1, "b", t[2], t[3], False, 1),
+            (1, "a", t[3], None, True, 1),
+        }
+
+    def test_validity_ranges_tile_per_key(self, spark):
+        # valid_to of run i == valid_from of run i+1; exactly one
+        # current row per key; no gaps and no overlaps.
+        t = [_ts(f"2024-01-01 0{i}:00:00") for i in range(6)]
+        rows = [(1, t[i], i, v) for i, v in enumerate("aabba")] + [
+            (2, t[5], 5, "z")
+        ]
+        got = sorted(self._hist(spark, rows))
+        per_key = {}
+        for k, v, vf, vt, cur, n in got:
+            per_key.setdefault(k, []).append((vf, vt, cur))
+        for k, runs in per_key.items():
+            runs.sort()
+            assert sum(1 for _, vt, cur in runs if cur) == 1
+            for (f0, t0, _), (f1, _, _) in zip(runs, runs[1:]):
+                assert t0 == f1
+            assert runs[-1][1] is None
+
+    def test_equal_ts_tiebreak_is_deterministic(self, spark):
+        # Two rows at the identical timestamp: eid orders them, so the
+        # run sequence is a(2 events) → b, not a/b/a.
+        t0 = _ts("2024-01-01 00:00:00")
+        t1 = _ts("2024-01-01 01:00:00")
+        got = self._hist(
+            spark,
+            [(1, t0, 1, "a"), (1, t0, 0, "a"), (1, t1, 2, "b")],
+        )
+        assert got == {
+            (1, "a", t0, t1, False, 2),
+            (1, "b", t1, None, True, 1),
+        }
+
+    def test_single_row_key_is_current(self, spark):
+        t0 = _ts("2024-01-01 00:00:00")
+        got = self._hist(spark, [(7, t0, 0, "only")])
+        assert got == {(7, "only", t0, None, True, 1)}
