@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import sys
+import re
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -220,6 +221,50 @@ def probe_quality(spark):
             f"({n_rep} flagged) | domain-mix {dt_mix:.1f}s ({n_mix} kept)")
 
 
+def probe_scd2(spark):
+    """10M-row changelog over 200k keys -> Type-2 history, one Exchange."""
+    from gads_etl_spark.operators.temporal import scd2_history
+
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    log = spark.range(10_000_000).select(
+        (F.col("id") % 200_000).alias("k"),
+        (base + F.make_interval(secs=(F.col("id") / 200_000).cast("double"))).alias("ts"),
+        F.col("id").alias("eid"),
+        ((F.col("id") * 2654435761) % 5).cast("string").alias("v"),
+    )
+    t0 = time.perf_counter()
+    out = scd2_history(log, "k", "v", "ts", "eid")
+    n = out.count()
+    dt = time.perf_counter() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 1, plan
+    return f"scd2_history 10M rows/200k keys: {dt:.1f}s, {n} runs, 1 Exchange"
+
+
+def probe_compact(spark):
+    """256-file sprawl of a 5M-row table compacted to a size target."""
+    import shutil
+    import tempfile
+
+    from gads_etl_spark.operators.layout import compact_small_files
+
+    d = tempfile.mkdtemp(prefix="compact_probe_")
+    try:
+        src_p, out_p = f"{d}/sprawl", f"{d}/compacted"
+        spark.range(5_000_000).select(
+            "id", (F.col("id") * 2).alias("v")
+        ).repartition(256).write.parquet(src_p)
+        t0 = time.perf_counter()
+        n_files = compact_small_files(spark, src_p, out_p, target_bytes=16 << 20)
+        dt = time.perf_counter() - t0
+        n = spark.read.parquet(out_p).count()
+        assert n == 5_000_000, n
+        return f"compact 256 files -> {n_files} @16MB target: {dt:.1f}s, rows exact"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -229,6 +274,8 @@ PROBES = {
     "packing": probe_packing,
     "skew": probe_skew,
     "quality": probe_quality,
+    "scd2": probe_scd2,
+    "compact": probe_compact,
 }
 
 
