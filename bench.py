@@ -46,6 +46,7 @@ EXTRA = [
     "ext_embedding_quantize",
     "ev_funnel_cohorts",
     "op_window_frames",
+    "ev_scd2_history",
 ]
 
 
