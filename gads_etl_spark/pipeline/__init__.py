@@ -24,6 +24,7 @@ from gads_etl_spark.pipeline.state_store import StateStore, STATE_SCHEMA  # noqa
 from gads_etl_spark.pipeline.pointer_store import PointerStore  # noqa: F401
 from gads_etl_spark.pipeline.validator import validate_batch, validate_partition  # noqa: F401
 from gads_etl_spark.pipeline.loader import ReconciliationPlan, WarehouseLoader  # noqa: F401
+from gads_etl_spark.pipeline.metrics import observed, write_with_count  # noqa: F401
 from gads_etl_spark.pipeline.control_plane import (  # noqa: F401
     ControlPlane,
     PlanResult,

@@ -8,3 +8,4 @@ pruning).
 """
 
 from gads_etl_spark.sources.ads_source import AdsFixtureDataSource  # noqa: F401
+from gads_etl_spark.sources.files import read_csv, read_jsonl  # noqa: F401
