@@ -141,25 +141,40 @@ class RawZone:
         schema_version: str = "v1",
         api_version: str | None = None,
         query_signature: str | None = None,
+        count_mode: str = "reread",
     ) -> dict:
         """Write payload, then seal (metadata-last). Returns the manifest row.
 
-        ``record_count`` is counted from what was actually written (a
-        re-read of the committed files), so a nondeterministic input can
-        never seal a count that disagrees with the payload the validator
-        will later re-count (A9).
+        ``count_mode='reread'`` (default) counts the committed files —
+        the strongest guarantee: a nondeterministic input can never seal
+        a count that disagrees with the payload the validator will later
+        re-count (A9), and a partially-visible write is caught too.
+        ``count_mode='observe'`` attaches an ``Observation`` to the write
+        pass itself (pipeline/metrics.py): same safety against
+        nondeterminism (the count describes the exact rows written),
+        no second scan — the right mode when the payload is TB-scale and
+        the filesystem commit protocol is trusted.
         """
+        if count_mode not in ("reread", "observe"):
+            raise ValueError(f"count_mode must be 'reread' or 'observe', got {count_mode!r}")
         if self.is_sealed(key, run_id):
             raise SealedPartitionError(
                 f"partition {key} run_id={run_id} is sealed; raw partitions are immutable"
             )
         path = self.partition_path(key, run_id)
+        if count_mode == "observe":
+            from gads_etl_spark.pipeline.metrics import observed
+
+            df, obs = observed(df, f"raw_write:{run_id}")
         writer = df.write.mode("errorifexists")
         if self.data_format == "json":
             writer.json(path)
         else:
             writer.parquet(path)
-        record_count = self._read_payload(path).count()
+        if count_mode == "observe":
+            record_count = int(obs.get["n_rows"])
+        else:
+            record_count = self._read_payload(path).count()
         meta = {
             "source": key.source,
             "customer_id": key.customer_id,
