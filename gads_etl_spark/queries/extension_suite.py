@@ -1454,3 +1454,43 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(survivors.select("vec_id"), "vec_id", "left_anti")
         .select(F.col("vec_id").alias("dropped_id"))
     )
+
+
+@register(
+    "ext_fuzzy_match",
+    oracle="""
+    SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type
+     AND a.p_brand = b.p_brand
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("extension", "dedup", "fuzzy"),
+)
+def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching over part names: within each
+    (p_type, p_brand) block, every (a, b) pair whose names are ≤2
+    Levenshtein edits apart ("red bolt" ~ "red bolts"). Equi-join on the
+    composite block key + length lower-bound prefilter — never an
+    all-pairs cross product; the two-column key is the hot-block
+    mitigation the operator docstring prescribes (p_type alone leaves
+    ~3k-row blocks at sf0.1 → ~1M output pairs; adding p_brand cuts
+    block occupancy 25×). Spark and DuckDB agree exactly on the
+    Levenshtein metric.
+    """
+    from gads_etl_spark.operators.dedup import blocked_edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"), "p_name", "p_type", "p_brand"
+    )
+    return blocked_edit_distance_pairs(
+        part, block_cols=["p_type", "p_brand"], id_col="pid",
+        name_col="p_name", max_dist=2,
+    ).select(
+        F.col("a_id").alias("a_id"),
+        F.col("b_id").alias("b_id"),
+        "edit_dist",
+    )

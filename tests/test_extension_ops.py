@@ -262,3 +262,43 @@ class TestSemanticDedup:
                 for i in rows
             )
             assert ok, f"dropped {r.vec_id} has no lower-id near-dup witness"
+
+
+class TestBlockedEditDistance:
+    """blocked_edit_distance_pairs: linkage semantics on synthetic names."""
+
+    def _pairs(self, spark, rows, max_dist=2):
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        return {
+            (r.a_id, r.b_id, r.edit_dist)
+            for r in D.blocked_edit_distance_pairs(
+                df, block_cols=["blk"], id_col="id",
+                name_col="name", max_dist=max_dist,
+            ).collect()
+        }
+
+    def test_matches_within_block_with_exact_distance(self, spark):
+        got = self._pairs(
+            spark,
+            [(1, "red bolt", "x"), (2, "red bolts", "x"),
+             (3, "red bolt", "x"), (4, "blue gear", "x")],
+        )
+        assert got == {(1, 2, 1), (1, 3, 0), (2, 3, 1)}
+
+    def test_cross_block_pairs_never_compared(self, spark):
+        got = self._pairs(
+            spark, [(1, "red bolt", "x"), (2, "red bolt", "y")]
+        )
+        assert got == set()
+
+    def test_length_prefilter_keeps_boundary_pair(self, spark):
+        # length diff == max_dist must survive the prefilter
+        # (|len(a)-len(b)| is a Levenshtein lower bound, not strict).
+        got = self._pairs(spark, [(1, "gear", "x"), (2, "gearxy", "x")])
+        assert got == {(1, 2, 2)}
+
+    def test_pairs_are_ordered_and_unique(self, spark):
+        rows = [(i, "same name", "x") for i in range(6)]
+        got = self._pairs(spark, rows)
+        assert len(got) == 15  # C(6,2), each once
+        assert all(a < b and d == 0 for a, b, d in got)
