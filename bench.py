@@ -47,6 +47,7 @@ EXTRA = [
     "ev_funnel_cohorts",
     "op_window_frames",
     "ev_scd2_history",
+    "ext_fuzzy_match",
 ]
 
 
