@@ -134,6 +134,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     seed: int = 42,
+    train_fraction: float = 0.25,
+    max_iter: int = 5,
 ) -> DataFrame:
     """SemDeDup: cluster-blocked semantic near-duplicate pruning
     (Abbas et al. 2023, arXiv:2303.09540 — public method).
@@ -151,36 +153,33 @@ def semantic_dedup(
 
     At 100 TB: cost is sum(|cell|^2) instead of |corpus|^2 — grow
     n_clusters ~ sqrt(N) to keep cells bounded; the pair join shuffles on
-    the cell id only, and the centroid table stays driver-tiny. The
-    reference has no embedding operators (SURVEY.md: extension mandate).
+    the cell id only, and the centroid table stays driver-tiny. KMeans
+    fits on a seeded sample with few iterations (clustering quality only
+    affects recall headroom, never correctness — see above), so the
+    expensive iterative passes never touch the full corpus; assignment is
+    one broadcast-join pass. The reference has no embedding operators
+    (SURVEY.md: extension mandate).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    spark = corpus.sparkSession
-    train = corpus.select(
+    train = corpus.sample(fraction=train_fraction, seed=seed).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed).fit(train)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
 
+    # Cell assignment via model.transform: per-row JVM predict, ZERO
+    # shuffle — the alternative (explode corpus × centroids, window-argmin
+    # per id) shuffles |corpus| × n_clusters rows each dragging the full
+    # vector along. Identical vectors get identical predictions
+    # (deterministic lowest-index tie-break), so exact dups still always
+    # share a cell.
     v = F.col(vec_col).cast("array<double>")
-    d2 = F.aggregate(
-        F.zip_with(F.col("_v"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cell"))
-    cells = (
-        corpus.select(F.col(id_col), v.alias("_v"))
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d2", d2)
-        .withColumn("_cr", F.row_number().over(w))
-        .where(F.col("_cr") == 1)
-        .select(id_col, "_v", "cell")
-    )
+    cells = model.transform(
+        corpus.select(F.col(id_col), v.alias("_v")).withColumn(
+            "features", array_to_vector(F.col("_v"))
+        )
+    ).select(id_col, "_v", F.col("prediction").cast("int").alias("cell"))
 
     keep = cells.select(F.col(id_col).alias("_keep_id"), F.col("_v").alias("_keep_v"),
                         "cell")
