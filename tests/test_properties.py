@@ -136,3 +136,50 @@ class TestAsofJoinProperty:
                      if kk == k and ts <= lts]
             expect = max(cands) if cands else (None, None)
             assert got[row_id] == expect, (row_id, got[row_id], expect)
+
+
+class TestScd2Property:
+    @SLOW
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # key
+                st.integers(min_value=0, max_value=20),     # ts (seconds)
+                st.sampled_from(["a", "b", "c"]),           # value
+            ),
+            min_size=1, max_size=25,
+        )
+    )
+    def test_matches_python_runs_model(self, spark, rows):
+        """scd2_history == a sequential gaps-and-islands fold per key,
+        for any changelog (duplicate timestamps tie-broken by eid)."""
+        from datetime import datetime, timezone
+
+        from gads_etl_spark.operators.temporal import scd2_history
+
+        data = [
+            (k, datetime.fromtimestamp(ts, tz=timezone.utc).replace(tzinfo=None), i, v)
+            for i, (k, ts, v) in enumerate(rows)
+        ]
+        # pure-python model: per key, order by (ts, eid), collapse runs
+        model = set()
+        bykey: dict = {}
+        for k, ts, eid, v in sorted(data, key=lambda r: (r[0], r[1], r[2])):
+            bykey.setdefault(k, []).append((ts, v))
+        for k, seq in bykey.items():
+            runs = []
+            for ts, v in seq:
+                if runs and runs[-1][0] == v:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([v, ts, 1])
+            for i, (v, vf, n) in enumerate(runs):
+                vt = runs[i + 1][1] if i + 1 < len(runs) else None
+                model.add((k, v, vf, vt, vt is None, n))
+
+        df = spark.createDataFrame(data, "k long, ts timestamp, eid long, v string")
+        got = {
+            (r.k, r.v, r.valid_from, r.valid_to, r.is_current, r.n_events)
+            for r in scd2_history(df, "k", "v", "ts", "eid").collect()
+        }
+        assert got == model
