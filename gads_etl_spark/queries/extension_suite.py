@@ -496,11 +496,30 @@ def ext_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.as_binary_payload(docs).select("doc_id", "byte_len", "payload_sha256")
 
 
-@register("ext_multimodal_frames", tags=("extension", "multimodal", "pandas-udf"))
+@register(
+    "ext_multimodal_frames",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               least(3, greatest(octet_length(encode(text)) // 256, 1)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((u.i - 1) * 4 AS BIGINT) AS frame_idx,
+           CAST(8 AS INT) AS height,
+           CAST(8 AS INT) AS width,
+           CAST(64 AS INT) AS frame_bytes
+    FROM t, unnest(generate_series(1, CAST(t.n AS BIGINT))) AS u(i)
+    """,
+    tags=("extension", "multimodal", "pandas-udf"),
+)
 def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each binary payload fans out into ≤3 fixed-size
     frames (video frame-sample / resize plumbing; stubbed kernels).
-    Rows-only; fan-out shape and determinism tested in
+    The fan-out arithmetic (frame count, stride, padded frame size) is
+    fully determined by the payload byte length, so the oracle re-derives
+    the exact row set from octet_length — verifying the mapInPandas 1→N
+    expansion end-to-end. Kernel determinism is separately pinned in
     tests/test_extension_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
     frames = MM.sample_frames(MM.as_binary_payload(docs))
@@ -512,9 +531,18 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode of binary payloads via mapInPandas (decode
     kernel is a deterministic stub — see operators.multimodal). Rows-only;
-    batch shape and schema are asserted in tests/test_extension_ops.py."""
+    batch shape and schema are asserted in tests/test_extension_ops.py.
+
+    The raw ``features: array<double>`` column stays the programmatic API
+    (``MM.decode_features``); this registered surface projects it through
+    ``to_json`` so row-level harnesses that canonicalize via pandas sorting
+    (unhashable lists break ``sort_values``) can order and hash the rows.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return MM.decode_features(MM.as_binary_payload(docs))
+    decoded = MM.decode_features(MM.as_binary_payload(docs))
+    return decoded.select(
+        "doc_id", "byte_len", F.to_json("features").alias("features_json")
+    )
 
 
 # ---------------------------------------------------------------------------
