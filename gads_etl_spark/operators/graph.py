@@ -17,13 +17,17 @@ Scale design:
 - ``localCheckpoint`` truncates the lineage each round so the plan
   doesn't grow exponentially across iterations (the classic iterative-
   algorithm failure mode on Spark).
-- Convergence is detected with a count of changed labels — one action
-  per round, which AQE sizes off the (shrinking) label table.
+- Convergence is detected by a fingerprint of the labeling
+  (``sum(xxhash64(node, component))``) collected as an ``Observation``
+  on the SAME job that checkpoints the round's labels — zero extra
+  actions per round. xxhash64 is type-agnostic, so string node ids
+  fingerprint correctly (a numeric cast would NULL them out and fake
+  instant convergence).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -61,11 +65,16 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
 
-    def label_sum(lbl: DataFrame):
-        # Exact, overflow-safe fingerprint of the labeling.
-        return lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+    # Fingerprint of the labeling: sum of a per-row hash of (node,
+    # component). Any label change flips at least one row's hash, so
+    # round-over-round equality ⇔ fixpoint (modulo a ~2⁻⁶⁴ collision).
+    # Type-agnostic — works for string node ids where a numeric sum
+    # would cast to NULL and stop the loop after one round. The decimal
+    # cast applies to the HASH (always long), never the id, and makes
+    # the sum overflow-proof under ANSI mode.
+    _fp = F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("fp")
 
-    prev_sum = None
+    prev_fp = ()  # sentinel unequal to any fingerprint (incl. None)
     for i in range(max_iter):
         neighbor = (
             e.join(labels, e.b == labels.node)
@@ -96,15 +105,18 @@ def connected_components(
                         .alias("component"))
             )
         if checkpoint:
-            labels = labels.localCheckpoint()
-        # Min-label propagation is monotone: labels only decrease, so the
-        # label sum strictly decreases every round until the fixpoint.
-        # One scan of the (checkpointed) label table per round — no
-        # compare-join.
-        s = label_sum(labels)
-        if s == prev_sum:
+            # Piggyback the fingerprint on the checkpoint job: observe()
+            # adds a CollectMetrics node that the (eager) localCheckpoint
+            # action evaluates, so convergence detection costs no extra
+            # job — one action per round total.
+            obs = Observation()
+            labels = labels.observe(obs, _fp).localCheckpoint()
+            fp = obs.get["fp"]
+        else:
+            fp = labels.agg(_fp).collect()[0][0]
+        if fp == prev_fp:
             break
-        prev_sum = s
+        prev_fp = fp
     return labels
 
 

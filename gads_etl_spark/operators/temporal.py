@@ -47,6 +47,13 @@ def asof_join(
     (an INTERVAL string, e.g. ``'1 hour'``), matches staler than
     ``left_ts - tolerance`` are nulled out — same cost, the bound applies
     as a post-fill filter.
+
+    **Contract: the right side must have at most one row per
+    (``on``, ``right_ts``).** At a timestamp tie the carried payload is
+    whichever duplicate the window happened to order last, so duplicate
+    (key, ts) right rows make the result nondeterministic. Pre-aggregate
+    the right side to enforce it (as ev_asof_attribution and the property
+    test do) — same rule DuckDB/pandas ``ASOF JOIN`` callers follow.
     """
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(F.col(right_ts).alias(right_ts),
@@ -153,10 +160,15 @@ def scd2_history(
     membership is nondeterministic.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # Null-safe change detection: `lag != col` is NULL (→ no change) when
+    # either side is NULL, which would merge NULL-valued rows into the
+    # previous run and emit duplicate (key, _version) groups. eqNullSafe
+    # treats NULL as a regular value (matching the oracle's IS DISTINCT
+    # FROM); the first row per key (lag = NULL) starts its own run either
+    # way — version numbering starts at 0 when the first attr is NULL,
+    # which only shifts the internal counter, never run membership.
     chg = F.when(
-        F.lag(attr_col).over(w).isNull()
-        | (F.lag(attr_col).over(w) != F.col(attr_col)),
-        1,
+        ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)), 1
     ).otherwise(0)
     versioned = changelog.withColumn(
         "_version", F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -121,7 +121,13 @@ class AdsFixtureReader(DataSourceReader):
                 keep = {str(v) for v in f.value}
                 self.customers = [c for c in self.customers if c in keep]
             elif isinstance(f, EqualTo) and f.attribute == ("segments_date",):
-                self.start = self.end = f.value
+                # A pushed filter may only NARROW the configured range —
+                # an equality outside [start, end] must yield zero rows,
+                # not conjure days the unfiltered load() would never emit.
+                if self.start <= f.value <= self.end:
+                    self.start = self.end = f.value
+                else:
+                    self.customers = []  # empty partition grid
             else:
                 yield f  # unsupported → Spark applies it after the scan
 

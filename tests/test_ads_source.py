@@ -74,6 +74,33 @@ class TestAdsSource:
         assert len(leftover) == 1  # clicks filter handed back to Spark
         assert len(r.partitions()) == 5
 
+    def test_date_pushdown_narrows_to_one_day(self, registered):
+        df = _read(registered).where(F.col("segments_date") == "2024-01-03")
+        assert df.count() == 3 * 120
+        assert df.rdd.getNumPartitions() == 3  # pruned to one day per customer
+
+    def test_out_of_range_date_pushdown_yields_no_rows(self, registered):
+        # A pushed filter may only narrow: equality on a date OUTSIDE the
+        # configured [start_date, end_date] must return the same thing the
+        # unpushed plan would — zero rows — not synthesize days the
+        # unfiltered load() never contains.
+        df = _read(registered).where(F.col("segments_date") == "2023-12-25")
+        assert df.count() == 0
+
+    def test_out_of_range_date_pushdown_empties_partition_grid(self):
+        import datetime as dt
+
+        from pyspark.sql.datasource import EqualTo
+
+        r = AdsFixtureReader({"customers": "111,222",
+                              "start_date": "2024-01-01",
+                              "end_date": "2024-01-05"})
+        leftover = list(r.pushFilters([
+            EqualTo(("segments_date",), dt.date(2024, 2, 1)),
+        ]))
+        assert leftover == []          # filter accepted (consumed) ...
+        assert r.partitions() == []    # ... by producing an empty grid
+
     def test_paging_covers_all_rows_without_dup(self):
         from gads_etl_spark.sources.ads_source import PAGE_SIZE, _pages
 

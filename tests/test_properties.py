@@ -145,14 +145,18 @@ class TestScd2Property:
             st.tuples(
                 st.integers(min_value=0, max_value=3),      # key
                 st.integers(min_value=0, max_value=20),     # ts (seconds)
-                st.sampled_from(["a", "b", "c"]),           # value
+                st.sampled_from(["a", "b", "c", None]),     # value (incl. NULL)
             ),
             min_size=1, max_size=25,
         )
     )
     def test_matches_python_runs_model(self, spark, rows):
         """scd2_history == a sequential gaps-and-islands fold per key,
-        for any changelog (duplicate timestamps tie-broken by eid)."""
+        for any changelog (duplicate timestamps tie-broken by eid),
+        including NULL attribute values: the Python model's `==` is
+        null-safe (None == None), so this pins the eqNullSafe change
+        flag — `lag != col` silently merges NULL rows into the previous
+        run."""
         from datetime import datetime, timezone
 
         from gads_etl_spark.operators.temporal import scd2_history

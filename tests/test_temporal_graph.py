@@ -129,6 +129,18 @@ class TestConnectedComponents:
         cb = sorted(map(tuple, connected_components(b).collect()))
         assert ca == cb == [(1, 1), (5, 1), (9, 1)]
 
+    def test_string_node_ids_diameter_gt_one(self, spark):
+        # The convergence fingerprint must be type-agnostic: a numeric
+        # cast of string ids yields NULL, which would fake instant
+        # convergence and freeze a chain after one propagation round.
+        edges = spark.createDataFrame(
+            [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")],
+            "src string, dst string",
+        )
+        comp = {r["node"]: r["component"]
+                for r in connected_components(edges).collect()}
+        assert comp == {k: "a" for k in "abcde"}
+
     def test_cluster_survivors(self, spark):
         docs = spark.createDataFrame(
             [(1, "x"), (2, "x"), (3, "x"), (7, "y")], "doc_id long, text string",
