@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,21 +64,35 @@ def main() -> None:
     if env_extra:
         names += [n for n in env_extra.split(",") if n in REGISTRY and n not in names]
 
+    measured_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    errors: dict[str, str] = {}
+
     def run(batch: list[str]) -> dict[str, float]:
-        # One warmup execution per query, then one measured execution.
-        # The warmup absorbs one-time costs that don't exist in steady
-        # state on a long-lived cluster (JIT + whole-stage-codegen
-        # compilation per query shape, parquet footer reads, broadcast
-        # thread-pool spin-up); the measured pass is the actual scan +
-        # shuffle + aggregation work. Both passes run the full plan.
+        # One warmup execution per query, then `measured_runs` measured
+        # executions reported as the MEDIAN. The warmup absorbs one-time
+        # costs that don't exist in steady state on a long-lived cluster
+        # (JIT + whole-stage-codegen compilation per query shape, parquet
+        # footer reads, broadcast thread-pool spin-up); the median over
+        # repeated passes settles single-run noise. Every query is
+        # failure-isolated: one broken query records an error entry and
+        # the JSON line still prints with everything else's numbers.
         timings: dict[str, float] = {}
         for name in batch:
-            REGISTRY[name].fn(spark, SF_DIR).count()
-            t0 = time.perf_counter()
-            df = REGISTRY[name].fn(spark, SF_DIR)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            try:
+                REGISTRY[name].fn(spark, SF_DIR).count()  # warmup
+                samples = []
+                n = 0
+                for _ in range(measured_runs):
+                    t0 = time.perf_counter()
+                    n = REGISTRY[name].fn(spark, SF_DIR).count()
+                    samples.append(time.perf_counter() - t0)
+                timings[name] = round(statistics.median(samples), 4)
+                print(f"# {name}: {timings[name]:.3f}s median of "
+                      f"{[round(s, 3) for s in samples]} ({n} rows)",
+                      file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
         return timings
 
     timings = run(names)
@@ -91,7 +106,8 @@ def main() -> None:
         "queries": timings,
         "extra": extra,
         "extra_total": round(sum(extra.values()), 4),
-        "runs": {"warmup": 1, "measured": 1},
+        "errors": errors,
+        "runs": {"warmup": 1, "measured": measured_runs, "stat": "median"},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -34,16 +34,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read nanos as long (runtime-settable legacy
-    conf, so any caller-provided session works) and truncate to microsecond
-    TimestampType — the same truncation DuckDB applies, so event-time
-    results hash-match."""
+    """Load events.parquet, normalizing ``ts`` to TimestampType regardless of
+    the fixture vintage.
+
+    The driver has shipped this fixture with three physical types so far:
+    TIMESTAMP(NANOS) (Spark reads it as long under the legacy conf),
+    TIMESTAMP(MICROS) without tz (Spark reads TIMESTAMP_NTZ), and plain
+    TIMESTAMP. Dispatch on the dtype Spark actually read instead of assuming
+    one vintage, so a silent fixture regeneration can't break every
+    event-time query again. Session tz is UTC, so casting NTZ->timestamp
+    matches DuckDB's naive read bit-for-bit.
+    """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # nanos-as-long vintage: truncate to micros (same truncation DuckDB applies)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, TimestampType):
+        return df
+    raise TypeError(f"events.ts has unsupported parquet type {ts_type}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

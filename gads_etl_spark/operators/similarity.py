@@ -72,6 +72,8 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_fraction: float = 0.25,
+    max_iter: int = 5,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF (inverted-file) partitioning.
 
@@ -81,15 +83,21 @@ def ivf_topk(
     assignment is one pass; the candidate join is an equi-join on the
     cell id — the classic IVF trade: recall grows with n_probe, cost
     with |cell| × n_probe instead of |corpus|.
+
+    The KMeans fit runs on a seeded SAMPLE with a bounded iteration count
+    (same pattern as ``semantic_dedup``): centroid quality only shifts
+    which cells candidates land in — recall headroom, never correctness —
+    so at 100 TB the iterative fit must not re-scan the full corpus per
+    iteration. Assignment of the full corpus stays a single pass.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    train = corpus.select(
+    train = corpus.sample(fraction=train_fraction, seed=seed).select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_clusters, seed=seed).fit(train)
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell INT, centroid ARRAY<DOUBLE>",

@@ -106,6 +106,12 @@ class AdsFixtureReader(DataSourceReader):
         if self.end < self.start:
             raise ValueError("gads_fixture: end_date before start_date")
         self.rows_per_day = int(options.get("rows_per_day", "120"))
+        #: Set when a pushed predicate proves the scan is empty. We keep the
+        #: partition grid non-degenerate (PySpark turns an empty partition
+        #: list into a single ``None`` partition and still runs one task —
+        #: plan_data_source_read would then call ``read(None)``), and make
+        #: ``read`` yield nothing instead.
+        self._pruned_empty = False
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Prune the (customer, day) partition grid from query predicates.
@@ -127,11 +133,15 @@ class AdsFixtureReader(DataSourceReader):
                 if self.start <= f.value <= self.end:
                     self.start = self.end = f.value
                 else:
-                    self.customers = []  # empty partition grid
+                    self._pruned_empty = True  # provably zero rows
             else:
                 yield f  # unsupported → Spark applies it after the scan
 
     def partitions(self) -> list[InputPartition]:
+        if self._pruned_empty:
+            # One sentinel partition that read() treats as empty — never an
+            # empty list (see _pruned_empty note in __init__).
+            return [_CustomerDay("", "")]
         days = []
         d = self.start
         while d <= self.end:
@@ -140,6 +150,8 @@ class AdsFixtureReader(DataSourceReader):
         return [_CustomerDay(c, day) for c in self.customers for day in days]
 
     def read(self, partition: _CustomerDay) -> Iterator[tuple]:
+        if partition is None or not partition.customer_id:
+            return
         for page in _pages(partition.customer_id, partition.day, self.rows_per_day):
             yield from page
 

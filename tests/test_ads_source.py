@@ -98,8 +98,14 @@ class TestAdsSource:
         leftover = list(r.pushFilters([
             EqualTo(("segments_date",), dt.date(2024, 2, 1)),
         ]))
-        assert leftover == []          # filter accepted (consumed) ...
-        assert r.partitions() == []    # ... by producing an empty grid
+        assert leftover == []  # filter accepted (consumed) ...
+        # ... by pruning to a single sentinel partition (never an empty
+        # list: PySpark converts [] to [None] and still runs read(None))
+        # whose read yields no rows.
+        parts = r.partitions()
+        assert len(parts) == 1
+        assert list(r.read(parts[0])) == []
+        assert list(r.read(None)) == []  # defensive: None partition is empty too
 
     def test_paging_covers_all_rows_without_dup(self):
         from gads_etl_spark.sources.ads_source import PAGE_SIZE, _pages
