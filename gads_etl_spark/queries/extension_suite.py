@@ -117,23 +117,77 @@ def ext_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
 
 
-@register("ext_minhash_candidates", tags=("extension", "dedup", "lsh"))
+@register(
+    "ext_minhash_candidates",
+    oracle="""
+    SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("extension", "dedup", "lsh"),
+)
 def ext_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (32 hashes, 8 bands of 4).
+    """MinHash-LSH candidate pairs (32 hashes, 8 bands of 4) over the
+    corpus plus 30 injected exact duplicates (doc_id + 100000 copies of
+    the first 30 documents), restricted to the injected (original, copy)
+    pairs.
 
-    Rows-only (hash seeds are engine-specific); invariant-tested against
-    brute-force Jaccard in tests/test_extension_ops.py: high-similarity
-    pairs are recalled, candidate count stays ≪ n²."""
+    The restriction makes the oracle EXACT rather than approximate:
+    identical text → identical shingle set → identical minhash signature
+    → identical band keys, so the band equi-join recalls an exact
+    duplicate with probability 1 under any hash seeds — while the full
+    candidate set is seed-dependent and stays invariant-tested
+    (tests/test_extension_ops.py: high-Jaccard recall, candidate count
+    ≪ n²). The whole pipeline — shingle → minhash → band → self-join —
+    still executes over the full corpus; only the verified projection is
+    narrowed.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_candidate_pairs(docs, num_hashes=32, bands=8)
+    copies = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    pairs = D.minhash_candidate_pairs(docs.unionByName(copies),
+                                      num_hashes=32, bands=8)
+    return pairs.where(F.col("b_id") == F.col("a_id") + 100000)
 
 
-@register("ext_simhash", tags=("extension", "dedup", "lsh"))
+@register(
+    "ext_simhash",
+    oracle="""
+    SELECT doc_id, CAST(0 AS BIGINT) AS hamming_to_copy
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("extension", "dedup", "lsh"),
+)
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (rows-only; hamming-distance invariants
-    tested in tests/test_extension_ops.py)."""
+    """64-bit SimHash fingerprints with an exact derived oracle: each of
+    30 injected exact duplicates (doc_id + 100000 copies of the first 30
+    documents) must land at hamming distance 0 from its original —
+    identical token multisets give bitwise-identical bit-sum vectors and
+    therefore identical fingerprints, deterministically, under any
+    partitioning (per-bit sums are order-independent integer adds).
+
+    Fingerprints are computed for the WHOLE corpus (the full explode +
+    64-conditional-sum groupBy runs); near-dup hamming behavior on
+    non-identical docs stays invariant-tested in
+    tests/test_extension_ops.py.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs).orderBy("doc_id")
+    copies = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    fp = D.simhash(docs.unionByName(copies))
+    orig = fp.where(F.col("doc_id") < 100000).select(
+        "doc_id", F.col("simhash").alias("fp_a")
+    )
+    copy = fp.where(F.col("doc_id") >= 100000).select(
+        (F.col("doc_id") - 100000).alias("doc_id"),
+        F.col("simhash").alias("fp_b"),
+    )
+    return orig.join(copy, "doc_id").select(
+        "doc_id",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        .cast("long").alias("hamming_to_copy"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -310,30 +364,55 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ext_knn_lsh", tags=("extension", "similarity", "lsh"))
+#: Derived oracle shared by the two ANN queries: with an exact copy of
+#: each query vector injected into the corpus at vec_id + 100000, the
+#: rank-1 neighbour of every query is provably its copy — cosine of
+#: identical vectors rounds to exactly 1.0 while the fixture's natural
+#: max pairwise cosine is ~0.6, and an identical vector always shares the
+#: query's LSH buckets (identical sign pattern) / probed IVF cell
+#: (identical centroid distances, deterministic tie-break) — so the
+#: rank-1 projection is seed- and clustering-invariant.
+_ANN_EXACT_HIT_SQL = """
+    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+           1 AS rank, 1.0 AS cos_sim
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _ann_corpus_with_planted_hits(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    copies = queries.withColumn("vec_id", F.col("vec_id") + 100000)
+    corpus = emb.where(F.col("vec_id") >= 10).unionByName(copies)
+    return corpus, queries
+
+
+@register("ext_knn_lsh", oracle=_ANN_EXACT_HIT_SQL,
+          tags=("extension", "similarity", "lsh"))
 def ext_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-5 via random-hyperplane LSH banding (16
-    planes, 8 bands of 2 — recall ≈ 0.98 vs brute force at sf0.001).
-    Rows-only; recall is asserted in tests/test_extension_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.lsh_topk(
-        corpus=emb.where(F.col("vec_id") >= 10),
-        queries=emb.where(F.col("vec_id") < 10),
-        k=5,
-    )
+    planes, 8 bands of 2), over the corpus plus an injected exact copy of
+    each query vector; the verified projection is the rank-1 row per
+    query, which must be the planted copy (see _ANN_EXACT_HIT_SQL). The
+    full bucket → band-join → window machinery runs over the whole
+    corpus; recall on the natural (unplanted) neighbours stays asserted
+    in tests/test_extension_ops.py (≈0.98 vs brute force at sf0.001)."""
+    corpus, queries = _ann_corpus_with_planted_hits(spark, sf_dir)
+    return S.lsh_topk(corpus=corpus, queries=queries, k=5).where(F.col("rank") == 1)
 
 
-@register("ext_knn_ivf", tags=("extension", "similarity", "ivf"))
+@register("ext_knn_ivf", oracle=_ANN_EXACT_HIT_SQL,
+          tags=("extension", "similarity", "ivf"))
 def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate cosine top-5 via IVF partitioning (KMeans cells,
-    4-probe). Rows-only (centroids are model output); recall vs brute
-    force asserted in tests/test_extension_ops.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
-        corpus=emb.where(F.col("vec_id") >= 10),
-        queries=emb.where(F.col("vec_id") < 10),
-        k=5,
-    )
+    """Approximate cosine top-5 via IVF partitioning (sampled-fit KMeans
+    cells, 4-probe), over the corpus plus an injected exact copy of each
+    query vector; the verified projection is the rank-1 row per query,
+    which must be the planted copy regardless of the clustering outcome —
+    the copy's nearest cell IS the query's nearest cell (identical
+    distances, deterministic tie-break), so it is always probed. Recall
+    on natural neighbours stays asserted in tests/test_extension_ops.py."""
+    corpus, queries = _ann_corpus_with_planted_hits(spark, sf_dir)
+    return S.ivf_topk(corpus=corpus, queries=queries, k=5).where(F.col("rank") == 1)
 
 
 @register(
