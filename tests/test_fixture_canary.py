@@ -1,0 +1,81 @@
+"""Fixture-schema canary (VERDICT r4 postmortem).
+
+Round 4 lost 12 queries, the bench artifact, and 17 tests to ONE silent
+fixture regeneration (events.ts: timestamp[ns] → timestamp[us]). This
+canary pins the post-catalog schema of every table at sf0.001 so the
+next regeneration fails here in seconds with a readable message — one
+assert naming the table and the drifted column — instead of 17 cascading
+stack traces.
+
+If this test fails after a driver-side fixture refresh: the FIXTURE
+changed, not the code. Update the expectation below AND check that
+`catalog.load_table` still normalizes the new physical type (events.ts
+especially — see `_load_events`' dtype dispatch).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gads_etl_spark.catalog import TABLES, load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: Expected (column, dtype) per table AFTER catalog normalization —
+#: i.e., what every downstream query is entitled to assume.
+EXPECTED = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp_ntz"),
+               ("o_orderpriority", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp_ntz")],
+    # events.ts MUST come out as tz-aware 'timestamp' whatever the
+    # parquet vintage — that normalization is the whole point of
+    # _load_events.
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"),
+                  ("lang", "string"), ("source", "string"),
+                  ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+}
+
+
+def test_expectation_covers_every_catalog_table():
+    assert set(EXPECTED) == set(TABLES)
+
+
+@pytest.mark.parametrize("table", sorted(TABLES))
+def test_fixture_schema_unchanged(spark, table):
+    got = load_table(spark, SF_DIR, table).dtypes
+    assert got == EXPECTED[table], (
+        f"FIXTURE DRIFT in {table!r}: catalog now yields {got}, expected "
+        f"{EXPECTED[table]}. The driver likely regenerated "
+        f"/root/testdata — verify catalog normalization still applies "
+        f"(see test module docstring) and update EXPECTED."
+    )
+
+
+def test_events_loads_at_every_sf(spark):
+    # The r4 breakage was sf-independent, but cheap to pin all three.
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        df = load_table(spark, f"/root/testdata/{sf}", "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", sf

@@ -1,0 +1,92 @@
+"""Object-store parity for the raw zone (SURVEY.md §2.1 S4).
+
+The reference proves its S3 sink against MinIO
+(reference tests/integration/test_raw_sink_object_minio.py:38-62): the
+same write/seal/refuse/list contract must hold when the zone root is an
+object-store URI rather than a local path. This container has no MinIO,
+so the parity witness is Hadoop's ``viewfs://`` scheme — a genuinely
+different ``FileSystem`` implementation (client-side mount table) that
+every RawZone byte must reach through the Hadoop FS API, exactly the
+code path an ``s3a://`` root takes. If RawZone ever shortcut to
+``os.path`` / ``open()``, every test here would fail.
+
+The full lifecycle is exercised end-to-end on the non-file scheme:
+payload write, metadata-last seal, seal visibility, overwrite refusal,
+run_id discovery via the manifest, FAILFAST read-back, and manifest
+compaction's rename dance.
+"""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from gads_etl_spark.pipeline import PartitionKey, RawZone
+from gads_etl_spark.pipeline.raw_sink import SealedPartitionError
+
+KEY = PartitionKey("google_ads", "123", "campaign_stats", date(2024, 1, 1))
+
+
+def _payload(spark, n=5):
+    return spark.range(n).select(
+        F.col("id").alias("campaign_id"),
+        (F.col("id") * 10).alias("clicks"),
+    )
+
+
+@pytest.fixture
+def object_zone(spark, tmp_path):
+    """RawZone rooted at a viewfs:// URI backed by tmp_path.
+
+    The mount authority must be unique per test: Hadoop's FileSystem
+    cache keys on (scheme, authority) and resolves the mount table once
+    at init, so reusing an authority would silently keep pointing at the
+    previous test's tmp_path.
+    """
+    mount = f"objparity-{tmp_path.name.lower()}"
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set(f"fs.viewfs.mounttable.{mount}.link./zone", f"file://{tmp_path}")
+    root = f"viewfs://{mount}/zone/raw"
+    return RawZone(spark, root)
+
+
+class TestObjectStoreParity:
+    def test_fs_is_not_local_scheme(self, spark, object_zone):
+        # The parity claim rests on the root resolving to a different
+        # FileSystem implementation than the local default.
+        fs, _ = object_zone._fs(object_zone.root)
+        assert "ViewFileSystem" in fs.getClass().getName()
+
+    def test_write_seal_read_roundtrip(self, spark, object_zone):
+        meta = object_zone.write_partition(_payload(spark), KEY, "run-a")
+        assert meta["record_count"] == 5
+        assert object_zone.is_sealed(KEY, "run-a")
+        assert object_zone.read_partition(KEY, "run-a").count() == 5
+        assert object_zone.manifest().count() == 1
+
+    def test_overwrite_refused_on_object_scheme(self, spark, object_zone):
+        object_zone.write_partition(_payload(spark), KEY, "run-a")
+        with pytest.raises(SealedPartitionError):
+            object_zone.write_partition(_payload(spark), KEY, "run-a")
+
+    def test_unsealed_invisible_on_object_scheme(self, spark, object_zone):
+        with pytest.raises(FileNotFoundError):
+            object_zone.read_partition(KEY, "run-missing")
+
+    def test_run_id_discovery(self, spark, object_zone):
+        object_zone.write_partition(_payload(spark), KEY, "run-b")
+        object_zone.write_partition(_payload(spark), KEY, "run-a")
+        assert object_zone.list_run_ids(KEY) == ["run-a", "run-b"]
+
+    def test_manifest_compaction_rename_dance(self, spark, object_zone):
+        # compact_manifest rewrites the manifest dir via temp-dir renames —
+        # the operation most sensitive to FS rename semantics.
+        for d in (1, 2, 3):
+            k = PartitionKey("google_ads", "123", "campaign_stats",
+                            date(2024, 2, d))
+            object_zone.write_partition(_payload(spark), k, "run-c")
+        n_before = object_zone.manifest().count()
+        object_zone.compact_manifest()
+        assert object_zone.manifest().count() == n_before
