@@ -606,21 +606,50 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.length("frame").alias("frame_bytes"))
 
 
-@register("ext_multimodal_decode", tags=("extension", "multimodal", "pandas-udf"))
+@register(
+    "ext_multimodal_decode",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(text[i]) % 8) AS m
+        FROM documents
+    )
+    SELECT doc_id, byte_len,
+           CAST(len(list_filter(m, x -> x = 0)) AS BIGINT) AS b0,
+           CAST(len(list_filter(m, x -> x = 1)) AS BIGINT) AS b1,
+           CAST(len(list_filter(m, x -> x = 2)) AS BIGINT) AS b2,
+           CAST(len(list_filter(m, x -> x = 3)) AS BIGINT) AS b3,
+           CAST(len(list_filter(m, x -> x = 4)) AS BIGINT) AS b4,
+           CAST(len(list_filter(m, x -> x = 5)) AS BIGINT) AS b5,
+           CAST(len(list_filter(m, x -> x = 6)) AS BIGINT) AS b6,
+           CAST(len(list_filter(m, x -> x = 7)) AS BIGINT) AS b7
+    FROM c
+    """,
+    tags=("extension", "multimodal", "pandas-udf"),
+)
 def ext_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode of binary payloads via mapInPandas (decode
-    kernel is a deterministic stub — see operators.multimodal). Rows-only;
-    batch shape and schema are asserted in tests/test_extension_ops.py.
+    """Arrow-batched decode of binary payloads via mapInPandas, verified
+    by an EXACT oracle: the stub kernel's feature vector is the byte-mod-8
+    histogram normalized by length (operators/multimodal.py::_decode_stub),
+    so multiplying each rounded feature back by byte_len recovers the
+    integer bucket counts exactly (rounding error < 0.5 for any document
+    under ~1M bytes; fixture max is 577 and all text is ASCII, so DuckDB's
+    per-character ascii()%8 histogram is the same quantity).
 
-    The raw ``features: array<double>`` column stays the programmatic API
-    (``MM.decode_features``); this registered surface projects it through
-    ``to_json`` so row-level harnesses that canonicalize via pandas sorting
-    (unhashable lists break ``sort_values``) can order and hash the rows.
+    The full Arrow path still runs — payload cast, mapInPandas batching,
+    the Python decode kernel — and the oracle pins its output end-to-end;
+    batch shape/schema invariants stay in tests/test_extension_ops.py.
     """
     docs = load_table(spark, sf_dir, "documents")
     decoded = MM.decode_features(MM.as_binary_payload(docs))
     return decoded.select(
-        "doc_id", "byte_len", F.to_json("features").alias("features_json")
+        "doc_id", "byte_len",
+        *[
+            F.round(F.element_at("features", k + 1) * F.col("byte_len"))
+            .cast("long").alias(f"b{k}")
+            for k in range(8)
+        ],
     )
 
 

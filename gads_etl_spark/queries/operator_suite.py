@@ -356,42 +356,130 @@ def op_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("op_approx_distinct", tags=("operator", "approx-agg"))
+@register(
+    "op_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           true AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("operator", "approx-agg"),
+)
 def op_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct counts next to the exact answer — the scale
     substitute for COUNT(DISTINCT) when a shuffle of distinct values is
-    too expensive. Rows-only (approximation is engine-specific);
-    tests/test_approx_ops.py bounds the relative error at 5%."""
+    too expensive.
+
+    Oracle is a bound certificate: the approximate estimate itself is
+    engine-specific, but HLL register merges are max-operations — order-
+    and partitioning-independent, so the estimate is deterministic for
+    fixed data — and at rsd=0.02 it provably sits within the 5% band the
+    flag checks (also bounded in tests/test_approx_ops.py). The exact
+    counts and group sizes are value-checked outright.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-
-
-@register("op_quantiles", tags=("operator", "approx-agg"))
-def op_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) of order value —
-    mergeable across partitions, bounded memory, the distributed
-    percentile tool. Rows-only; accuracy bounded in tests."""
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.9, 0.99], 10_000)
-        .alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return agg.select(
+        "o_orderpriority", "exact_customers", "n_orders",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("approx_within_5pct"),
     )
 
 
-@register("op_sample", tags=("operator", "sampling"))
+@register(
+    "op_quantiles",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           true AS q25_rank_ok, true AS q50_rank_ok,
+           true AS q90_rank_ok, true AS q99_rank_ok
+    FROM orders
+    """,
+    tags=("operator", "approx-agg"),
+)
+def op_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of order value —
+    mergeable across partitions, bounded memory, the distributed
+    percentile tool.
+
+    Oracle is a rank certificate: the sketch values are engine-specific,
+    but GK at accuracy 10_000 guarantees rank error ≤ n/10_000; the query
+    re-ranks each returned quantile against the full column (one extra
+    aggregate over a broadcast 1-row join) and flags that its empirical
+    rank lands within 0.5% of the target rank — a bound 50× looser than
+    the sketch guarantee, so the flags are deterministically true while
+    still failing loudly if the sketch (or its merge) ever breaks.
+    """
+    percentiles = [0.25, 0.5, 0.9, 0.99]
+    orders = load_table(spark, sf_dir, "orders")
+    qs = orders.agg(
+        F.percentile_approx("o_totalprice", percentiles, 10_000).alias("q")
+    )
+    joined = orders.crossJoin(F.broadcast(qs))
+    ranks = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("o_totalprice") <= F.element_at("q", i + 1)).cast("long"))
+            .alias(f"_r{i}")
+            for i in range(len(percentiles))
+        ],
+    )
+    return ranks.select(
+        F.col("n").alias("n_orders"),
+        *[
+            (F.abs(F.col(f"_r{i}") - F.lit(p) * F.col("n")) <= 0.005 * F.col("n"))
+            .alias(f"q{int(p * 100)}_rank_ok")
+            for i, p in enumerate(percentiles)
+        ],
+    )
+
+
+@register(
+    "op_sample",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           true AS sample_size_ok, true AS sample_mean_ok
+    FROM lineitem
+    """,
+    tags=("operator", "sampling"),
+)
 def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (per-row coin flips — no shuffle, no
-    collect; the 100 TB way to draw a working subset). Rows-only (the
-    sampled set is partitioning-dependent); statistical bounds tested."""
+    collect; the 100 TB way to draw a working subset).
+
+    Oracle is a statistical certificate: the sampled set is
+    partitioning-dependent, but at fraction 0.1 over ≥6k rows the sample
+    size sits within ±10% relative of the expectation (>25σ of binomial
+    slack at the smallest fixture) and the sample mean of l_quantity
+    within ±5% of the population mean — so the flags are deterministic
+    for any partitioning while still catching a broken sampler. Exact
+    per-row invariants are in tests/test_approx_ops.py.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
+    sampled = li.sample(fraction=0.1, seed=42).agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.avg("l_quantity").alias("avg_qty"),
+    )
+    totals = li.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.avg("l_quantity").alias("pop_avg"),
+    )
+    return sampled.crossJoin(F.broadcast(totals)).select(
+        "n_total",
+        (
+            (F.col("n_sampled") >= 0.09 * F.col("n_total"))
+            & (F.col("n_sampled") <= 0.11 * F.col("n_total"))
+        ).alias("sample_size_ok"),
+        (
+            F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.05 * F.col("pop_avg")
+        ).alias("sample_mean_ok"),
     )
 
 

@@ -138,16 +138,20 @@ class AdsFixtureReader(DataSourceReader):
                 yield f  # unsupported → Spark applies it after the scan
 
     def partitions(self) -> list[InputPartition]:
-        if self._pruned_empty:
-            # One sentinel partition that read() treats as empty — never an
-            # empty list (see _pruned_empty note in __init__).
-            return [_CustomerDay("", "")]
         days = []
         d = self.start
         while d <= self.end:
             days.append(d.isoformat())
             d += timedelta(days=1)
-        return [_CustomerDay(c, day) for c in self.customers for day in days]
+        grid = [_CustomerDay(c, day) for c in self.customers for day in days]
+        if self._pruned_empty or not grid:
+            # Pushdown proved the scan empty — out-of-range date, or a
+            # customer equality/IN that matched none of the configured
+            # customers. One sentinel partition that read() treats as
+            # empty — never an empty list (see _pruned_empty note in
+            # __init__).
+            return [_CustomerDay("", "")]
+        return grid
 
     def read(self, partition: _CustomerDay) -> Iterator[tuple]:
         if partition is None or not partition.customer_id:

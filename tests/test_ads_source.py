@@ -79,6 +79,15 @@ class TestAdsSource:
         assert df.count() == 3 * 120
         assert df.rdd.getNumPartitions() == 3  # pruned to one day per customer
 
+    def test_unknown_customer_pushdown_yields_no_rows(self, registered):
+        # Equality on a customer NOT in the configured list empties the
+        # partition grid; the scan must return 0 rows, not crash on a
+        # None sentinel partition.
+        df = _read(registered).where(F.col("customer_id") == "999")
+        assert df.count() == 0
+        df_in = _read(registered).where(F.col("customer_id").isin("998", "999"))
+        assert df_in.count() == 0
+
     def test_out_of_range_date_pushdown_yields_no_rows(self, registered):
         # A pushed filter may only narrow: equality on a date OUTSIDE the
         # configured [start_date, end_date] must return the same thing the
