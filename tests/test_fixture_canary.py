@@ -79,3 +79,65 @@ def test_events_loads_at_every_sf(spark):
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         df = load_table(spark, f"/root/testdata/{sf}", "events")
         assert dict(df.dtypes)["ts"] == "timestamp", sf
+
+
+class TestDerivedOracleAssumptions:
+    """The planted-duplicate / certificate oracles rest on data properties
+    of the fixtures; pin them here so a regeneration that silently breaks
+    an assumption fails with the assumption's name, not an opaque oracle
+    hash mismatch.
+    """
+
+    def test_documents_are_ascii(self, spark):
+        # ext_multimodal_decode's oracle equates DuckDB's per-character
+        # ascii()%8 histogram with the UDF's per-byte histogram — valid
+        # only while every document is pure ASCII (1 byte == 1 char).
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_DIR, "documents")
+        non_ascii = docs.where(
+            F.octet_length("text") != F.length("text")
+        ).count()
+        assert non_ascii == 0, (
+            "documents.text is no longer ASCII-only; the "
+            "ext_multimodal_decode oracle's ascii()%8 histogram no longer "
+            "equals the UDF's byte histogram"
+        )
+
+    def test_first_docs_have_enough_tokens(self, spark):
+        # The minhash/simhash planted-duplicate oracles inject copies of
+        # doc_id < 30; a doc with < 3 tokens produces no 3-gram shingles
+        # (no signature row) and the planted pair would silently vanish.
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, SF_DIR, "documents")
+        thin = docs.where(F.col("doc_id") < 30).where(
+            F.size(F.split(F.col("text"), " ")) < 3
+        ).count()
+        assert thin == 0, "a doc_id<30 document has <3 tokens — planted minhash pairs would vanish"
+
+    def test_natural_cosine_stays_below_planted_hit(self, spark):
+        # The ANN rank-1 oracles require the planted copy (cos == 1.0) to
+        # outrank every natural neighbour; semantic-dedup's threshold
+        # (0.9) must also exceed the natural max. Fixture vectors are
+        # random-ish (~0.6 max): assert a wide margin.
+        from pyspark.sql import functions as F
+
+        from gads_etl_spark.operators.similarity import cosine
+
+        emb = load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        a = emb.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
+        b = emb.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
+        max_cos = (
+            a.join(b, F.col("a_id") < F.col("b_id"))
+            .select(cosine(F.col("a_e"), F.col("b_e")).alias("c"))
+            .agg(F.max("c"))
+            .collect()[0][0]
+        )
+        assert max_cos < 0.9, (
+            f"natural max pairwise cosine {max_cos:.3f} >= 0.9 — the "
+            "planted-hit ANN oracles and the semantic-dedup exact oracle "
+            "are no longer guaranteed"
+        )
