@@ -210,3 +210,17 @@ class TestScd2Plan:
         plan = _formatted_plan(spark, "ev_scd2_history")
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
         assert "partial_min" in plan, plan
+
+
+class TestTopKPlans:
+    @pytest.mark.parametrize("name", [
+        "ext_knn_bruteforce", "ext_knn_lsh", "ext_knn_ivf", "ext_knn_quantized",
+    ])
+    def test_ann_topk_is_window_group_limited(self, spark, name):
+        # InferWindowGroupLimit (Spark 3.5+) keeps only top-k rows per
+        # query map-side BEFORE the exchange; without it the rank<=k
+        # filter shuffles |corpus|×|queries| scored rows and collapses
+        # them onto |queries| reducers. This is the property that makes
+        # broadcast-side top-k viable at 100 TB — pin it.
+        plan = _formatted_plan(spark, name)
+        assert "WindowGroupLimit" in plan, (name, plan)
