@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gads_etl_spark.operators.util import spread
+
 
 def tokens(text: F.Column) -> F.Column:
     """Whitespace tokenization (documents fixture is single-spaced)."""
@@ -78,8 +80,7 @@ def shingle_jaccard_pairs(
     quadratic term is bounded per block — the scale-safe shape of pairwise
     similarity. For unblocked corpora use ``minhash_candidate_pairs``.
     """
-    t = df.select(F.col(id_col), F.col(block_col).alias("_block"), F.col(text_col)) \
-        .repartition(df.sparkSession.sparkContext.defaultParallelism) \
+    t = spread(df.select(F.col(id_col), F.col(block_col).alias("_block"), F.col(text_col))) \
         .select(
             F.col(id_col), F.col("_block"),
             shingles(F.col(text_col), n).alias("_sh"),
@@ -128,11 +129,9 @@ def minhash_signatures(
     """
     # Shingling is CPU-bound and explodes rows; a compact input (one
     # parquet file) would otherwise run it in a single task. Spread the
-    # *input* across cores before the expansion.
-    spread = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    )
-    hashed = spread.select(
+    # *input* across cores before the expansion (no-op when the scan
+    # already yields enough splits).
+    hashed = spread(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).select(id_col, F.xxhash64("sh").alias("h"))
@@ -194,9 +193,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     explode + one groupBy(id) with 64 conditional sums — all JVM-side.
     Near-duplicates = small hamming distance (``bit_count(a ^ b)``).
     """
-    tok = df.select(id_col, text_col).repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tok = spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
     h = F.xxhash64("tok")
     bit_sums = [
         F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from gads_etl_spark.operators.util import spread
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     """Sequential left-fold dot product (deterministic IEEE order)."""
@@ -47,10 +49,10 @@ def cosine_topk_bruteforce(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    c = corpus.select(
+    c = spread(corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    ))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
@@ -120,8 +122,7 @@ def ivf_topk(
             .select(id_alias, vec_alias, "cell")
         )
 
-    c = assign(corpus.repartition(spark.sparkContext.defaultParallelism),
-               "neighbor_id", "c_vec", probes=1)
+    c = assign(spread(corpus), "neighbor_id", "c_vec", probes=1)
     q = assign(queries, "query_id", "q_vec", probes=n_probe)
     scored = c.join(F.broadcast(q), "cell").select(
         "query_id", "neighbor_id",

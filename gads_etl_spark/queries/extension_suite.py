@@ -540,9 +540,11 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    t = emb.select(
+    from gads_etl_spark.operators.util import spread
+
+    t = spread(emb.select(
         "label", F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    ))
     a = t.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
     b = t.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
     pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))

@@ -302,3 +302,22 @@ class TestBlockedEditDistance:
         got = self._pairs(spark, rows)
         assert len(got) == 15  # C(6,2), each once
         assert all(a < b and d == 0 for a, b, d in got)
+
+
+class TestSpreadHelper:
+    def test_spreads_compact_input(self, spark):
+        from gads_etl_spark.operators.util import spread
+
+        df = spark.range(1000).coalesce(1)
+        assert spread(df).rdd.getNumPartitions() == \
+            spark.sparkContext.defaultParallelism
+
+    def test_leaves_wide_input_alone(self, spark):
+        from gads_etl_spark.operators.util import spread
+
+        target = spark.sparkContext.defaultParallelism
+        df = spark.range(1000).repartition(target * 2)
+        # Already past the parallelism target: spread must be a no-op —
+        # at scale this is the difference between zero shuffle and
+        # shuffling the whole corpus.
+        assert spread(df) is df
