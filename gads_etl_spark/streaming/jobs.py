@@ -15,6 +15,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -148,6 +152,43 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+class _RunningCounters(StatefulProcessor):
+    """transformWithState processor: same running (n, total_cents) per
+    user as ``_update_counters``, on the Spark 4 stateful API — typed
+    state handles (value/list/map), optional TTL, and timers the legacy
+    ``applyInPandasWithState`` lacks. State here is one ValueState tuple;
+    arithmetic stays in integer cents so stream and batch agree exactly.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counters = handle.getValueState("counters", _COUNTER_STATE)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, cents = self._counters.get() if self._counters.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        self._counters.update((n, cents))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
+    """Per-user running counters via ``transformWithStateInPandas`` —
+    the modern twin of ``stateful_user_counters``; both must emit the
+    same final totals (asserted in tests/test_streaming.py)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningCounters(),
+        outputStructType=_COUNTER_OUT,
+        outputMode="Update",
+        timeMode="None",
     )
 
 

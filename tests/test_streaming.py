@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from gads_etl_spark.streaming.jobs import (
@@ -129,6 +130,36 @@ class TestStreaming:
         assert final == batch_totals
         emissions_user1 = [r for r in rows if r.user_id == 1]
         assert len(emissions_user1) >= 2  # updated in more than one batch
+        assert final[1] == (4, 14.75)
+
+    def test_transform_with_state_matches_legacy_processor(self, spark, tmp_path):
+        # The Spark 4 transformWithState processor must produce the same
+        # final per-user totals as the applyInPandasWithState kernel (and
+        # therefore as batch). Its driver worker imports google.protobuf
+        # at runtime; skip (don't fail) where that package is absent —
+        # the container this repo is built in lacks it.
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's Python runner requires protobuf",
+        )
+        from gads_etl_spark.streaming.jobs import stateful_user_counters_tws
+
+        src, batch_df = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        _run_stream(stateful_user_counters_tws(stream), "t_counters_tws", "update")
+
+        final = {}
+        for r in spark.table("t_counters_tws").collect():
+            final[r.user_id] = (r.n_events, r.total_value)
+        batch_totals = {
+            r.user_id: (r.cnt, r.total)
+            for r in batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100)
+                .alias("total"),
+            ).collect()
+        }
+        assert final == batch_totals
         assert final[1] == (4, 14.75)
 
 
