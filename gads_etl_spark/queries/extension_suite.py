@@ -477,6 +477,62 @@ def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_winnow_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(g) - 3, 1)),
+                   j -> list_min(g[j:j+3]))) AS fps
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(length(text) - 3, 1)),
+                       i -> md5(substring(text, i, 4))) AS g
+            FROM documents)
+    )
+    """,
+    tags=("extension", "text", "fingerprint"),
+)
+def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer et
+    al., SIGMOD 2003 — public method): hash every character 4-gram, then
+    keep the minimum hash of each sliding window of 4 — the classic
+    near-copy-detection fingerprint set whose size is ~|doc|/w yet is
+    position-robust (an edit only perturbs nearby windows).
+
+    Everything is JVM expression work — ``transform(sequence(...))`` over
+    substrings, ``array_min(slice(...))`` per window — no explode, no
+    shuffle, no UDF: at 100 TB this runs entirely map-side. Hashes are
+    md5 hex strings ordered lexicographically so DuckDB's ``list_min``
+    agrees exactly; the oracle mirrors the construction 1:1.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 3, 1)), "
+        "i -> md5(substring(text, i, 4)))"
+    )
+    fps = F.expr(
+        "array_distinct(transform(sequence(1, greatest(size(g) - 3, 1)), "
+        "j -> array_min(slice(g, j, 4))))"
+    )
+    return (
+        docs.select("doc_id", grams.alias("g"))
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").cast("long").alias("n_fingerprints"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+    )
+
+
+@register(
     "ext_text_normalize",
     oracle="""
     SELECT doc_id,
