@@ -49,6 +49,8 @@ EXTRA = [
     "op_window_frames",
     "ev_scd2_history",
     "ext_fuzzy_match",
+    "ext_winnow_fingerprint",
+    "ext_multimodal_decode",
 ]
 
 
