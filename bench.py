@@ -66,7 +66,7 @@ def main() -> None:
     if env_extra:
         names += [n for n in env_extra.split(",") if n in REGISTRY and n not in names]
 
-    measured_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    measured_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     errors: dict[str, str] = {}
 
     def run(batch: list[str]) -> dict[str, float]:

@@ -49,6 +49,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ branch below interprets naive micros in the SESSION zone;
+    # only UTC matches the DuckDB oracle's naive read (and the reference's
+    # UTC normalization), so pin it here rather than trusting the caller's
+    # session — both confs are runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):

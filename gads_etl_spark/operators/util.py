@@ -16,7 +16,12 @@ def spread(df: DataFrame) -> DataFrame:
     version shuffles the entire input to gain nothing. So shuffle only
     when the incoming partition count is below the cluster's parallelism.
 
-    The partition-count probe is driver-side plan inspection (no job).
+    Apply this to SCAN-LEVEL inputs only (all current call sites are
+    projections over a table scan). The ``df.rdd`` probe is plain plan
+    conversion for exchange-free plans, but under AQE it MATERIALIZES the
+    query stages of any plan that contains a shuffle — i.e. it would run
+    the upstream jobs twice. Don't reach for it downstream of a
+    join/aggregate.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

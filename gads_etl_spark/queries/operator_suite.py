@@ -455,12 +455,13 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect; the 100 TB way to draw a working subset).
 
     Oracle is a statistical certificate: the sampled set is
-    partitioning-dependent, but at fraction 0.1 over ≥6k rows the sample
-    size sits within ±10% relative of the expectation (>25σ of binomial
-    slack at the smallest fixture) and the sample mean of l_quantity
-    within ±5% of the population mean — so the flags are deterministic
-    for any partitioning while still catching a broken sampler. Exact
-    per-row invariants are in tests/test_approx_ops.py.
+    partitioning-dependent, but at fraction 0.1 the ±20% relative band on
+    the sample size is ≥5σ of binomial slack even at the smallest fixture
+    (sf0.001: n=6000, sd≈23, band ±120 ≈ 5.2σ; sf0.1: ≈52σ) and the
+    sample mean of l_quantity sits within ±5% of the population mean — so
+    the flags are deterministic for any partitioning while still catching
+    a broken sampler. Exact per-row invariants are in
+    tests/test_approx_ops.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sampled = li.sample(fraction=0.1, seed=42).agg(
@@ -474,8 +475,8 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.crossJoin(F.broadcast(totals)).select(
         "n_total",
         (
-            (F.col("n_sampled") >= 0.09 * F.col("n_total"))
-            & (F.col("n_sampled") <= 0.11 * F.col("n_total"))
+            (F.col("n_sampled") >= 0.08 * F.col("n_total"))
+            & (F.col("n_sampled") <= 0.12 * F.col("n_total"))
         ).alias("sample_size_ok"),
         (
             F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.05 * F.col("pop_avg")

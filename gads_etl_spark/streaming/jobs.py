@@ -119,6 +119,24 @@ _COUNTER_OUT = T.StructType([
 ])
 
 
+def _accumulate_counters(
+    n: int, cents: int, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, int]:
+    """Shared accumulation policy for BOTH stateful processors: exact
+    integer-cent totals so stream and batch agree bit-for-bit. Keeping it
+    in one place is what makes the legacy/TWS parity contract enforceable."""
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(float(pdf["value"].sum()) * 100))
+    return n, cents
+
+
+def _emit_counters(key, n: int, cents: int) -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100],
+    })
+
+
 def _update_counters(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -131,13 +149,9 @@ def _update_counters(
     windowed aggregation can't express.
     """
     n, cents = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        cents += int(round(float(pdf["value"].sum()) * 100))
+    n, cents = _accumulate_counters(n, cents, pdfs)
     state.update((n, cents))
-    yield pd.DataFrame({
-        "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100],
-    })
+    yield _emit_counters(key, n, cents)
 
 
 def stateful_user_counters(events: DataFrame) -> DataFrame:
@@ -168,13 +182,9 @@ class _RunningCounters(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         n, cents = self._counters.get() if self._counters.exists() else (0, 0)
-        for pdf in rows:
-            n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+        n, cents = _accumulate_counters(n, cents, rows)
         self._counters.update((n, cents))
-        yield pd.DataFrame({
-            "user_id": [key[0]], "n_events": [n], "total_value": [cents / 100],
-        })
+        yield _emit_counters(key, n, cents)
 
     def close(self) -> None:
         pass

@@ -81,6 +81,14 @@ def test_events_loads_at_every_sf(spark):
         assert dict(df.dtypes)["ts"] == "timestamp", sf
 
 
+#: The oracles these assumptions protect are verified at sf0.01 (driver)
+#: and sf0.1 (judge sweep), so the canary must cover every sf — a drift
+#: in only one fixture dir would otherwise surface as an opaque oracle
+#: hash mismatch there while the canary stayed green.
+ALL_SF_DIRS = [f"/root/testdata/sf{sf}" for sf in ("0.001", "0.01", "0.1")]
+
+
+@pytest.mark.parametrize("sf_dir", ALL_SF_DIRS)
 class TestDerivedOracleAssumptions:
     """The planted-duplicate / certificate oracles rest on data properties
     of the fixtures; pin them here so a regeneration that silently breaks
@@ -88,35 +96,38 @@ class TestDerivedOracleAssumptions:
     hash mismatch.
     """
 
-    def test_documents_are_ascii(self, spark):
+    def test_documents_are_ascii(self, spark, sf_dir):
         # ext_multimodal_decode's oracle equates DuckDB's per-character
         # ascii()%8 histogram with the UDF's per-byte histogram — valid
         # only while every document is pure ASCII (1 byte == 1 char).
         from pyspark.sql import functions as F
 
-        docs = load_table(spark, SF_DIR, "documents")
+        docs = load_table(spark, sf_dir, "documents")
         non_ascii = docs.where(
             F.octet_length("text") != F.length("text")
         ).count()
         assert non_ascii == 0, (
-            "documents.text is no longer ASCII-only; the "
+            f"{sf_dir}: documents.text is no longer ASCII-only; the "
             "ext_multimodal_decode oracle's ascii()%8 histogram no longer "
             "equals the UDF's byte histogram"
         )
 
-    def test_first_docs_have_enough_tokens(self, spark):
+    def test_first_docs_have_enough_tokens(self, spark, sf_dir):
         # The minhash/simhash planted-duplicate oracles inject copies of
         # doc_id < 30; a doc with < 3 tokens produces no 3-gram shingles
         # (no signature row) and the planted pair would silently vanish.
         from pyspark.sql import functions as F
 
-        docs = load_table(spark, SF_DIR, "documents")
+        docs = load_table(spark, sf_dir, "documents")
         thin = docs.where(F.col("doc_id") < 30).where(
             F.size(F.split(F.col("text"), " ")) < 3
         ).count()
-        assert thin == 0, "a doc_id<30 document has <3 tokens — planted minhash pairs would vanish"
+        assert thin == 0, (
+            f"{sf_dir}: a doc_id<30 document has <3 tokens — planted "
+            "minhash pairs would vanish"
+        )
 
-    def test_natural_cosine_stays_below_planted_hit(self, spark):
+    def test_natural_cosine_stays_below_planted_hit(self, spark, sf_dir):
         # The ANN rank-1 oracles require the planted copy (cos == 1.0) to
         # outrank every natural neighbour; semantic-dedup's threshold
         # (0.9) must also exceed the natural max. Fixture vectors are
@@ -125,7 +136,7 @@ class TestDerivedOracleAssumptions:
 
         from gads_etl_spark.operators.similarity import cosine
 
-        emb = load_table(spark, SF_DIR, "embeddings").select(
+        emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
         a = emb.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
@@ -137,7 +148,7 @@ class TestDerivedOracleAssumptions:
             .collect()[0][0]
         )
         assert max_cos < 0.9, (
-            f"natural max pairwise cosine {max_cos:.3f} >= 0.9 — the "
-            "planted-hit ANN oracles and the semantic-dedup exact oracle "
-            "are no longer guaranteed"
+            f"{sf_dir}: natural max pairwise cosine {max_cos:.3f} >= 0.9 — "
+            "the planted-hit ANN oracles and the semantic-dedup exact "
+            "oracle are no longer guaranteed"
         )
