@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gads_etl_spark.pipeline.keys import LOGICAL_KEY
-from gads_etl_spark.pipeline.state_store import _VersionedTable, merge_upsert
+from gads_etl_spark.pipeline.state_store import _VersionedTable
 
 POINTER_SCHEMA = T.StructType([
     T.StructField("source", T.StringType(), False),
@@ -29,22 +29,22 @@ POINTER_SCHEMA = T.StructType([
 class PointerStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self._table = _VersionedTable(spark, root, POINTER_SCHEMA)
+        self._table = _VersionedTable(spark, root, POINTER_SCHEMA,
+                                      key_cols=LOGICAL_KEY)
 
     def read(self) -> DataFrame:
         return self._table.read()
 
     def upsert(self, updates: DataFrame) -> None:
-        """Publish/replace pointers (M2 — pointer_store.py:107-135)."""
-        self._table.commit(merge_upsert(self.read(), updates, LOGICAL_KEY))
+        """Publish/replace pointers (M2 — pointer_store.py:107-135).
+        Bucketed MERGE: untouched buckets carry over by reference."""
+        self._table.merge(updates)
 
     def delete(self, keys: DataFrame) -> None:
         """Demote: drop pointers whose key appears in ``keys`` (M2 delete —
-        pointer_store.py:137-156). Anti-join rewrite, no row-at-a-time."""
-        remaining = self.read().join(
-            keys.select(*LOGICAL_KEY).distinct(), list(LOGICAL_KEY), "left_anti"
-        )
-        self._table.commit(remaining)
+        pointer_store.py:137-156). Anti-join rewrite confined to the
+        buckets containing the demoted keys; no row-at-a-time."""
+        self._table.delete_keys(keys)
 
     def get(self, key) -> dict | None:
         rows = (

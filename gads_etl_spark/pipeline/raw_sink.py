@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
+from gads_etl_spark.pipeline import fsutil
 from gads_etl_spark.pipeline.keys import LOGICAL_KEY, PartitionKey
 
 MANIFEST_SCHEMA = T.StructType([
@@ -84,25 +85,14 @@ class RawZone:
     # -- filesystem (Hadoop FS API: file://, s3a://, ... all work) --------
 
     def _fs(self, path: str):
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, hpath
+        return fsutil.get_fs(self.spark, path)
 
     def _path_exists(self, path: str) -> bool:
-        fs, hpath = self._fs(path)
-        return fs.exists(hpath)
+        return fsutil.exists(self.spark, path)
 
     def _write_file_atomic(self, path: str, content: str) -> None:
         """Write via temp + rename — the metadata-last atomicity trick."""
-        fs, hpath = self._fs(path)
-        tmp = self.spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(content.encode("utf-8")))
-        finally:
-            out.close()
-        fs.rename(tmp, hpath)
+        fsutil.write_text_atomic(self.spark, path, content)
 
     # -- manifest ---------------------------------------------------------
 

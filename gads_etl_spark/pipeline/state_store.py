@@ -11,17 +11,25 @@ docs/state_store_contract.md):
 - Single-writer discipline (only validators/control-plane write —
   docs/state_store_contract.md:32-33), preserved as a documented invariant.
 
-Storage is a versioned parquet table with an atomically-swapped CURRENT
-pointer — the same metadata-last publish trick as the raw zone, applied to
-a control table. This is deliberately Delta-shaped: on a cluster with Delta
-available, ``MERGE INTO`` replaces ``_commit`` one-for-one. The table is
-tiny relative to data (one row per logical partition: ~10M rows at 100 TB),
-so a full rewrite per merge batch is cheap and the swap is atomic.
+Storage is a hash-bucketed, versioned parquet table with an atomically
+swapped CURRENT pointer — the same metadata-last publish trick as the raw
+zone, applied to a control table. This is deliberately Delta-shaped: each
+commit writes a version *manifest* (bucket → file path), and a MERGE
+rewrites ONLY the buckets containing touched keys, carrying the untouched
+buckets over by reference. On a cluster with Delta available, ``MERGE
+INTO`` replaces this layer one-for-one. At the reference's projected scale
+(~10M logical partitions at 100 TB) a validator batch touching a few
+hundred keys rewrites O(|Δ| + |table|/n_buckets) rows across a handful of
+parallel tasks — not the whole table through one task.
+
+Every filesystem touch goes through the Hadoop FS API (``fsutil``), so a
+``viewfs://``, ``hdfs://`` or ``s3a://`` root works exactly like a local
+path — the control plane can live on the same shared storage as the data.
 """
 
 from __future__ import annotations
 
-import os
+import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from gads_etl_spark.pipeline import fsutil
 from gads_etl_spark.pipeline.keys import LOGICAL_KEY
 
 STATE_SCHEMA = T.StructType([
@@ -66,106 +75,245 @@ def merge_upsert(current: DataFrame, updates: DataFrame,
     )
 
 
-class _VersionedTable:
-    """Parquet table versions + atomic CURRENT pointer (single-writer)."""
+#: Directory-name prefix for bucket partitions. Deliberately NOT
+#: underscore-prefixed: Hadoop readers hide `_`-prefixed paths.
+_BUCKET_COL = "bucket"
 
-    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+
+class _VersionedTable:
+    """Hash-bucketed parquet versions + atomic CURRENT pointer.
+
+    Layout under ``root`` (any Hadoop FS URI):
+
+    - ``CURRENT`` — text file naming the live version (atomic swap).
+    - ``_versions/<version>.json`` — one manifest per commit:
+      ``{"version", "seq", "parent", "buckets": {"<k>": "<dir uri>"}}``.
+      Lexicographic manifest-name order == commit order (zero-padded seq).
+    - ``data/<version>/bucket=<k>/`` — parquet written by THIS commit for
+      bucket ``k``. A manifest may reference bucket dirs of OLDER versions:
+      that is the carry-over that makes MERGE O(touched buckets).
+
+    Single-writer discipline (reference docs/state_store_contract.md:32-33)
+    makes the create-then-rename pointer swap sufficient; readers see
+    either the old or the new manifest, never a partial table.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, schema: T.StructType,
+                 key_cols: tuple[str, ...] | None = None, n_buckets: int = 16):
         self.spark = spark
         self.root = root.rstrip("/")
         self.schema = schema
-        os.makedirs(self.root, exist_ok=True)
+        self.key_cols = tuple(key_cols) if key_cols else None
+        self.n_buckets = n_buckets if key_cols else 1
+        if _BUCKET_COL in schema.fieldNames():
+            raise ValueError(f"schema may not contain a {_BUCKET_COL!r} column")
+        fsutil.mkdirs(spark, self.root)
+
+    # -- pointer + manifests ---------------------------------------------
 
     @property
     def _pointer(self) -> str:
-        return os.path.join(self.root, "CURRENT")
+        return f"{self.root}/CURRENT"
+
+    @property
+    def _versions_dir(self) -> str:
+        return f"{self.root}/_versions"
 
     def _current_version(self) -> str | None:
-        try:
-            with open(self._pointer) as f:
-                return f.read().strip() or None
-        except FileNotFoundError:
-            return None
+        text = fsutil.read_text(self.spark, self._pointer)
+        return (text or "").strip() or None
+
+    def _manifest(self, version: str) -> dict:
+        text = fsutil.read_text(self.spark, f"{self._versions_dir}/{version}.json")
+        if text is None:
+            raise KeyError(f"unknown version {version!r}")
+        return json.loads(text)
+
+    def _current_manifest(self) -> dict | None:
+        v = self._current_version()
+        return self._manifest(v) if v is not None else None
+
+    def _next_version(self, parent: dict | None) -> str:
+        seq = (parent["seq"] + 1) if parent else 1
+        return f"v_{seq:010d}_{uuid.uuid4().hex[:6]}"
+
+    def _publish(self, version: str, parent: dict | None,
+                 buckets: dict[str, str]) -> None:
+        """Manifest first, CURRENT swap last (metadata-last publish)."""
+        manifest = {
+            "version": version,
+            "seq": (parent["seq"] + 1) if parent else 1,
+            "parent": parent["version"] if parent else None,
+            "buckets": buckets,
+        }
+        fsutil.write_text_atomic(
+            self.spark, f"{self._versions_dir}/{version}.json",
+            json.dumps(manifest, sort_keys=True),
+        )
+        fsutil.write_text_atomic(self.spark, self._pointer, version)
+
+    # -- bucketing --------------------------------------------------------
+
+    def _bucket_expr(self):
+        if self.key_cols is None:
+            return F.lit(0)
+        # Murmur3 via F.hash: deterministic across sessions/partitionings,
+        # evaluated JVM-side.
+        return F.pmod(F.hash(*self.key_cols), F.lit(self.n_buckets))
+
+    def _touched_buckets(self, df: DataFrame) -> list[int]:
+        rows = df.select(self._bucket_expr().alias("b")).distinct().collect()
+        return sorted(r["b"] for r in rows)  # ≤ n_buckets values
+
+    def _write_buckets(self, df: DataFrame, version: str) -> dict[str, str]:
+        """Write ``df`` hash-partitioned by bucket; return bucket → dir.
+
+        One shuffle with bounded width (n_buckets tasks) replaces the old
+        ``coalesce(1)`` single-task rewrite; the hive-style ``bucket=``
+        write yields at most a few files per bucket.
+        """
+        data_dir = f"{self.root}/data/{version}"
+        (
+            df.select([f.name for f in self.schema.fields])
+            .withColumn(_BUCKET_COL, self._bucket_expr())
+            .repartition(self.n_buckets, _BUCKET_COL)
+            .write.partitionBy(_BUCKET_COL)
+            .parquet(data_dir)
+        )
+        out: dict[str, str] = {}
+        for name in fsutil.list_names(self.spark, data_dir):
+            if name.startswith(f"{_BUCKET_COL}="):
+                out[name.split("=", 1)[1]] = f"{data_dir}/{name}"
+        return out
+
+    def _read_paths(self, paths: list[str]) -> DataFrame:
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    # -- public API -------------------------------------------------------
 
     def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
+        manifest = self._current_manifest()
+        if manifest is None:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(os.path.join(self.root, v))
+        return self._read_paths(list(manifest["buckets"].values()))
 
     def commit(self, df: DataFrame) -> None:
-        """Write a new version dir, then atomically swap the pointer.
+        """Full-table replace: write every bucket fresh, swap the pointer.
 
         Readers see either the old or the new version — never a partial
         table (the control-plane analogue of the metadata-last seal).
         Old versions stay on disk until ``vacuum`` — free time travel
         for audits of control-table transitions.
         """
-        version = f"v_{uuid.uuid4().hex[:12]}"
-        df.select([f.name for f in self.schema.fields]).coalesce(1).write.parquet(
-            os.path.join(self.root, version)
+        parent = self._current_manifest()
+        version = self._next_version(parent)
+        buckets = self._write_buckets(df, version)
+        self._publish(version, parent, buckets)
+
+    def merge(self, updates: DataFrame) -> None:
+        """MERGE touching only buckets that contain updated keys — O(Δ).
+
+        Buckets without any updated key are carried into the new manifest
+        by reference: their files are not read, not rewritten, not moved.
+        """
+        if self.key_cols is None:
+            raise ValueError("merge requires key_cols")
+        parent = self._current_manifest()
+        if parent is None or not parent["buckets"]:
+            self.commit(updates)
+            return
+        updates = updates.select([f.name for f in self.schema.fields])
+        touched = self._touched_buckets(updates)
+        buckets = dict(parent["buckets"])
+        current = self._read_paths(
+            [buckets[str(k)] for k in touched if str(k) in buckets]
         )
-        self._log_version(version)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, self._pointer)
+        merged = merge_upsert(current, updates, self.key_cols)
+        version = self._next_version(parent)
+        buckets.update(self._write_buckets(merged, version))
+        self._publish(version, parent, buckets)
 
-    @property
-    def _log(self) -> str:
-        return os.path.join(self.root, "VERSIONS")
-
-    def _log_version(self, version: str) -> None:
-        with open(self._log, "a") as f:
-            f.write(version + "\n")
+    def delete_keys(self, keys: DataFrame) -> None:
+        """Anti-join delete touching only buckets containing the keys."""
+        if self.key_cols is None:
+            raise ValueError("delete_keys requires key_cols")
+        parent = self._current_manifest()
+        if parent is None or not parent["buckets"]:
+            return
+        touched = self._touched_buckets(keys.select(*self.key_cols))
+        buckets = dict(parent["buckets"])
+        touched_present = [k for k in touched if str(k) in buckets]
+        if not touched_present:
+            return
+        current = self._read_paths([buckets[str(k)] for k in touched_present])
+        remaining = current.join(
+            keys.select(*self.key_cols).distinct(), list(self.key_cols),
+            "left_anti",
+        )
+        version = self._next_version(parent)
+        rewritten = self._write_buckets(remaining, version)
+        for k in touched_present:
+            if str(k) in rewritten:
+                buckets[str(k)] = rewritten[str(k)]
+            else:
+                buckets.pop(str(k))  # every row of the bucket was deleted
+        self._publish(version, parent, buckets)
 
     def history(self) -> list[str]:
-        """Committed versions, oldest first."""
-        try:
-            with open(self._log) as f:
-                return [v for v in f.read().splitlines() if v]
-        except FileNotFoundError:
-            return []
+        """Committed versions, oldest first (zero-padded seq in the name)."""
+        return sorted(
+            name[: -len(".json")]
+            for name in fsutil.list_names(self.spark, self._versions_dir)
+            if name.endswith(".json")
+        )
 
     def read_version(self, version: str) -> DataFrame:
         """Time travel: read a specific committed version."""
-        if version not in self.history():
-            raise KeyError(f"unknown version {version!r}")
-        return self.spark.read.schema(self.schema).parquet(
-            os.path.join(self.root, version)
-        )
+        manifest = self._manifest(version)
+        return self._read_paths(list(manifest["buckets"].values()))
 
     def vacuum(self, keep: int = 5) -> int:
         """Drop all but the newest ``keep`` versions (never the current).
-        Returns the number of versions removed."""
-        import shutil
 
+        A data directory survives as long as ANY kept manifest still
+        references one of its buckets (carry-over means old commits' files
+        can back newer manifests). Returns the number of versions removed.
+        """
         hist = self.history()
         current = self._current_version()
         drop = [v for v in hist[:-keep] if v != current] if len(hist) > keep else []
+        kept = [v for v in hist if v not in drop]
+        referenced: set[str] = set()
+        for v in kept:
+            for path in self._manifest(v)["buckets"].values():
+                # .../data/<version>/bucket=<k> → <version>
+                referenced.add(path.rstrip("/").split("/")[-2])
+        for name in fsutil.list_names(self.spark, f"{self.root}/data"):
+            if name not in referenced:
+                fsutil.delete(self.spark, f"{self.root}/data/{name}")
         for v in drop:
-            shutil.rmtree(os.path.join(self.root, v), ignore_errors=True)
-        remaining = [v for v in hist if v not in drop]
-        tmp = self._log + ".tmp"
-        with open(tmp, "w") as f:
-            f.write("\n".join(remaining) + "\n")
-        os.replace(tmp, self._log)
+            fsutil.delete(self.spark, f"{self._versions_dir}/{v}.json")
         return len(drop)
 
 
 class StateStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self._table = _VersionedTable(spark, root, STATE_SCHEMA)
+        self._table = _VersionedTable(spark, root, STATE_SCHEMA,
+                                      key_cols=LOGICAL_KEY)
 
     def read(self) -> DataFrame:
         return self._table.read()
 
     def upsert(self, updates: DataFrame) -> None:
-        """MERGE updates into the ledger (M1 — state_store.py:123-163)."""
+        """MERGE updates into the ledger (M1 — state_store.py:123-163).
+        Only buckets containing updated keys are rewritten."""
         bad = updates.where(~F.col("status").isin(*VALID_STATUSES)).limit(1).count()
         if bad:
             raise ValueError(f"status must be one of {VALID_STATUSES}")
-        self._table.commit(merge_upsert(self.read(), updates, LOGICAL_KEY))
+        self._table.merge(updates)
 
     def commit(self, full_state: DataFrame) -> None:
         """Replace the whole ledger (control-plane bulk transitions)."""

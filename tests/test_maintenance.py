@@ -74,3 +74,48 @@ class TestTimeTravel:
         assert len(states._table.history()) == 2
         # Current version survives and still reads.
         assert states.read().count() == 1
+
+
+def _dir_digest(path):
+    """sha256 over (name, bytes) of every file under a local bucket dir."""
+    import hashlib
+    import pathlib
+
+    h = hashlib.sha256()
+    for f in sorted(pathlib.Path(path).rglob("*")):
+        if f.is_file():
+            h.update(f.name.encode())
+            h.update(f.read_bytes())
+    return h.hexdigest()
+
+
+class TestBucketedMerge:
+    """MERGE is O(touched buckets): untouched bucket files are carried
+    into the new version manifest by reference — never read or rewritten."""
+
+    def test_untouched_buckets_carry_over_byte_identical(self, spark, tmp_path):
+        states = StateStore(spark, str(tmp_path / "state"))
+        seed = [_row(str(c), "pending") for c in range(40)]
+        states.upsert(spark.createDataFrame(seed, STATE_SCHEMA))
+        m0 = states._table._current_manifest()
+        assert len(m0["buckets"]) > 1  # 40 keys spread over several buckets
+
+        update = spark.createDataFrame([_row("7", "success")], STATE_SCHEMA)
+        touched = states._table._touched_buckets(update)
+        assert len(touched) == 1
+        untouched = {k: p for k, p in m0["buckets"].items()
+                     if k != str(touched[0])}
+        digests_before = {k: _dir_digest(p) for k, p in untouched.items()}
+
+        states.upsert(update)
+
+        m1 = states._table._current_manifest()
+        # The touched bucket moved to a new data dir; every other bucket
+        # entry is the SAME path, and its files are byte-identical.
+        assert m1["buckets"][str(touched[0])] != m0["buckets"][str(touched[0])]
+        for k, path in untouched.items():
+            assert m1["buckets"][k] == path
+            assert _dir_digest(path) == digests_before[k]
+        got = {r.customer_id: r.status for r in states.read().collect()}
+        assert got["7"] == "success"
+        assert sum(1 for s in got.values() if s == "pending") == 39

@@ -18,13 +18,15 @@ compaction's rename dance.
 
 from __future__ import annotations
 
-from datetime import date
+from datetime import date, datetime
 
 import pytest
 from pyspark.sql import functions as F
 
-from gads_etl_spark.pipeline import PartitionKey, RawZone
+from gads_etl_spark.pipeline import PartitionKey, PointerStore, RawZone, StateStore
 from gads_etl_spark.pipeline.raw_sink import SealedPartitionError
+from gads_etl_spark.pipeline.state_store import STATE_SCHEMA
+from gads_etl_spark.pipeline.pointer_store import POINTER_SCHEMA
 
 KEY = PartitionKey("google_ads", "123", "campaign_stats", date(2024, 1, 1))
 
@@ -90,3 +92,73 @@ class TestObjectStoreParity:
         n_before = object_zone.manifest().count()
         object_zone.compact_manifest()
         assert object_zone.manifest().count() == n_before
+
+
+@pytest.fixture
+def object_root(spark, tmp_path):
+    """A viewfs:// URI backed by tmp_path (unique mount per test — see
+    the object_zone fixture for why the authority must not be reused)."""
+    mount = f"ctlparity-{tmp_path.name.lower()}"
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set(f"fs.viewfs.mounttable.{mount}.link./zone", f"file://{tmp_path}")
+    return f"viewfs://{mount}/zone"
+
+
+def _state_row(customer_id, status, attempt=1):
+    return {
+        "source": "google_ads", "customer_id": customer_id,
+        "query_name": "q", "logical_date": date(2024, 1, 1),
+        "status": status, "current_run_id": None, "schema_version": None,
+        "record_count": None, "updated_at": datetime(2024, 3, 1),
+        "error_message": None, "attempt_count": attempt,
+    }
+
+
+def _pointer_row(customer_id, run_id):
+    return {
+        "source": "google_ads", "customer_id": customer_id,
+        "query_name": "q", "logical_date": date(2024, 1, 1),
+        "run_id": run_id, "schema_version": "v1",
+        "loaded_at": datetime(2024, 3, 1),
+    }
+
+
+class TestControlPlaneObjectStore:
+    """State/pointer/version lifecycle on a non-local FileSystem scheme.
+
+    The control plane is the most cluster-critical storage layer — if any
+    of its I/O shortcut to ``open()``/``os.replace`` these tests would
+    fail, because a ``viewfs://`` URI is not a local path.
+    """
+
+    def test_state_merge_lifecycle(self, spark, object_root):
+        states = StateStore(spark, f"{object_root}/state")
+        states.upsert(spark.createDataFrame(
+            [_state_row("1", "pending"), _state_row("2", "pending")],
+            STATE_SCHEMA))
+        states.upsert(spark.createDataFrame(
+            [_state_row("1", "success")], STATE_SCHEMA))
+        got = {r.customer_id: r.status for r in states.read().collect()}
+        assert got == {"1": "success", "2": "pending"}
+
+    def test_state_time_travel_and_vacuum(self, spark, object_root):
+        states = StateStore(spark, f"{object_root}/state")
+        for i in range(4):
+            states.upsert(spark.createDataFrame(
+                [_state_row("1", "pending", attempt=i + 1)], STATE_SCHEMA))
+        hist = states._table.history()
+        assert len(hist) == 4
+        assert states._table.read_version(hist[0]).collect()[0].attempt_count == 1
+        assert states._table.vacuum(keep=2) == 2
+        assert len(states._table.history()) == 2
+        assert states.read().collect()[0].attempt_count == 4
+
+    def test_pointer_upsert_delete(self, spark, object_root):
+        pointers = PointerStore(spark, f"{object_root}/pointers")
+        pointers.upsert(spark.createDataFrame(
+            [_pointer_row("1", "run-a"), _pointer_row("2", "run-b")],
+            POINTER_SCHEMA))
+        pointers.delete(spark.createDataFrame(
+            [_pointer_row("1", "run-a")], POINTER_SCHEMA))
+        got = [r.customer_id for r in pointers.read().collect()]
+        assert got == ["2"]
