@@ -31,6 +31,16 @@ _SCALE_DEFAULTS = {
     # pushed filters for partition pruning.
     "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Streaming state on RocksDB, not the default HDFS-backed provider:
+    # the default holds EVERY state row (sessions, dedup keys, join
+    # buffers) in executor heap — the first OOM at 100 TB event scale.
+    # RocksDB keeps state on local disk with a block cache, and changelog
+    # checkpointing uploads per-batch deltas instead of full snapshots.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -135,12 +135,31 @@ class TestStreaming:
     def test_transform_with_state_matches_legacy_processor(self, spark, tmp_path):
         # The Spark 4 transformWithState processor must produce the same
         # final per-user totals as the applyInPandasWithState kernel (and
-        # therefore as batch). Its driver worker imports google.protobuf
-        # at runtime; skip (don't fail) where that package is absent —
-        # the container this repo is built in lacks it.
+        # therefore as batch). Its Python runner imports google.protobuf
+        # (pyspark/sql/streaming/proto/StateMessage_pb2.py, generated by
+        # protoc 6.33.0) before any state traffic flows.
+        #
+        # ENVIRONMENT LIMITATION, verified exhaustively in this container:
+        # - no protobuf distribution in site-packages (pip install is
+        #   unavailable by policy);
+        # - gcloud's appengine-vendored google.protobuf is 6.32.0 — below
+        #   the 6.33.0 gencode floor ValidateProtobufRuntimeVersion
+        #   enforces — and ships without well-known-type gencode (no
+        #   any_pb2), so path-injecting it fails on import;
+        # - gcloud's cloudsdk.google.protobuf copy (4.23.2) is rewritten
+        #   to absolute `cloudsdk.` imports and would need a sys.modules
+        #   aliasing shim PLUS fails the same runtime-version floor.
+        # On any cluster with `protobuf>=6.33` installed this test runs
+        # as-is; until then the TWS twin's parity is UNVERIFIED here and
+        # this skip is the explicit record of that fact.
         pytest.importorskip(
             "google.protobuf",
-            reason="transformWithState's Python runner requires protobuf",
+            reason=(
+                "UNVERIFIED CODE PATH: transformWithStateInPandas needs "
+                "protobuf>=6.33 (StateMessage_pb2 gencode floor); this "
+                "container has none and the gcloud-vendored copies are "
+                "too old/incomplete — see test comment for the audit"
+            ),
         )
         from gads_etl_spark.streaming.jobs import stateful_user_counters_tws
 
@@ -161,6 +180,38 @@ class TestStreaming:
         }
         assert final == batch_totals
         assert final[1] == (4, 14.75)
+
+
+class TestRocksDBStateStore:
+    """Stateful streaming must run on the RocksDB state store provider —
+    the default HDFS-backed provider keeps all state in executor memory,
+    which is the first thing to OOM at production event volume. Every
+    other stream==batch test in this file already executes under RocksDB
+    (the provider is a session default); these tests pin that fact."""
+
+    def test_provider_is_session_default(self, spark):
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        ).endswith("RocksDBStateStoreProvider")
+        assert spark.conf.get(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled"
+        ) == "true"
+
+    def test_stateful_query_reports_rocksdb_metrics(self, spark, tmp_path):
+        # The proof the provider actually engaged: a stateful query's
+        # progress carries rocksdb* custom metrics (the HDFS-backed
+        # provider reports loadedMapCacheHitCount instead).
+        src, _ = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        q = (tumbling_counts_stream(stream).writeStream.format("memory")
+             .queryName("t_rocksdb_probe").outputMode("complete")
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        progress = q.lastProgress
+        q.stop()
+        metrics = progress["stateOperators"][0]["customMetrics"]
+        assert any(k.startswith("rocksdb") for k in metrics)
 
 
 class TestDedupStream:
