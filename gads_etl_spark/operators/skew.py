@@ -14,8 +14,9 @@ is small relative to the skew win — exactly the dimension-table case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT_COL = "__salt"
 
@@ -44,3 +45,76 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
     left = salt_skewed_side(skewed, n_salts)
     right = replicate_other_side(other, n_salts)
     return left.join(right, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def two_phase_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    bucket: str = "day",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cents: Column | None = None,
+) -> DataFrame:
+    """Skew-hardened sessionization: identical output to a single
+    ``session_window`` pass, without any task owning a whole hot user.
+
+    The one-shuffle formulation partitions by ``user_col`` alone, and AQE's
+    skew splitting does NOT split window/session partitions — so one
+    power-law user (bot traffic) makes a single straggler task sort and
+    sessionize that user's entire event history. This variant:
+
+    - **Phase 1** sessionizes within ``(user, date_trunc(bucket, ts))`` —
+      the exchange key carries the time bucket, so a hot user's events
+      spread across as many tasks as there are buckets.
+    - **Phase 2** merges boundary sessions with a gaps-and-islands pass
+      over the *session-level* rows, partitioned by user only. Safe at any
+      skew because inactivity gaps bound the rows per (user, bucket): with
+      a 30-minute gap a user can open at most 48 sessions per day, so even
+      a year-long bot trace is ≤ ~17.5k session rows — versus unbounded
+      event rows in the one-shuffle plan.
+
+    Merge rule: Spark's session end is ``last_event + gap``, so two
+    consecutive local sessions belong together iff ``next.start <=
+    prev.end`` — exactly the inactivity-gap rule. Chains spanning many
+    buckets merge transitively through the running sum. Phase 2 never
+    merges two sessions from the same bucket (their gap exceeds ``gap`` by
+    construction), so running it over all local sessions is correct.
+
+    Equivalence with the one-shuffle plan is asserted in
+    tests/test_skew_and_factory.py, including midnight-crossing and
+    multi-day chains.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if cents is not None:
+        aggs.append(F.sum(cents).alias("__cents"))
+    local = (
+        events.withColumn("__bucket", F.date_trunc(bucket, F.col(ts_col)))
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            F.col(user_col), F.col("__bucket"),
+        )
+        .agg(*aggs)
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *(["n_events", "__cents"] if cents is not None else ["n_events"]),
+        )
+    )
+    w = Window.partitionBy(user_col).orderBy("session_start", "session_end")
+    prev_end = F.lag("session_end").over(w)
+    is_new = F.when(
+        prev_end.isNull() | (F.col("session_start") > prev_end), 1
+    ).otherwise(0)
+    chained = local.withColumn(
+        "__sid",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    out_aggs = [
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").alias("n_events"),
+    ]
+    if cents is not None:
+        out_aggs.append(F.sum("__cents").alias("__cents"))
+    return chained.groupBy(user_col, "__sid").agg(*out_aggs).drop("__sid")

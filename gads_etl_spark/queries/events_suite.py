@@ -133,6 +133,43 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_sessionization_twophase",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, {_CENTS} AS cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+        SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(cents) AS DOUBLE) / 100 AS value_sum
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("events", "window", "session", "skew"),
+)
+def ev_sessionization_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened sessionization (operators/skew.py::two_phase_sessionize):
+    pre-sessionize within (user, day) so no task owns a hot user's whole
+    history, then merge boundary sessions. Same oracle as
+    ev_sessionization — the two plans must agree row-for-row."""
+    from gads_etl_spark.operators.skew import two_phase_sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return two_phase_sessionize(ev, gap="30 minutes", cents=_cents()).select(
+        "user_id", "session_start", "session_end", "n_events",
+        (F.col("__cents").cast("double") / 100).alias("value_sum"),
+    )
+
+
+@register(
     "ev_json_props",
     oracle=f"""
     SELECT event_type,

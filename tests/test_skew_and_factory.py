@@ -5,7 +5,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from gads_etl_spark.operators.skew import SALT_COL, salted_join
+from gads_etl_spark.operators.skew import (
+    SALT_COL,
+    salted_join,
+    two_phase_sessionize,
+)
 from gads_etl_spark.pipeline.raw_sink import create_raw_zone
 
 
@@ -47,6 +51,83 @@ class TestSaltedJoin:
             .select(SALT_COL).distinct().count()
         )
         assert spread == 16
+
+
+def _single_shuffle_sessions(events, gap="30 minutes"):
+    """The one-shuffle reference plan (same shape as ev_sessionization)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+def _canon(df):
+    return sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in df.collect()
+    )
+
+
+class TestTwoPhaseSessionize:
+    """two_phase_sessionize must equal the single-shuffle session_window
+    plan on every boundary shape a day-bucket split can produce."""
+
+    def test_matches_on_fixture_events(self, spark):
+        from gads_etl_spark.catalog import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        got = two_phase_sessionize(ev)
+        assert _canon(got) == _canon(_single_shuffle_sessions(ev))
+
+    def test_midnight_crossing_session_merges(self, spark):
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 23:50:00"), (1, "2024-01-02 00:05:00"),
+             (1, "2024-01-02 00:20:00"),
+             # same user, separate session later that day
+             (1, "2024-01-02 12:00:00")],
+            "user_id long, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        got = _canon(two_phase_sessionize(ev))
+        assert got == _canon(_single_shuffle_sessions(ev))
+        # the midnight-crossing events are ONE session of 3 events
+        assert (1, "2024-01-01 23:50:00", "2024-01-02 00:50:00", 3) in got
+
+    def test_multi_day_chain_merges_transitively(self, spark):
+        # An event every 20 minutes for 3 days: one continuous session
+        # split across 3 buckets in phase 1, re-joined through the
+        # running-sum chain in phase 2.
+        ev = spark.range(3 * 72).select(
+            F.lit(7).alias("user_id"),
+            (F.lit("2024-03-01 00:00:00").cast("timestamp")
+             + F.make_interval(mins=(F.col("id") * 20).cast("int"))).alias("ts"),
+        )
+        got = _canon(two_phase_sessionize(ev))
+        assert got == _canon(_single_shuffle_sessions(ev))
+        assert len(got) == 1 and got[0][3] == 3 * 72
+
+    def test_exact_gap_boundary(self, spark):
+        # Events exactly `gap` apart belong to ONE session (session_window
+        # closes only when the gap is strictly exceeded); 31 minutes splits.
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:30:00"),
+             (2, "2024-01-01 10:00:00"), (2, "2024-01-01 10:31:00")],
+            "user_id long, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        got = _canon(two_phase_sessionize(ev))
+        assert got == _canon(_single_shuffle_sessions(ev))
+        assert sum(1 for g in got if g[0] == 1) == 1
+        assert sum(1 for g in got if g[0] == 2) == 2
+
+    def test_phase1_exchange_carries_bucket(self, spark):
+        # The scale claim: phase 1's shuffle key is (user, bucket), not
+        # user alone — visible in the plan as hashpartitioning on both.
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00")], "user_id long, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+        plan = two_phase_sessionize(ev)._jdf.queryExecution().toString()
+        assert "__bucket" in plan
 
 
 class TestRawZoneFactory:
