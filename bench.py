@@ -38,6 +38,7 @@ EXTRA = [
     "ext_knn_bruteforce",
     "ev_tumbling_hourly",
     "ev_sessionization",
+    "ev_sessionization_twophase",
     "ev_asof_attribution",
     "ext_cluster_dedup",
     "ext_pack_bins",
@@ -101,9 +102,13 @@ def main() -> None:
     extra = run([n for n in EXTRA if n in REGISTRY])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # A failed query is dropped from timings, so a partial total would
+    # look BETTER than a clean run — never emit a comparable value for an
+    # incomplete artifact.
     out = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 4),
+        "value": None if errors else round(sum(timings.values()), 4),
+        "incomplete": bool(errors),
         "unit": "sec",
         "queries": timings,
         "extra": extra,

@@ -26,6 +26,16 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a fixture table to a schema-normalized DataFrame.
+
+    API-boundary side effect: loading ``events`` pins the SESSION-wide
+    confs ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` (see ``_load_events``
+    for why) — a caller-provided session deliberately running in another
+    timezone is flipped to UTC for all subsequent queries, with a warning.
+    Sessions built by ``gads_etl_spark.session.get_session`` are already
+    UTC, so the warning only fires for foreign sessions.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
@@ -52,7 +62,17 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The NTZ branch below interprets naive micros in the SESSION zone;
     # only UTC matches the DuckDB oracle's naive read (and the reference's
     # UTC normalization), so pin it here rather than trusting the caller's
-    # session — both confs are runtime-settable.
+    # session — both confs are runtime-settable. Loud, not silent: a
+    # caller who intentionally runs non-UTC must know their session
+    # changed (documented at the load_table API boundary too).
+    if spark.conf.get("spark.sql.session.timeZone", "UTC") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table('events') pins spark.sql.session.timeZone=UTC for "
+            "the whole session (was "
+            f"{spark.conf.get('spark.sql.session.timeZone')!r}); event-time "
+            "semantics require UTC", stacklevel=3)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     ts_type = df.schema["ts"].dataType

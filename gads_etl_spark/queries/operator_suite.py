@@ -457,8 +457,10 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle is a statistical certificate: the sampled set is
     partitioning-dependent, but at fraction 0.1 the ±20% relative band on
     the sample size is ≥5σ of binomial slack even at the smallest fixture
-    (sf0.001: n=6000, sd≈23, band ±120 ≈ 5.2σ; sf0.1: ≈52σ) and the
-    sample mean of l_quantity sits within ±5% of the population mean — so
+    (sf0.001: n=6000, sd≈23, band ±120 ≈ 5.2σ; sf0.1: ≈52σ), and the
+    sample mean of l_quantity sits within ±10% of the population mean —
+    ≥4.5σ of sampling slack even at sf0.001 (n≈600 sampled, se≈0.59,
+    band≈2.55), ≥14σ at the sf0.01+ scales the oracle sweep runs at — so
     the flags are deterministic for any partitioning while still catching
     a broken sampler. Exact per-row invariants are in
     tests/test_approx_ops.py.
@@ -479,7 +481,7 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_sampled") <= 0.12 * F.col("n_total"))
         ).alias("sample_size_ok"),
         (
-            F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.05 * F.col("pop_avg")
+            F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.10 * F.col("pop_avg")
         ).alias("sample_mean_ok"),
     )
 

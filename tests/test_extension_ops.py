@@ -321,3 +321,17 @@ class TestSpreadHelper:
         # at scale this is the difference between zero shuffle and
         # shuffling the whole corpus.
         assert spread(df) is df
+
+    def test_downstream_of_shuffle_is_noop_without_rdd_probe(self, spark):
+        # A plan containing an Exchange must take the no-op path BEFORE
+        # the df.rdd probe — under AQE that probe materializes the query
+        # stages, silently running the upstream join twice. `is df`
+        # proves neither the probe's repartition nor any rewrite ran.
+        from gads_etl_spark.operators.util import spread
+
+        left = spark.range(500).select((F.col("id") % 50).alias("k"), "id")
+        right = spark.range(50).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")  # shuffle (or broadcast) join plan
+        agg = joined.groupBy("k").count()  # guaranteed Exchange
+        assert "Exchange" in agg._jdf.queryExecution().executedPlan().toString()
+        assert spread(agg) is agg
