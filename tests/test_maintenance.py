@@ -119,3 +119,44 @@ class TestBucketedMerge:
         got = {r.customer_id: r.status for r in states.read().collect()}
         assert got["7"] == "success"
         assert sum(1 for s in got.values() if s == "pending") == 39
+
+    def test_merge_reads_only_touched_buckets(self, spark, tmp_path):
+        # Byte-identity (above) proves untouched buckets aren't REWRITTEN;
+        # this proves they aren't even READ — the input side of the O(Δ)
+        # claim. At 10M ledger rows that is the difference between a MERGE
+        # that scans one bucket and one that scans the table.
+        states = StateStore(spark, str(tmp_path / "state"))
+        states.upsert(spark.createDataFrame(
+            [_row(str(c), "pending") for c in range(40)], STATE_SCHEMA))
+        table = states._table
+        seen: list[list[str]] = []
+        orig = table._read_paths
+
+        def spying_read_paths(paths):
+            seen.append(list(paths))
+            return orig(paths)
+
+        table._read_paths = spying_read_paths
+        states.upsert(spark.createDataFrame([_row("7", "success")], STATE_SCHEMA))
+        table._read_paths = orig
+        assert len(seen) == 1 and len(seen[0]) == 1  # exactly the touched bucket
+
+    def test_vacuum_preserves_carried_over_data(self, spark, tmp_path):
+        # After single-key merges, the CURRENT manifest still references
+        # bucket files written by the very first commit. vacuum drops old
+        # *manifests* but must keep any data dir a surviving manifest
+        # references — deleting by version age alone would corrupt the
+        # live table.
+        states = StateStore(spark, str(tmp_path / "state"))
+        states.upsert(spark.createDataFrame(
+            [_row(str(c), "pending") for c in range(40)], STATE_SCHEMA))
+        for i in range(6):
+            states.upsert(spark.createDataFrame(
+                [_row("7", "pending" if i % 2 else "failed")], STATE_SCHEMA))
+        assert states._table.vacuum(keep=2) == 5
+        # Untouched buckets still resolve to the v1 data dirs; the full
+        # table reads intact and kept versions time-travel.
+        got = {r.customer_id for r in states.read().collect()}
+        assert len(got) == 40
+        for v in states._table.history():
+            assert states._table.read_version(v).count() == 40
