@@ -144,6 +144,37 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH band-key table ``(id, band, band_key)`` — bands rows per doc.
+
+    This IS the persistable dedup index: store it partitioned/bucketed by
+    ``(band, band_key)`` and incoming batches dedup against the corpus by
+    equi-join (``incremental_minhash_candidates``) without ever touching
+    corpus text again.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.element_at("sig", b * r + j + 1)
+                                     for j in range(r)])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.band_key").alias("band_key"))
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,19 +192,8 @@ def minhash_candidate_pairs(
     MinHash-LSH tractable where all-pairs Jaccard is not. Probability a
     pair with Jaccard s collides: 1 - (1 - s^r)^bands.
     """
-    r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.element_at("sig", b * r + j + 1)
-                                     for j in range(r)])).alias("band_key"),
-        )
-        for b in range(bands)
-    ])
-    band_keys = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
+    band_keys = minhash_band_keys(df, id_col, text_col, num_hashes, bands,
+                                  shingle_n)
     a = band_keys.select(F.col(id_col).alias("a_id"), "band", "band_key")
     b = band_keys.select(F.col(id_col).alias("b_id"), "band", "band_key")
     return (
@@ -182,6 +202,55 @@ def minhash_candidate_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against a PRECOMPUTED corpus band index.
+
+    The ingestion-time shape of MinHash-LSH: the 100 TB corpus's band
+    keys (``minhash_band_keys``) are computed once and persisted; each
+    new batch shingles/hashes only its own documents and discovers
+    duplicates by equi-joining its band keys against the index — corpus
+    text is never re-read, never re-shingled, never re-shuffled. With the
+    index bucketed on ``(band, band_key)`` the join is index-side
+    shuffle-free; the new batch (small by definition) broadcasts or
+    shuffles cheaply.
+
+    Returns ``(new_id, match_id, match_origin)`` where origin is
+    ``'index'`` (duplicate of an already-ingested doc) or ``'batch'``
+    (duplicate within the incoming batch itself — both members reported
+    once, smaller id as match). Union of the two is exactly the pairs
+    involving a new doc that full-corpus ``minhash_candidate_pairs``
+    would emit (equivalence-tested in tests/test_extension_ops.py).
+    """
+    new_keys = minhash_band_keys(new_docs, id_col, text_col, num_hashes,
+                                 bands, shingle_n)
+    vs_index = (
+        new_keys.select(F.col(id_col).alias("new_id"), "band", "band_key")
+        .join(index.select(F.col(id_col).alias("match_id"), "band", "band_key"),
+              ["band", "band_key"])
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("match_origin", F.lit("index"))
+    )
+    a = new_keys.select(F.col(id_col).alias("new_id"), "band", "band_key")
+    b = new_keys.select(F.col(id_col).alias("match_id"), "band", "band_key")
+    vs_batch = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("match_id") < F.col("new_id"))
+        .select("new_id", "match_id")
+        .distinct()
+        .withColumn("match_origin", F.lit("batch"))
+    )
+    return vs_index.unionByName(vs_batch)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -80,6 +80,15 @@ def merge_upsert(current: DataFrame, updates: DataFrame,
 _BUCKET_COL = "bucket"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """The table advanced underneath a read-modify-write commit.
+
+    Optimistic detection, not a lock: the single-writer discipline is
+    still the operating contract (docs/state_store_contract.md:32-33);
+    this turns an ACCIDENTAL second writer from silent lost updates into
+    a loud failure the loser can retry from a fresh read."""
+
+
 class _VersionedTable:
     """Hash-bucketed parquet versions + atomic CURRENT pointer.
 
@@ -139,7 +148,20 @@ class _VersionedTable:
 
     def _publish(self, version: str, parent: dict | None,
                  buckets: dict[str, str]) -> None:
-        """Manifest first, CURRENT swap last (metadata-last publish)."""
+        """Manifest first, CURRENT swap last (metadata-last publish).
+
+        Before swapping, re-read CURRENT and require it still to name the
+        parent this commit was computed from — optimistic concurrency
+        control (check-then-act, so a true race needs the storage layer's
+        atomic rename to serialize; the check catches the accidental
+        dual-writer case deterministically)."""
+        live = self._current_version()
+        expected = parent["version"] if parent else None
+        if live != expected:
+            raise ConcurrentCommitError(
+                f"table at {self.root} moved from {expected!r} to {live!r} "
+                "during a read-modify-write commit; re-read and retry"
+            )
         manifest = {
             "version": version,
             "seq": (parent["seq"] + 1) if parent else 1,

@@ -151,6 +151,40 @@ def ext_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_incremental_dedup",
+    oracle="""
+    SELECT doc_id + 200000 AS new_id, doc_id AS match_id
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("extension", "dedup", "lsh", "incremental"),
+)
+def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: a new batch checked against a PRECOMPUTED
+    corpus band index (operators/dedup.py::incremental_minhash_candidates)
+    — corpus text is never re-shingled, only its persisted band keys are
+    equi-joined.
+
+    Exact derived oracle via the planted-duplicate technique: the new
+    batch is 30 exact copies (doc_id + 200000) of the first 30 corpus
+    docs; identical text ⇒ identical signature ⇒ every band collides, so
+    each copy matches its original through the index with probability 1
+    under any seed. The whole pipeline (index over the full corpus, batch
+    signatures, both joins) executes; only the verified projection is
+    narrowed — same pattern as ext_minhash_candidates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    index = D.minhash_band_keys(docs)
+    batch = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    hits = D.incremental_minhash_candidates(batch, index)
+    return hits.where(
+        (F.col("match_origin") == "index")
+        & (F.col("match_id") == F.col("new_id") - 200000)
+    ).select("new_id", "match_id")
+
+
+@register(
     "ext_simhash",
     oracle="""
     SELECT doc_id, CAST(0 AS BIGINT) AS hamming_to_copy

@@ -67,6 +67,43 @@ class TestMinHashLSH:
         assert [r["k"] for r in lens] == [8]
 
 
+class TestIncrementalDedup:
+    def test_incremental_equals_full_corpus_pairs(self, spark, docs):
+        """The batch-vs-index join must find exactly the pairs involving a
+        new doc that the full-corpus self-join would find — the proof the
+        incremental path loses nothing by skipping corpus re-shingling."""
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        batch = docs.where(F.col("doc_id") % 3 == 0)
+        index = D.minhash_band_keys(corpus)
+        inc = D.incremental_minhash_candidates(batch, index)
+        got = {(r.new_id, r.match_id, r.match_origin) for r in inc.collect()}
+
+        full = D.minhash_candidate_pairs(docs)
+        batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+        expected = set()
+        for r in full.collect():
+            a_new, b_new = r.a_id in batch_ids, r.b_id in batch_ids
+            if a_new and b_new:
+                expected.add((r.b_id, r.a_id, "batch"))  # larger id reports
+            elif a_new:
+                expected.add((r.a_id, r.b_id, "index"))
+            elif b_new:
+                expected.add((r.b_id, r.a_id, "index"))
+        assert got == expected
+
+    def test_exact_copy_always_hits_index(self, spark, docs):
+        index = D.minhash_band_keys(docs)
+        copies = docs.where(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 900000)
+        hits = D.incremental_minhash_candidates(copies, index)
+        matched = {
+            (r.new_id - 900000, r.match_id)
+            for r in hits.where(F.col("match_origin") == "index").collect()
+        }
+        # identical text ⇒ identical bands ⇒ probability-1 recall
+        assert {(i, i) for i in range(5)} <= matched
+
+
 class TestSimHash:
     def test_deterministic(self, docs):
         a = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}

@@ -76,6 +76,24 @@ class TestTimeTravel:
         assert states.read().count() == 1
 
 
+class TestConcurrentCommitDetection:
+    def test_stale_writer_detected(self, spark, tmp_path):
+        # Optimistic concurrency: a commit computed against a parent that
+        # is no longer CURRENT must fail loudly instead of silently
+        # overwriting the other writer's merge (lost update).
+        from gads_etl_spark.pipeline.state_store import ConcurrentCommitError
+
+        writer_a = StateStore(spark, str(tmp_path / "state"))
+        writer_b = StateStore(spark, str(tmp_path / "state"))
+        writer_a.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
+        stale_parent = writer_a._table._current_manifest()
+        writer_b.upsert(spark.createDataFrame([_row("2", "pending")], STATE_SCHEMA))
+        with pytest.raises(ConcurrentCommitError):
+            writer_a._table._publish("v_dead", stale_parent, {})
+        # The winning writer's state is intact.
+        assert writer_a.read().count() == 2
+
+
 def _dir_digest(path):
     """sha256 over (name, bytes) of every file under a local bucket dir."""
     import hashlib
