@@ -246,7 +246,12 @@ class _VersionedTable:
         if parent is None or not parent["buckets"]:
             self.commit(updates)
             return
-        updates = updates.select([f.name for f in self.schema.fields])
+        # The updates lineage (often a validator join) is consumed twice —
+        # once by the touched-bucket probe, once by the bucket write.
+        # Materialize it once; control batches are Δ-sized by contract.
+        updates = updates.select(
+            [f.name for f in self.schema.fields]
+        ).localCheckpoint(eager=True)
         touched = self._touched_buckets(updates)
         buckets = dict(parent["buckets"])
         current = self._read_paths(
@@ -264,7 +269,8 @@ class _VersionedTable:
         parent = self._current_manifest()
         if parent is None or not parent["buckets"]:
             return
-        touched = self._touched_buckets(keys.select(*self.key_cols))
+        keys = keys.select(*self.key_cols).localCheckpoint(eager=True)
+        touched = self._touched_buckets(keys)
         buckets = dict(parent["buckets"])
         touched_present = [k for k in touched if str(k) in buckets]
         if not touched_present:

@@ -224,3 +224,15 @@ class TestTopKPlans:
         # broadcast-side top-k viable at 100 TB — pin it.
         plan = _formatted_plan(spark, name)
         assert "WindowGroupLimit" in plan, (name, plan)
+
+
+class TestTwoPhaseSessionPlan:
+    def test_phase1_exchange_key_carries_time_bucket(self, spark):
+        # The whole point of the two-phase plan: the session aggregation's
+        # shuffle key is (user_id, __bucket), never user_id alone — that
+        # is what spreads a hot user across one task per day. Pin the
+        # physical exchange so a refactor can't silently collapse it back
+        # into the straggler shape.
+        df = REGISTRY["ev_sessionization_twophase"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"hashpartitioning\(user_id#\d+L?, __bucket", plan), plan
