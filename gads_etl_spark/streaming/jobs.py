@@ -202,6 +202,47 @@ def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def dedup_docs_stream(docs: DataFrame, index: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """Ingestion-time near-duplicate detection on a document STREAM.
+
+    Each arriving document's MinHash band keys are computed map-side
+    (``minhash_band_keys_stateless`` — no aggregation, so the query stays
+    in append mode with ZERO stream state) and equi-joined against the
+    static corpus band index (stream-static join: the index is re-read
+    per micro-batch if its files changed, broadcast when small). Emits
+    ``(new_id, match_id)`` append rows — the streaming twin of
+    ``incremental_minhash_candidates``'s index path, same band keys
+    bit-for-bit.
+
+    Multiplicity caveat: a pair colliding in k bands emits k rows;
+    exact-once pair emission would need stateful dedup
+    (``dropDuplicatesWithinWatermark`` when the stream carries event
+    time). Consumers treating the output as a set — the normal use — are
+    unaffected.
+    """
+    from gads_etl_spark.operators.dedup import minhash_band_keys_stateless
+
+    keys = minhash_band_keys_stateless(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+    )
+    return keys.join(
+        index.select(F.col(id_col).alias("match_id"), "band", "band_key"),
+        ["band", "band_key"],
+    ).select(F.col(id_col).alias("new_id"), "match_id")
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once event feed from an at-least-once source: drop replayed
     event_ids, with state bounded by the watermark.

@@ -91,6 +91,16 @@ class TestIncrementalDedup:
                 expected.add((r.b_id, r.a_id, "index"))
         assert got == expected
 
+    def test_stateless_band_keys_bit_identical(self, spark, docs):
+        # The streaming formulation must produce EXACTLY the batch band
+        # keys, or a stream-deduped corpus would disagree with a
+        # batch-deduped one.
+        batch = {(r.doc_id, r.band, r.band_key)
+                 for r in D.minhash_band_keys(docs).collect()}
+        stateless = {(r.doc_id, r.band, r.band_key)
+                     for r in D.minhash_band_keys_stateless(docs).collect()}
+        assert batch == stateless
+
     def test_exact_copy_always_hits_index(self, spark, docs):
         index = D.minhash_band_keys(docs)
         copies = docs.where(F.col("doc_id") < 5).withColumn(

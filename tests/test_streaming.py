@@ -240,6 +240,50 @@ class TestDedupStream:
         assert got == [1, 2, 3, 4]
 
 
+class TestDocsDedupStream:
+    def test_stream_matches_batch_index_hits(self, spark, tmp_path):
+        # Streaming ingestion dedup == batch incremental dedup: the same
+        # (new_id, match_id) set must fall out whether documents arrive
+        # as micro-batches or as one batch — the guarantee that lets an
+        # ingestion pipeline switch between the two paths freely.
+        from gads_etl_spark.catalog import load_table
+        from gads_etl_spark.operators import dedup as D
+        from gads_etl_spark.streaming.jobs import DOCS_SCHEMA, dedup_docs_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        # Arriving batch: the held-out third, plus 3 exact copies of
+        # corpus docs (guaranteed index hits in every band).
+        copies = corpus.orderBy("doc_id").limit(3).withColumn(
+            "doc_id", F.col("doc_id") + 700000)
+        arriving = docs.where(F.col("doc_id") % 3 == 0).unionByName(copies)
+        index = D.minhash_band_keys(corpus).localCheckpoint()
+
+        src = tmp_path / "docs-src"
+        src.mkdir()
+        lines = arriving.toJSON().collect()
+        half = max(1, len(lines) // 2)
+        (src / "b0.json").write_text("\n".join(lines[:half]) + "\n")
+        (src / "b1.json").write_text("\n".join(lines[half:]) + "\n")
+
+        stream = (spark.readStream.schema(DOCS_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        _run_stream(dedup_docs_stream(stream, index), "t_docdedup", "append")
+
+        got = {(r.new_id, r.match_id)
+               for r in spark.table("t_docdedup").collect()}
+        expected = {
+            (r.new_id, r.match_id)
+            for r in D.incremental_minhash_candidates(arriving, index)
+            .where(F.col("match_origin") == "index").collect()
+        }
+        assert got == expected
+        # the planted copies must be among the hits
+        planted = {(r.doc_id + 700000, r.doc_id)
+                   for r in corpus.orderBy("doc_id").limit(3).collect()}
+        assert planted <= got
+
+
 class TestStreamStaticJoin:
     def test_enrichment_matches_batch_join(self, spark, tmp_path):
         from gads_etl_spark.streaming.jobs import stream_static_enrich
