@@ -283,6 +283,51 @@ class TestDocsDedupStream:
                    for r in corpus.orderBy("doc_id").limit(3).collect()}
         assert planted <= got
 
+    def test_checkpointed_restart_is_exactly_once(self, spark, tmp_path):
+        # Docs arriving before and after a restart are each processed
+        # exactly once: total emitted rows (band-collision multiplicity
+        # included) must equal the one-shot batch join's row count — a
+        # replayed micro-batch would inflate it deterministically.
+        from gads_etl_spark.catalog import load_table
+        from gads_etl_spark.operators import dedup as D
+        from gads_etl_spark.streaming.jobs import DOCS_SCHEMA, dedup_docs_stream
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        corpus = docs.where(F.col("doc_id") % 3 != 0)
+        copies = corpus.orderBy("doc_id").limit(4).withColumn(
+            "doc_id", F.col("doc_id") + 800000)
+        index = D.minhash_band_keys(corpus).localCheckpoint()
+
+        src, out, ckpt = (tmp_path / d for d in ("src", "out", "ckpt"))
+        src.mkdir()
+        lines = copies.toJSON().collect()
+
+        def run_once():
+            stream = (spark.readStream.schema(DOCS_SCHEMA)
+                      .option("maxFilesPerTrigger", 1).json(str(src)))
+            q = (dedup_docs_stream(stream, index).writeStream
+                 .format("parquet").option("path", str(out))
+                 .option("checkpointLocation", str(ckpt))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        (src / "b0.json").write_text("\n".join(lines[:2]) + "\n")
+        run_once()
+        (src / "b1.json").write_text("\n".join(lines[2:]) + "\n")
+        run_once()  # restart from checkpoint; b0 must not replay
+
+        got = spark.read.parquet(str(out))
+        expected_rows = (
+            D.minhash_band_keys_stateless(copies)
+            .join(index.select(F.col("doc_id").alias("match_id"),
+                               "band", "band_key"), ["band", "band_key"])
+            .count()
+        )
+        assert got.count() == expected_rows
+        assert {(r.new_id - 800000, r.match_id) for r in got.collect()} >= {
+            (r.doc_id, r.doc_id) for r in corpus.orderBy("doc_id").limit(4).collect()
+        }
+
 
 class TestStreamStaticJoin:
     def test_enrichment_matches_batch_join(self, spark, tmp_path):
