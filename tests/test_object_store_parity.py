@@ -162,3 +162,45 @@ class TestControlPlaneObjectStore:
             [_pointer_row("1", "run-a")], POINTER_SCHEMA))
         got = [r.customer_id for r in pointers.read().collect()]
         assert got == ["2"]
+
+
+class TestFullLifecycleObjectStore:
+    """The whole pipeline — raw seal → batch validation → reconcile →
+    curated staging → pointer publish → consumer read — with EVERY
+    storage layer rooted on the non-local FileSystem scheme. This is the
+    deployment shape on a real cluster (one shared s3a://hdfs:// lake
+    root); any layer shortcutting to local-path I/O fails here."""
+
+    def test_extract_validate_publish_consume(self, spark, object_root):
+        from gads_etl_spark.pipeline.consumer import read_published
+        from gads_etl_spark.pipeline.curated_sink import (
+            CuratedZone,
+            materialize_plan,
+        )
+        from gads_etl_spark.pipeline.loader import WarehouseLoader
+        from gads_etl_spark.pipeline.validator import validate_batch
+
+        raw = RawZone(spark, f"{object_root}/raw")
+        curated = CuratedZone(spark, f"{object_root}/curated")
+        states = StateStore(spark, f"{object_root}/state")
+        pointers = PointerStore(spark, f"{object_root}/pointers")
+
+        keys = [PartitionKey("google_ads", str(c), "campaign_stats",
+                             date(2024, 1, 1)) for c in range(3)]
+        for k in keys:
+            raw.write_partition(_payload(spark), k, "run-a")
+
+        requests = spark.createDataFrame(
+            [{**k.as_dict(), "run_id": "run-a", "schema_version": "v1"}
+             for k in keys])
+        validate_batch(raw, states, requests)
+        assert states.read().where(F.col("status") == "success").count() == 3
+
+        loader = WarehouseLoader(states, pointers)
+        plan = loader.reconcile()
+        assert materialize_plan(raw, curated, plan) == 3
+        loader.run()
+        assert pointers.read().count() == 3
+
+        published = read_published(curated, pointers)
+        assert published.count() == 3 * 5  # 3 partitions × 5 payload rows
