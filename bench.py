@@ -35,6 +35,7 @@ EXTRA = [
     "obs_date_gaps",
     "ext_exact_dedup",
     "ext_minhash_candidates",
+    "ext_incremental_dedup",
     "ext_knn_bruteforce",
     "ev_tumbling_hourly",
     "ev_sessionization",

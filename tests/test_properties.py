@@ -59,6 +59,56 @@ class TestMergeUpsertProperty:
                 assert r.v == cur_unique[r.k]  # untouched current row
 
 
+class TestBucketedTableModel:
+    """Model-based check of the bucketed versioned table: any sequence of
+    merges / deletes / vacuums must leave the table equal to a plain dict
+    applying the same operations — across bucket boundaries, carry-over
+    chains, and data-dir garbage collection."""
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"),
+                      st.dictionaries(KEYS, VALS, min_size=1, max_size=6)),
+            st.tuples(st.just("delete"),
+                      st.sets(KEYS, min_size=1, max_size=4)),
+            st.tuples(st.just("vacuum"), st.just(None)),
+        ),
+        min_size=1, max_size=5,
+    ))
+    def test_matches_dict_model(self, spark, ops):
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from gads_etl_spark.pipeline.state_store import _VersionedTable
+
+        schema = T.StructType([
+            T.StructField("k", T.IntegerType(), False),
+            T.StructField("v", T.IntegerType(), False),
+        ])
+        table = _VersionedTable(
+            spark, tempfile.mkdtemp(prefix="vt-model-"), schema,
+            key_cols=("k",), n_buckets=4,  # small → heavy bucket reuse
+        )
+        model: dict[int, int] = {}
+        for op, arg in ops:
+            if op == "merge":
+                table.merge(spark.createDataFrame(
+                    list(arg.items()), schema))
+                model.update(arg)
+            elif op == "delete":
+                table.delete_keys(spark.createDataFrame(
+                    [(k, 0) for k in arg], schema))
+                for k in arg:
+                    model.pop(k, None)
+            else:
+                table.vacuum(keep=2)
+        got = {r.k: r.v for r in table.read().collect()}
+        assert got == model
+
+
 class TestTerminalMessageProperty:
     @SLOW
     @given(msgs=st.lists(
