@@ -487,6 +487,82 @@ def ev_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_funnel_cohorts_stagewise",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST(CAST(s1.t1 AS DATE) AS TIMESTAMP) AS cohort_date,
+           CAST(count(*) AS BIGINT) AS n_signed_up,
+           CAST(count(s2.t2) AS BIGINT) AS n_viewed,
+           CAST(count(s3.t3) AS BIGINT) AS n_purchased
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    WHERE s1.t1 IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("events", "funnel", "skew"),
+)
+def ev_funnel_cohorts_stagewise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened funnel twin of ev_funnel_cohorts (same oracle).
+
+    The window formulation shuffles EVERY event once on user_id and a
+    bot-grade hot user lands whole in one window task (AQE skew splitting
+    does not apply to window exchanges — it spills, slowly). This variant
+    computes each stage as filter → aggregate/join:
+
+    - t1: groupBy over ONLY signup events — partial aggregation combines
+      a hot user map-side, so the shuffle carries one row per (user,
+      input partition), immune to event-volume skew.
+    - t2/t3: each joins ONLY that stage's events against the previous
+      stage's per-user scalar — shuffle joins, where AQE skew splitting
+      DOES apply, carrying just the stage subset.
+
+    Trade-off: k filtered scans+shuffles instead of one full shuffle.
+    Wins when stage events are sparse relative to total volume (the
+    typical funnel: signups ≪ views ≪ all events) or when user skew is
+    pathological; the window form wins when stages cover most events and
+    skew is mild. Both are registered so the planner choice is explicit.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    per_user = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    return (
+        per_user.groupBy(F.to_date("t1").cast("timestamp").alias("cohort_date"))
+        .agg(F.count(F.lit(1)).alias("n_signed_up"),
+             F.count("t2").alias("n_viewed"),
+             F.count("t3").alias("n_purchased"))
+    )
+
+
+@register(
     "ev_scd2_history",
     oracle="""
     WITH ord AS (

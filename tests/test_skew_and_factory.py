@@ -120,6 +120,18 @@ class TestTwoPhaseSessionize:
         assert sum(1 for g in got if g[0] == 1) == 1
         assert sum(1 for g in got if g[0] == 2) == 2
 
+    def test_stagewise_funnel_matches_window_formulation(self, spark):
+        # The skew-hardened funnel must agree with the one-shuffle window
+        # funnel row-for-row (both also share a DuckDB oracle).
+        from gads_etl_spark.queries import REGISTRY
+
+        def canon(name):
+            rows = REGISTRY[name].fn(spark, "/root/testdata/sf0.001").collect()
+            return sorted((str(r.cohort_date), r.n_signed_up, r.n_viewed,
+                           r.n_purchased) for r in rows)
+
+        assert canon("ev_funnel_cohorts") == canon("ev_funnel_cohorts_stagewise")
+
     def test_phase1_exchange_carries_bucket(self, spark):
         # The scale claim: phase 1's shuffle key is (user, bucket), not
         # user alone — visible in the plan as hashpartitioning on both.
