@@ -48,6 +48,7 @@ EXTRA = [
     "ext_domain_mix",
     "ext_embedding_quantize",
     "ev_funnel_cohorts",
+    "ev_funnel_cohorts_stagewise",
     "op_window_frames",
     "ev_scd2_history",
     "ext_fuzzy_match",

@@ -76,6 +76,36 @@ class TestTimeTravel:
         assert states.read().count() == 1
 
 
+class TestCrashRecovery:
+    def test_orphan_manifest_from_crashed_commit_is_harmless(self, spark, tmp_path):
+        # Crash window: a commit that died AFTER writing its version
+        # manifest but BEFORE swapping CURRENT leaves an orphan manifest.
+        # The table must keep reading the pre-crash version, accept the
+        # next commit normally (its parent is CURRENT, not the orphan),
+        # and vacuum must collect the orphan's data eventually.
+        import json as _json
+
+        from gads_etl_spark.pipeline import fsutil
+
+        states = StateStore(spark, str(tmp_path / "state"))
+        states.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
+        table = states._table
+        current = table._current_manifest()
+        orphan = table._next_version(current)
+        fsutil.write_text_atomic(
+            spark, f"{table._versions_dir}/{orphan}.json",
+            _json.dumps({"version": orphan, "seq": current["seq"] + 1,
+                         "parent": current["version"], "buckets": {}}))
+
+        # Reads still serve the committed version; the next writer's
+        # optimistic check passes because CURRENT never moved.
+        assert states.read().count() == 1
+        states.upsert(spark.createDataFrame([_row("2", "pending")], STATE_SCHEMA))
+        assert states.read().count() == 2
+        assert orphan in table.history()  # visible as history, harmless
+        assert table.read_version(orphan).count() == 0
+
+
 class TestConcurrentCommitDetection:
     def test_stale_writer_detected(self, spark, tmp_path):
         # Optimistic concurrency: a commit computed against a parent that
