@@ -37,6 +37,7 @@ EXTRA = [
     "ext_minhash_candidates",
     "ext_incremental_dedup",
     "ext_knn_bruteforce",
+    "ext_knn_pq",
     "ev_tumbling_hourly",
     "ev_sessionization",
     "ev_sessionization_twophase",

@@ -449,6 +449,25 @@ def ext_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(corpus=corpus, queries=queries, k=5).where(F.col("rank") == 1)
 
 
+@register("ext_knn_pq", oracle=_ANN_EXACT_HIT_SQL,
+          tags=("extension", "similarity", "pq"))
+def ext_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via product quantization (8 subspaces x
+    16 centroids, ADC lookup-table scoring, exact-cosine re-rank of the
+    top-50 pool), over the corpus plus an injected exact copy of each
+    query vector. The verified projection is the rank-1 row per query,
+    which must be the planted copy for ANY codebooks: the copy's code in
+    each subspace is by construction the argmin centroid for the query's
+    own subvector, so it attains the global minimum ADC, the min-ADC tie
+    clause keeps it in the re-rank pool, and exact re-rank puts its 1.0
+    cosine first (natural max cosine < 0.9, fixture-canary-pinned).
+    Recall on natural neighbours is asserted in tests/test_extension_ops.py."""
+    corpus, queries = _ann_corpus_with_planted_hits(spark, sf_dir)
+    books = S.pq_train_codebooks(corpus)
+    return S.pq_topk(corpus=corpus, queries=queries, codebooks=books,
+                     k=5).where(F.col("rank") == 1)
+
+
 @register(
     "ext_regex_tokens",
     oracle="""

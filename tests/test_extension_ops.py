@@ -263,6 +263,69 @@ class TestInt8Quantization:
         assert hits / total >= 0.9, f"int8 recall {hits}/{total} too low"
 
 
+class TestProductQuantization:
+    def test_codebooks_shape_and_determinism(self, emb):
+        books = S.pq_train_codebooks(emb, m=8, k=16)
+        assert len(books) == 8
+        assert all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)
+        # Layout-invariant: hash-sampled + sorted before the fit, so a
+        # repartitioned corpus trains bit-identical codebooks.
+        books2 = S.pq_train_codebooks(emb.repartition(7), m=8, k=16)
+        assert books == books2
+
+    def test_codes_bounded_and_stable(self, emb):
+        books = S.pq_train_codebooks(emb)
+        enc = S.pq_encode(emb, books)
+        rows = enc.select(
+            F.size("pq_code").alias("m"),
+            F.array_min("pq_code").alias("lo"), F.array_max("pq_code").alias("hi"),
+        ).collect()
+        assert all(r.m == 8 and 0 <= r.lo and r.hi <= 15 for r in rows)
+
+    def test_recall_vs_bruteforce(self, emb):
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        books = S.pq_train_codebooks(corpus)
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        approx = S.pq_topk(corpus, queries, books, k=5, rerank=50).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.5, f"PQ recall {hits}/{total} too low"
+
+    def test_partition_invariance(self, emb):
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        books = S.pq_train_codebooks(corpus)
+        a = sorted(map(tuple, S.pq_topk(corpus, queries, books, k=3).collect()))
+        b = sorted(map(tuple, S.pq_topk(
+            corpus.repartition(11), queries.repartition(3), books, k=3).collect()))
+        assert a == b
+
+    def test_planted_copy_is_rank1_and_in_pool(self, emb):
+        """The ADC-minimality guarantee the ext_knn_pq oracle rests on:
+        an exact copy of the query attains the minimum ADC for ANY
+        codebooks, so it can never be evicted from the re-rank pool —
+        even with a tiny pool."""
+        queries = emb.where(F.col("vec_id") < 5)
+        copies = queries.withColumn("vec_id", F.col("vec_id") + 100000)
+        corpus = emb.where(F.col("vec_id") >= 5).unionByName(copies)
+        books = S.pq_train_codebooks(corpus)
+        top1 = (
+            S.pq_topk(corpus, queries, books, k=1, rerank=1)
+            .collect()
+        )
+        assert {r.query_id: r.neighbor_id for r in top1} == {
+            i: i + 100000 for i in range(5)
+        }
+        assert all(r.cos_sim == 1.0 for r in top1)
+
+
 class TestSemanticDedup:
     """semantic_dedup: cluster-blocked SemDeDup pruning invariants."""
 
