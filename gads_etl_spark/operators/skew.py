@@ -118,3 +118,45 @@ def two_phase_sessionize(
     if cents is not None:
         out_aggs.append(F.sum("__cents").alias("__cents"))
     return chained.groupBy(user_col, "__sid").agg(*out_aggs).drop("__sid")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    support: float = 0.001,
+) -> DataFrame:
+    """Exact heavy hitters (keys with frequency > ``support`` * N) found
+    via the sketch-then-confirm pattern.
+
+    Phase 1 — candidates: ``df.stat.freqItems`` (Karp/Shenker/Papadimitriou
+    counting, single map-side pass, at most ``1/support`` candidates held
+    per task). The sketch GUARANTEES a superset: every key above the
+    support threshold is returned, possibly with false positives — so the
+    second phase can make the result exact without a full groupBy of the
+    100 TB keyspace.
+
+    Phase 2 — confirm: exact counts for the candidate keys only (the
+    candidate list is bounded by 1/support, so the filter broadcasts and
+    the aggregate's hash table is candidate-sized, not keyspace-sized),
+    kept where count > support * N.
+
+    Detecting heavy hitters is the precursor to the mitigations in this
+    module: the output feeds ``salted_join`` (which keys need salting) or
+    an AQE skew-join audit. Returns (key, n, share) ordered nowhere —
+    callers sort.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    candidates = [
+        r for r in df.stat.freqItems([key_col], support).collect()[0][0]
+        if r is not None
+    ]
+    total = df.count()
+    threshold = support * total
+    return (
+        df.where(F.col(key_col).isin(candidates))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > F.lit(threshold))
+        .withColumn("share", F.col("n").cast("double") / F.lit(float(total)))
+    )

@@ -606,3 +606,30 @@ def ev_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", attr_col="event_type",
         ts_col="ts", tiebreak_col="event_id",
     )
+
+
+@register(
+    "ev_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS total FROM events)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / (SELECT CAST(total AS DOUBLE) FROM tot), 6) AS share
+    FROM events GROUP BY user_id
+    HAVING count(*) > 0.0008 * (SELECT total FROM tot)
+    """,
+    tags=("events", "skew", "sketch"),
+)
+def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection via the sketch-then-confirm pattern: freqItems
+    (single-pass, bounded state) proposes a guaranteed SUPERSET of the
+    keys above the support threshold; an exact count over the candidate
+    keys alone confirms — so the answer is exact without ever hash-
+    aggregating the full 100 TB keyspace. The result is what feeds the
+    skew mitigations (salted joins, AQE skew audit).
+    """
+    from gads_etl_spark.operators.skew import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, "user_id", support=0.0008)
+    return hh.select("user_id", F.col("n").cast("long").alias("n"),
+                     F.round("share", 6).alias("share"))

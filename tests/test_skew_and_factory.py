@@ -157,3 +157,40 @@ class TestRawZoneFactory:
     def test_bad_format_rejected(self, spark):
         with pytest.raises(ValueError):
             create_raw_zone(spark, root="/tmp/x", data_format="csv")
+
+
+class TestHeavyHitters:
+    def test_matches_exact_groupby(self, spark):
+        from gads_etl_spark.operators.skew import heavy_hitters
+
+        # 1 hot key (40%), 1 warm (20%), rest spread thin.
+        rows = [("hot",)] * 400 + [("warm",)] * 200 + [(f"k{i}",) for i in range(400)]
+        df = spark.createDataFrame(rows, "k string").repartition(8)
+        got = {r.k: r.n for r in heavy_hitters(df, "k", support=0.1).collect()}
+        assert got == {"hot": 400, "warm": 200}
+
+    def test_exactness_vs_full_aggregate(self, spark):
+        """Sketch-then-confirm must equal the brute-force answer: every
+        key above support (no false negatives from freqItems' superset
+        guarantee) and none at-or-below (exact confirm)."""
+        from gads_etl_spark.operators.skew import heavy_hitters
+
+        rows = [(f"k{i % 37}",) for i in range(1110)]  # ragged counts
+        df = spark.createDataFrame(rows, "k string").repartition(5)
+        support = 0.027
+        exact = {
+            r.k: r.n
+            for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > support * 1110).collect()
+        }
+        got = {r.k: r.n for r in heavy_hitters(df, "k", support=support).collect()}
+        assert got == exact and exact  # non-trivial case
+
+    def test_share_and_validation(self, spark):
+        from gads_etl_spark.operators.skew import heavy_hitters
+
+        df = spark.createDataFrame([("a",)] * 10, "k string")
+        r = heavy_hitters(df, "k", support=0.5).collect()[0]
+        assert r.share == 1.0
+        with pytest.raises(ValueError):
+            heavy_hitters(df, "k", support=0.0)
