@@ -236,3 +236,68 @@ class TestTwoPhaseSessionPlan:
         df = REGISTRY["ev_sessionization_twophase"].fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert re.search(r"hashpartitioning\(user_id#\d+L?, __bucket", plan), plan
+
+
+class TestRuntimeBloomFilter:
+    """Runtime row-level filtering for large-large joins: when a join's
+    creation side is selectively filtered, Spark can build a bloom filter
+    over its join keys and push a might_contain predicate into the other
+    side's scan — the built-in semi-join reduction that matters when BOTH
+    sides are too big to broadcast (at 100 TB the default thresholds,
+    creation side <= 10 MB / application scan >= 10 GB, enable this
+    exactly where it pays; locally we relax them to prove the injection).
+    """
+
+    def _with_conf(self, spark, pairs):
+        saved = {k: spark.conf.get(k) for k in pairs}
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        return saved
+
+    def test_bloom_injected_and_result_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from gads_etl_spark.catalog import load_table
+
+        relaxed = {
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = self._with_conf(spark, relaxed)
+        try:
+            li = load_table(spark, SF, "lineitem")
+            orders = load_table(spark, SF, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "might_contain" in plan, "bloom filter not injected"
+            with_bloom = j.collect()
+
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+            without_bloom = j.collect()
+            assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, without_bloom))
+        finally:
+            spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    def test_bloom_not_injected_for_broadcastable_join(self, spark):
+        """With broadcast available the bloom rewrite must stay out of the
+        way — a broadcast hash join already prunes at the probe side."""
+        from pyspark.sql import functions as F
+
+        from gads_etl_spark.catalog import load_table
+
+        li = load_table(spark, SF, "lineitem")
+        orders = load_table(spark, SF, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_quantity")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in plan
