@@ -38,6 +38,7 @@ EXTRA = [
     "ext_incremental_dedup",
     "ext_knn_bruteforce",
     "ext_knn_pq",
+    "ext_dup_spans",
     "ev_tumbling_hourly",
     "ev_sessionization",
     "ev_sessionization_twophase",

@@ -377,3 +377,71 @@ def blocked_edit_distance_pairs(
             F.levenshtein("a_nm", "b_nm").cast("int").alias("edit_dist"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate detection (the span granularity of Lee
+    et al. 2022, arXiv:2107.06499 — public method): find, per document,
+    the maximal token spans covered by k-grams that occur in at least
+    ``min_docs`` distinct documents. Doc-level dedup misses boilerplate
+    shared across otherwise-distinct pages; this finds the boilerplate
+    itself.
+
+    Suffix arrays are the single-node formulation; the distributed
+    equivalent is an inverted index over k-grams:
+    1. one map-side pass emits (doc, pos, gram) — Σ(n_tokens) rows, the
+       same linear blow-up a suffix array pays;
+    2. one shuffle groups by gram to find grams in >= min_docs docs
+       (map-side partial aggregation applies — gram counts combine);
+    3. the covered positions come back via an equi-join on the gram and
+       collapse to maximal spans with a gaps-and-islands window per doc
+       (one hashpartitioning(doc) Exchange).
+    Nothing is ever quadratic; the gram key is the raw token string so
+    the DuckDB oracle states the identical construction.
+
+    Returns (id, span_start, span_end, n_dup_grams) with 1-based
+    INCLUSIVE token indices; adjacent/overlapping covered intervals merge.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n = F.size("_t")
+    positions = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    g = toks.select(
+        F.col(id_col),
+        F.explode(positions).alias("pos"),
+        F.col("_t"),
+    ).select(
+        id_col, "pos",
+        F.array_join(F.slice("_t", F.col("pos"), F.lit(k)), " ").alias("gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = g.join(dup, "gram").select(id_col, "pos",
+                                      (F.col("pos") + F.lit(k - 1)).alias("e"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "_new", F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1)
+                 .otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+        )
+        .drop("_island")
+    )

@@ -304,19 +304,34 @@ def pq_train_codebooks(
     return codebooks
 
 
-def _centroid_d2s(sub: F.Column, codebook: list[list[float]]) -> F.Column:
-    """Array of squared distances from ``sub`` to every centroid.
+def _centroid_d2s_sql(vec_sql: str, offset0: int, d: int,
+                      codebook: list[list[float]]) -> str:
+    """SQL text for the array of squared distances from the subvector at
+    0-based ``offset0`` to every centroid of one codebook.
 
-    Deliberately UNROLLED per centroid instead of ``transform`` over a
-    literal array-of-arrays: ``_sqdist`` is itself aggregate(zip_with(..))
-    with lambda variables, and nesting it inside another higher-order
-    function's lambda makes Spark mis-resolve the shared lambda-variable
-    names (wrong bindings / NULLs past the subvector length). Flat
-    expressions sidestep the pitfall and stay whole-stage-codegen-able.
+    Why SQL text and not Column-API expressions — both alternatives were
+    measured and rejected:
+    - Column-API ``transform(codebook_literal, c -> _sqdist(...))``:
+      nesting aggregate(zip_with(..)) inside another higher-order
+      function's PYTHON lambda makes Spark mis-resolve the shared
+      auto-generated lambda-variable names (wrong bindings / NULLs past
+      the subvector length). SQL text declares explicit distinct
+      variable names per nesting level, which resolves correctly.
+    - Flat scalar unrolling (one (centroid, dim) term each, no HOFs):
+      correct but the k*m*d-node expression tree makes driver-side
+      analysis the bottleneck (~9s per query at m=8,k=16,d=8). The SQL
+      HOF tree is ~k*m nodes smaller and analyzes in milliseconds; the
+      interpreted-HOF execution cost is noise next to it.
     """
-    return F.array(*[
-        _sqdist(sub, F.array(*[F.lit(float(v)) for v in c])) for c in codebook
-    ])
+    cb = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in codebook
+    ) + ")"
+    return (
+        f"transform({cb}, c_ -> aggregate("
+        f"zip_with(slice({vec_sql}, {offset0 + 1}, {d}), c_, "
+        f"(u_, w_) -> (u_ - w_) * (u_ - w_)), "
+        f"cast(0.0 as double), (acc_, x_) -> acc_ + x_))"
+    )
 
 
 def pq_encode(
@@ -335,12 +350,24 @@ def pq_encode(
     """
     m = len(codebooks)
     d = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
+    # Materialize each subspace's distance array once (a stacked
+    # projection the optimizer collapses), then take the argmin —
+    # referencing the transform twice inside array_position(array_min(..))
+    # would double the analysis tree.
+    out = df
+    tmp = []
     for s in range(m):
-        d2s = _centroid_d2s(F.slice(v, s * d + 1, d), codebooks[s])
-        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
-    return df.withColumn(code_col, F.array(*codes))
+        name = f"__pq_d2s{s}"
+        out = out.withColumn(
+            name, F.expr(_centroid_d2s_sql(vec_sql, s * d, d, codebooks[s]))
+        )
+        tmp.append(name)
+    code = F.array(*[
+        (F.array_position(F.col(n), F.array_min(F.col(n))) - 1).cast("int")
+        for n in tmp
+    ])
+    return out.withColumn(code_col, code).drop(*tmp)
 
 
 def pq_topk(
@@ -384,10 +411,10 @@ def pq_topk(
         codebooks, vec_col=vec_col,
     ).select("neighbor_id", "pq_code")
 
-    v = F.col(vec_col).cast("array<double>")
     d = len(codebooks[0][0])
+    vec_sql = f"cast(`{vec_col}` as array<double>)"
     lut = F.array(*[
-        _centroid_d2s(F.slice(v, s * d + 1, d), codebooks[s])
+        F.expr(_centroid_d2s_sql(vec_sql, s * d, d, codebooks[s]))
         for s in range(m)
     ])
     q = queries.select(F.col(id_col).alias("query_id"), lut.alias("lut"))

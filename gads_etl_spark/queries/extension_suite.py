@@ -1741,3 +1741,48 @@ def ext_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_id").alias("b_id"),
         "edit_dist",
     )
+
+
+@register(
+    "ext_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), h AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)
+    ), m AS (
+      SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM h
+    ), i AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM i GROUP BY doc_id, island
+    """,
+    tags=("extension", "dedup", "spans"),
+)
+def ext_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans: per document, the maximal token
+    spans covered by 8-grams that appear in >= 2 distinct documents —
+    the boilerplate detector that doc-level dedup can't express. Inverted
+    k-gram index + gaps-and-islands merge; the gram key is the raw token
+    string, so both engines state the identical construction."""
+    from gads_etl_spark.operators.dedup import duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, k=8, min_docs=2)

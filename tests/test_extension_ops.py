@@ -374,6 +374,56 @@ class TestSemanticDedup:
             assert ok, f"dropped {r.vec_id} has no lower-id near-dup witness"
 
 
+class TestDuplicatedSpans:
+    def _spans(self, spark, docs, **kw):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return sorted(
+            (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+            for r in D.duplicated_spans(df, k=3, **kw).collect()
+        )
+
+    def test_shared_run_found_in_both_docs(self, spark):
+        docs = [
+            (1, "a b c d e unique1 one"),
+            (2, "other words a b c d e trailing"),
+        ]
+        # Shared 5-token run "a b c d e" = 3 overlapping 3-grams.
+        assert self._spans(spark, docs) == [
+            (1, 1, 5, 3),
+            (2, 3, 7, 3),
+        ]
+
+    def test_short_doc_and_no_cross_doc_dup(self, spark):
+        docs = [(1, "x y"), (2, "p q r p q r p q r")]
+        # Doc 1 is shorter than k; doc 2 repeats a phrase but only
+        # WITHIN itself — min_docs=2 counts distinct documents.
+        assert self._spans(spark, docs) == []
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        docs = [
+            (1, "a b c gap1 gap2 gap3 x y z"),
+            (2, "a b c other filler words x y z"),
+        ]
+        assert self._spans(spark, docs) == [
+            (1, 1, 3, 1), (1, 7, 9, 1),
+            (2, 1, 3, 1), (2, 7, 9, 1),
+        ]
+
+    def test_adjacent_coverage_merges(self, spark):
+        # Doc 3 contains both shared runs back-to-back: coverage is
+        # contiguous so the two islands merge into one span.
+        docs = [
+            (1, "a b c filler0 filler1"),
+            (2, "x y z filler2 filler3"),
+            (3, "a b c x y z"),
+        ]
+        assert self._spans(spark, docs) == [
+            (1, 1, 3, 1),
+            (2, 1, 3, 1),
+            (3, 1, 6, 2),
+        ]
+
+
 class TestBlockedEditDistance:
     """blocked_edit_distance_pairs: linkage semantics on synthetic names."""
 
