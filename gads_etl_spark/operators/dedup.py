@@ -445,3 +445,48 @@ def duplicated_spans(
         )
         .drop("_island")
     )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove the tokens covered by ``duplicated_spans`` output from each
+    document — the removal half of substring-level dedup (Lee et al.
+    2022): detected boilerplate is cut everywhere it appears (the
+    documented policy: spans are cross-doc boilerplate, so no occurrence
+    is canonical).
+
+    Shape: spans collapse to one array per doc (tiny — spans, not
+    tokens), a single equi-join on the doc id brings them to the text,
+    and the cut is a per-row expression. Docs without spans pass through
+    untouched via the left join. The token filter is SQL-text nested
+    higher-order functions with explicit distinct variable names —
+    Python-lambda nesting mis-resolves shared auto-generated names (see
+    ``_centroid_d2s_sql`` in operators/similarity.py).
+
+    Returns the input plus ``out_col`` and ``n_removed_tokens``.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+    )
+    kept = (
+        "filter(zip_with(split(`{t}`, '\\\\s+'), "
+        "sequence(1, size(split(`{t}`, '\\\\s+'))), "
+        "(tok_, i_) -> struct(tok_ AS tok, i_ AS i)), "
+        "p_ -> __sp IS NULL OR NOT exists(__sp, "
+        "s_ -> p_.i >= s_.span_start AND p_.i <= s_.span_end))"
+    ).format(t=text_col)
+    return (
+        df.join(sp, id_col, "left")
+        .withColumn("__kept", F.expr(kept))
+        .withColumn(out_col, F.array_join("__kept.tok", " "))
+        .withColumn(
+            "n_removed_tokens",
+            (F.size(tokens(F.col(text_col))) - F.size("__kept")).cast("long"),
+        )
+        .drop("__sp", "__kept")
+    )

@@ -1786,3 +1786,66 @@ def ext_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_spans(docs, k=8, min_docs=2)
+
+
+@register(
+    "ext_strip_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), h AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)
+    ), m AS (
+      SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM h
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+      FROM isl GROUP BY doc_id, island
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS tok
+      FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    ), keepers AS (
+      SELECT tok.doc_id, pos, tok FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = tok.doc_id
+          AND pos BETWEEN s.span_start AND s.span_end)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept
+      FROM keepers GROUP BY doc_id
+    )
+    SELECT dd.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(string_split(dd.text, ' ')) - coalesce(agg.n_kept, 0)
+                AS BIGINT) AS n_removed_tokens
+    FROM documents dd LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("extension", "dedup", "spans"),
+)
+def ext_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect cross-document duplicated 8-gram spans, then CUT them from
+    every document — detect + remove, the full substring-dedup pass. The
+    span detection shuffles grams once; the removal is one doc-keyed
+    equi-join and a per-row expression cut."""
+    from gads_etl_spark.operators.dedup import duplicated_spans, strip_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, k=8, min_docs=2)
+    return strip_duplicated_spans(docs, spans).select(
+        "doc_id", "clean_text", "n_removed_tokens"
+    )

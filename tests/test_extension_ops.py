@@ -495,3 +495,29 @@ class TestSpreadHelper:
         agg = joined.groupBy("k").count()  # guaranteed Exchange
         assert "Exchange" in agg._jdf.queryExecution().executedPlan().toString()
         assert spread(agg) is agg
+
+
+class TestStripDuplicatedSpans:
+    def test_cut_and_passthrough(self, spark):
+        docs = spark.createDataFrame([
+            (1, "a b c d e unique1 one"),
+            (2, "other words a b c d e trailing"),
+            (3, "totally unrelated content here now"),
+        ], "doc_id long, text string")
+        spans = D.duplicated_spans(docs, k=3)
+        out = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.strip_duplicated_spans(docs, spans).collect()}
+        assert out == {
+            1: ("unique1 one", 5),
+            2: ("other words trailing", 5),
+            3: ("totally unrelated content here now", 0),
+        }
+
+    def test_fully_covered_doc_empties(self, spark):
+        docs = spark.createDataFrame([
+            (1, "a b c"), (2, "a b c"),
+        ], "doc_id long, text string")
+        spans = D.duplicated_spans(docs, k=3)
+        out = {r.doc_id: (r.clean_text, r.n_removed_tokens)
+               for r in D.strip_duplicated_spans(docs, spans).collect()}
+        assert out == {1: ("", 3), 2: ("", 3)}
