@@ -65,6 +65,98 @@ def cosine_topk_bruteforce(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    train_fraction: float = 0.25,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Fit IVF cell centroids on a seeded SAMPLE with a bounded iteration
+    count (same pattern as ``semantic_dedup``): centroid quality only
+    shifts which cells candidates land in — recall headroom, never
+    correctness — so at 100 TB the iterative fit must not re-scan the
+    full corpus per iteration. Returns plain python lists so the index
+    can be persisted/shipped without an ML model object.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.sample(fraction=train_fraction, seed=seed).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    id_alias: str | None = None,
+    vec_alias: str | None = None,
+) -> DataFrame:
+    """Assign each vector its ``n_probe`` nearest cells — one map-side
+    expression pass, ZERO shuffle: the centroid distances are a literal
+    expression array (``_centroid_d2s_sql``), the probe set is
+    ``slice(sort_array(zip(d2, cell)), 1, n_probe)`` (struct sort —
+    deterministic d2-then-cell tiebreak), exploded. The previous
+    formulation (crossJoin(centroids) + per-id row_number window)
+    shuffled |rows| x n_clusters and is exactly what this replaces.
+    """
+    id_alias = id_alias or id_col
+    vec_alias = vec_alias or "_v"
+    k = len(centroids)
+    d2s = _centroid_d2s_sql(f"cast(`{vec_col}` as array<double>)", 0,
+                            len(centroids[0]), centroids)
+    probe = (
+        f"explode(slice(sort_array(zip_with({d2s}, sequence(0, {k - 1}), "
+        f"(d_, c_) -> struct(d_ AS d2, c_ AS cell))), 1, {n_probe}))"
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).cast("array<double>").alias(vec_alias),
+        F.expr(probe).alias("_pc"),
+    ).select(id_alias, vec_alias, F.col("_pc.cell").alias("cell"))
+
+
+def ivf_query(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a prebuilt IVF index: ``assigned`` is the (id, vec, cell)
+    corpus assignment — typically read back from parquet written once at
+    index-build time (partition or bucket it by ``cell`` and the
+    candidate equi-join needs no corpus-side shuffle). Queries probe
+    their ``n_probe`` nearest cells and score only those vectors.
+    """
+    if "neighbor_id" in assigned.columns:  # pre-aliased by the caller
+        c = assigned.select("neighbor_id", F.col("c_vec"), "cell")
+    else:  # default ivf_assign output: (id_col, _v, cell)
+        c = assigned.select(F.col(id_col).alias("neighbor_id"),
+                            F.col("_v").alias("c_vec"), "cell")
+    q = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col,
+                   n_probe=n_probe, id_alias="query_id", vec_alias="q_vec")
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -81,58 +173,21 @@ def ivf_topk(
 
     KMeans centroids partition the corpus (each vector lives in exactly
     one cell); each query probes its ``n_probe`` nearest cells and scores
-    only those vectors. The centroid table is tiny and broadcast; corpus
-    assignment is one pass; the candidate join is an equi-join on the
-    cell id — the classic IVF trade: recall grows with n_probe, cost
-    with |cell| × n_probe instead of |corpus|.
-
-    The KMeans fit runs on a seeded SAMPLE with a bounded iteration count
-    (same pattern as ``semantic_dedup``): centroid quality only shifts
-    which cells candidates land in — recall headroom, never correctness —
-    so at 100 TB the iterative fit must not re-scan the full corpus per
-    iteration. Assignment of the full corpus stays a single pass.
+    only those vectors. Composition of the index-once/query-many pieces:
+    ``fit_ivf_centroids`` (sampled fit) + ``ivf_assign`` (map-side
+    expression argmin, no shuffle) + ``ivf_query`` (cell equi-join with
+    the query side broadcast) — the classic IVF trade: recall grows with
+    n_probe, cost with |cell| x n_probe instead of |corpus|.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = corpus.sparkSession
-    train = corpus.sample(fraction=train_fraction, seed=seed).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell INT, centroid ARRAY<DOUBLE>",
-    )
-
-    def assign(df: DataFrame, id_alias: str, vec_alias: str, probes: int) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        rows = df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias))
-        d2 = F.aggregate(
-            F.zip_with(F.col(vec_alias), F.col("centroid"),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        w = Window.partitionBy(id_alias).orderBy(F.asc("d2"), F.asc("cell"))
-        return (
-            rows.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", d2)
-            .withColumn("_cr", F.row_number().over(w))
-            .where(F.col("_cr") <= probes)
-            .select(id_alias, vec_alias, "cell")
-        )
-
-    c = assign(spread(corpus), "neighbor_id", "c_vec", probes=1)
-    q = assign(queries, "query_id", "q_vec", probes=n_probe)
-    scored = c.join(F.broadcast(q), "cell").select(
-        "query_id", "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
+                                  train_fraction, max_iter)
+    assigned = ivf_assign(spread(corpus), centroids, id_col=id_col,
+                          vec_col=vec_col, n_probe=1,
+                          id_alias="neighbor_id", vec_alias="c_vec")
+    return ivf_query(
+        assigned.select("neighbor_id", F.col("c_vec"), "cell"),
+        queries, centroids, k=k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
     )
 
 

@@ -263,6 +263,52 @@ class TestInt8Quantization:
         assert hits / total >= 0.9, f"int8 recall {hits}/{total} too low"
 
 
+class TestIvfIndex:
+    """Index-once / query-many: the production IVF shape — centroids and
+    cell assignments persist; queries run against the stored index
+    without re-clustering; new batches join the index via an
+    assignment-only pass."""
+
+    def test_persisted_index_matches_in_memory(self, spark, emb, tmp_path):
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        cents = S.fit_ivf_centroids(corpus, n_clusters=8)
+        assigned = S.ivf_assign(corpus, cents, id_alias="neighbor_id",
+                                vec_alias="c_vec")
+        path = str(tmp_path / "ivf_index")
+        assigned.write.partitionBy("cell").parquet(path)
+        persisted = spark.read.parquet(path)
+        direct = sorted(map(tuple, S.ivf_query(
+            assigned, queries, cents, k=5, n_probe=3).collect()))
+        from_disk = sorted(map(tuple, S.ivf_query(
+            persisted, queries, cents, k=5, n_probe=3).collect()))
+        assert direct == from_disk and direct
+
+    def test_incremental_batch_is_reachable(self, spark, emb):
+        """Vectors appended via assignment-only (no refit) must be found
+        by subsequent queries — planted copies land in the new batch."""
+        queries = emb.where(F.col("vec_id") < 5)
+        base = emb.where(F.col("vec_id") >= 5)
+        cents = S.fit_ivf_centroids(base, n_clusters=8)
+        index = S.ivf_assign(base, cents, id_alias="neighbor_id",
+                             vec_alias="c_vec")
+        batch = queries.withColumn("vec_id", F.col("vec_id") + 100000)
+        appended = index.unionByName(
+            S.ivf_assign(batch, cents, id_alias="neighbor_id",
+                         vec_alias="c_vec"))
+        top1 = S.ivf_query(appended, queries, cents, k=1, n_probe=1).collect()
+        assert {r.query_id: r.neighbor_id for r in top1} == {
+            i: i + 100000 for i in range(5)
+        }
+        assert all(r.cos_sim == 1.0 for r in top1)
+
+    def test_assignment_is_shuffle_free(self, spark, emb):
+        plan = S.ivf_assign(
+            emb, S.fit_ivf_centroids(emb, n_clusters=8)
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
 class TestProductQuantization:
     def test_codebooks_shape_and_determinism(self, emb):
         books = S.pq_train_codebooks(emb, m=8, k=16)
