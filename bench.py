@@ -37,6 +37,7 @@ EXTRA = [
     "ext_minhash_candidates",
     "ext_incremental_dedup",
     "ext_knn_bruteforce",
+    "ext_knn_ivf",
     "ext_knn_pq",
     "ext_dup_spans",
     "ev_tumbling_hourly",

@@ -1849,3 +1849,79 @@ def ext_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicated_spans(docs, spans).select(
         "doc_id", "clean_text", "n_removed_tokens"
     )
+
+
+@register(
+    "ext_corpus_prep",
+    oracle="""
+    WITH dedup AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+             + 0.3 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the', 'a', 'data', 'table', 'row'))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+             + 0.2 * least(len(string_split(text, ' ')) / 64.0, 1.0) AS quality
+      FROM dedup
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.62
+    ), assigned AS (
+      SELECT *,
+             CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                  THEN 'train'
+                  WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(floor(quality * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS quality_micro_sum
+    FROM assigned GROUP BY split, lang
+    """,
+    tags=("extension", "pipeline", "capstone"),
+)
+def ext_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone corpus-prep pipeline — the chained shape a training-data
+    run actually executes: exact dedup -> heuristic quality filter ->
+    reproducible hash split -> per-(split, lang) audit. One query, four
+    stages, each individually oracle-checked elsewhere; this checks the
+    COMPOSITION (survivor sets, filter boundaries, and split membership
+    all have to agree between engines for the final counts to match).
+    Quality averages travel as integer micro-units so the aggregate is
+    order-independent.
+    """
+    from gads_etl_spark.operators import sampling as SA
+    from gads_etl_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs).select("doc_id", "text", "lang")
+    toks = D.tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("long")
+    quality = (
+        F.lit(0.5) * (n_distinct.cast("double") / n_tokens)
+        + F.lit(0.3) * (F.lit(1.0) - n_stop.cast("double") / n_tokens)
+        + F.lit(0.2) * F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    )
+    scored = survivors.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), quality.alias("quality")
+    ).where(F.col("quality") >= 0.62)
+    assigned = SA.train_val_test_split(scored, "doc_id", train=0.8, val=0.1)
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.floor(F.col("quality") * 1000000 + F.lit(0.5)).cast("long"))
+        .cast("long").alias("quality_micro_sum"),
+    )
