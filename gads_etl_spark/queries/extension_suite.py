@@ -1925,3 +1925,62 @@ def ext_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("quality") * 1000000 + F.lit(0.5)).cast("long"))
         .cast("long").alias("quality_micro_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diffing (CDC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT doc_id, text FROM documents
+    ), new_snap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, 'new ' || text AS text
+        FROM documents WHERE doc_id % 101 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text IS DISTINCT FROM n.text
+    """,
+    tags=("extension", "cdc"),
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two corpus snapshots: classify every key as
+    added / removed / changed (unchanged keys are never materialized).
+
+    The "new" snapshot is derived deterministically from the fixture
+    (drop doc_id%97==0, revise doc_id%89==0, add a shifted copy of
+    doc_id%101==0), so the oracle can rebuild the identical pair of
+    snapshots in SQL. Spark classifies via 64-bit content fingerprints
+    (constant-width shuffle regardless of document size); the oracle
+    compares text values directly — identical classification absent an
+    xxhash64 collision, the standard fingerprint-CDC trade
+    (operators/cdc.py module docstring).
+    """
+    from gads_etl_spark.operators import cdc as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text")
+    surviving = docs.where(F.col("doc_id") % 97 != 0)
+    revised = surviving.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 89 == 0,
+               F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    new = revised.unionByName(added)
+    return C.snapshot_diff(old, new, ["doc_id"], compare_cols=["text"])

@@ -1,0 +1,95 @@
+"""Snapshot-diff (CDC) operator: classification, null discipline,
+fingerprint-vs-exact equivalence, and the apply_diff round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gads_etl_spark.operators import cdc
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, a string, b int")
+
+
+@pytest.fixture()
+def snapshots(spark):
+    old = _mk(spark, [
+        (1, "same", 10),
+        (2, "will-change", 20),
+        (3, "will-be-removed", 30),
+        (4, None, 40),            # null compared value, unchanged
+        (5, "null-flip", None),   # value -> null counts as changed
+    ])
+    new = _mk(spark, [
+        (1, "same", 10),
+        (2, "changed!", 20),
+        (4, None, 40),
+        (5, "null-flip", 50),
+        (6, "brand-new", 60),
+    ])
+    return old, new
+
+
+def _classes(df):
+    return {r["k"]: r["change"] for r in df.collect()}
+
+
+class TestSnapshotDiff:
+    EXPECT = {2: "changed", 3: "removed", 5: "changed", 6: "added"}
+
+    def test_fingerprint_classification(self, snapshots):
+        old, new = snapshots
+        got = _classes(cdc.snapshot_diff(old, new, ["k"]))
+        assert got == self.EXPECT
+
+    def test_exact_matches_fingerprint(self, snapshots):
+        old, new = snapshots
+        fp = _classes(cdc.snapshot_diff(old, new, ["k"], fingerprint=True))
+        exact = _classes(cdc.snapshot_diff(old, new, ["k"], fingerprint=False))
+        assert fp == exact == self.EXPECT
+
+    def test_include_unchanged(self, snapshots):
+        old, new = snapshots
+        got = _classes(cdc.snapshot_diff(old, new, ["k"], include_unchanged=True))
+        assert got == {**self.EXPECT, 1: "unchanged", 4: "unchanged"}
+
+    def test_null_vs_empty_not_confused(self, spark):
+        """hash(null, x) == hash(x, null) in Spark's hash functions; the
+        presence bitmap must keep (null,'x') distinct from ('x',null)."""
+        old = _mk(spark, [(1, None, None)])
+        new = spark.createDataFrame([(1, "", None)], "k int, a string, b int")
+        got = _classes(cdc.snapshot_diff(old, new, ["k"]))
+        assert got == {1: "changed"}
+        # and a column-order-style swap: (null, 0) vs ("0", null)
+        old2 = spark.createDataFrame([(1, None, 0)], "k int, a string, b int")
+        new2 = spark.createDataFrame([(1, "0", None)], "k int, a string, b int")
+        assert _classes(cdc.snapshot_diff(old2, new2, ["k"])) == {1: "changed"}
+
+    def test_compare_cols_subset(self, snapshots):
+        old, new = snapshots
+        # comparing only column b: k=2 text change becomes invisible
+        got = _classes(cdc.snapshot_diff(old, new, ["k"], compare_cols=["b"]))
+        assert got == {3: "removed", 5: "changed", 6: "added"}
+
+    def test_no_compare_cols_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError, match="no columns to compare"):
+            cdc.snapshot_diff(df, df, ["k"])
+
+    def test_apply_diff_roundtrip(self, snapshots):
+        old, new = snapshots
+        delta = cdc.snapshot_diff(old, new, ["k"])
+        rebuilt = cdc.apply_diff(old, delta, new, ["k"])
+        assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+    def test_constant_width_shuffle(self, snapshots):
+        """The fingerprint path must not carry compared columns through
+        the exchange — the join inputs project to key + hash only."""
+        old, new = snapshots
+        plan = cdc.snapshot_diff(old, new, ["k"])._jdf.queryExecution().executedPlan().toString()
+        # compared columns a/b appear only below the hash projection, never
+        # as join output attributes
+        join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l)
+        assert "a#" not in join_line and "b#" not in join_line
