@@ -70,9 +70,20 @@ def create_raw_zone(spark: SparkSession, root: str | None = None,
     because every filesystem touch goes through the Hadoop FS API."""
     root = root or os.environ.get("GADS_ETL_RAW_ROOT", "file:///tmp/gads_etl_raw")
     fmt = data_format or os.environ.get("GADS_ETL_RAW_FORMAT", "json")
-    if fmt not in ("json", "parquet"):
-        raise ValueError(f"unsupported raw format {fmt!r} (json|parquet)")
+    if fmt not in RAW_FORMATS:
+        raise ValueError(
+            f"unsupported raw format {fmt!r} ({'|'.join(RAW_FORMATS)})"
+        )
     return RawZone(spark, root, fmt)
+
+
+#: Payload formats the raw zone can write/read. json mirrors the
+#: reference's JSONL payloads (raw_sink.py:70-88); parquet and orc are
+#: the columnar options for deployments that skip the JSON hop — both
+#: ship in stock Spark (no external jar) and both carry their own schema,
+#: so FAILFAST-style schema enforcement comes from the reader-supplied
+#: schema rather than a parse mode.
+RAW_FORMATS = ("json", "parquet", "orc")
 
 
 class RawZone:
@@ -159,6 +170,8 @@ class RawZone:
         writer = df.write.mode("errorifexists")
         if self.data_format == "json":
             writer.json(path)
+        elif self.data_format == "orc":
+            writer.orc(path)
         else:
             writer.parquet(path)
         if count_mode == "observe":
@@ -241,6 +254,8 @@ class RawZone:
             reader = reader.schema(schema)
         if self.data_format == "json":
             return reader.option("mode", "FAILFAST").json(path)
+        if self.data_format == "orc":
+            return reader.orc(path)
         return reader.parquet(path)
 
     def read_partition(self, key: PartitionKey, run_id: str,
@@ -260,6 +275,8 @@ class RawZone:
             reader = reader.schema(schema)
         if self.data_format == "json":
             return reader.option("mode", "FAILFAST").json(self.root)
+        if self.data_format == "orc":
+            return reader.orc(self.root)
         return reader.parquet(self.root)
 
     def list_run_ids(self, key: PartitionKey) -> list[str]:

@@ -158,6 +158,34 @@ class TestRawZoneFactory:
         with pytest.raises(ValueError):
             create_raw_zone(spark, root="/tmp/x", data_format="csv")
 
+    @pytest.mark.parametrize("fmt", ["parquet", "orc"])
+    def test_columnar_format_full_lifecycle(self, spark, tmp_path, fmt):
+        """Columnar payload formats (both built into stock Spark) support
+        the same write → seal → refuse → read → read_all lifecycle as
+        JSONL; partition columns still come back via hive discovery."""
+        from datetime import date
+
+        from gads_etl_spark.pipeline import PartitionKey
+        from gads_etl_spark.pipeline.raw_sink import SealedPartitionError
+
+        zone = create_raw_zone(spark, root=str(tmp_path / fmt), data_format=fmt)
+        key = PartitionKey("google_ads", "123", "campaign_stats", date(2024, 1, 1))
+        df = spark.range(7).select(
+            F.col("id").alias("campaign_id"), (F.col("id") * 3).alias("clicks"))
+        meta = zone.write_partition(df, key, "run-a")
+        assert meta["record_count"] == 7
+        with pytest.raises(SealedPartitionError):
+            zone.write_partition(df, key, "run-a")
+        back = zone.read_partition(key, "run-a")
+        assert sorted((r.campaign_id, r.clicks) for r in back.collect()) == [
+            (i, i * 3) for i in range(7)
+        ]
+        everything = zone.read_all()
+        assert everything.count() == 7
+        assert {"source", "customer_id", "query_name", "logical_date", "run_id"} <= set(
+            everything.columns
+        )
+
 
 class TestHeavyHitters:
     def test_matches_exact_groupby(self, spark):
