@@ -1984,3 +1984,61 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = revised.unionByName(added)
     return C.snapshot_diff(old, new, ["doc_id"], compare_cols=["text"])
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext_dq_checks",
+    oracle="""
+    SELECT 'not_null(text)' AS check, CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT) AS n_violations FROM documents
+    UNION ALL
+    SELECT 'in_set(lang)', CAST(count(*) FILTER (WHERE lang IS NULL OR lang NOT IN ('en','es')) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'in_range(n_chars)', CAST(count(*) FILTER (WHERE n_chars IS NULL OR n_chars < 0 OR n_chars > 300) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars_consistent', CAST(count(*) FILTER (WHERE n_chars IS DISTINCT FROM length(text)) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'matches(source)', CAST(count(*) FILTER (WHERE source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$')) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'unique(doc_id)', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'ref(o_custkey)', CAST(count(*) AS BIGINT) FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    tags=("extension", "quality"),
+)
+def ext_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite (operators/dq.py).
+
+    Five row-level constraints compile into ONE conditional-sum aggregate
+    over a single documents scan; key uniqueness adds one partial-agg
+    shuffle; referential integrity (orders→customer) one broadcast anti
+    join. Violation counts are exact on both engines. The in_set/in_range
+    bands are deliberately tight so the fixture yields nonzero violation
+    counts — a suite that can only ever report zeros tests nothing.
+    """
+    from gads_etl_spark.operators import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    doc_checks = [
+        dq.not_null("text"),
+        dq.in_set("lang", ("en", "es")),
+        dq.in_range("n_chars", 0, 300),
+        dq.custom("n_chars_consistent",
+                  F.col("n_chars").eqNullSafe(F.length(F.col("text")))),
+        dq.matches("source", r"^src[0-9]+$"),
+        dq.unique("doc_id"),
+    ]
+    order_checks = [
+        dq.ref_integrity(["o_custkey"], customer, ["c_custkey"]),
+    ]
+    doc_r = dq.run_checks(docs, doc_checks)
+    ord_r = dq.run_checks(orders, order_checks)
+    return doc_r.unionByName(ord_r)
