@@ -194,3 +194,50 @@ def assert_checks(df: DataFrame, checks: list[Check]) -> None:
     if failed:
         summary = ", ".join(f"{n}: {v} violations" for n, v in failed)
         raise DataQualityError(summary)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_distinct: bool = False,
+                    approx_rsd: float = 0.05) -> DataFrame:
+    """Per-column profile — (column, n_rows, n_null, n_distinct,
+    min_value, max_value) with min/max cast to string for a uniform
+    schema. The ANALYZE/dbt-profiler step run before writing checks.
+
+    Scale shape: ALL columns profile in ONE aggregate over ONE scan.
+    With ``exact_distinct=False`` (the 100 TB default) distinct counts
+    are HyperLogLog sketches (``approx_count_distinct``), which keep the
+    plan a plain partial-aggregate; ``exact_distinct=True`` gives exact
+    counts for oracle-grade comparison, at the cost of Catalyst's Expand
+    strategy for multi-distinct (input rows duplicated once per profiled
+    column before the shuffle) — fine on control tables, deliberate
+    opt-in on corpus-scale facts.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c))) if exact_distinct
+        else (lambda c: F.approx_count_distinct(c, rsd=approx_rsd))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).cast("long").alias(f"__nn{i}"),
+            distinct(c).cast("long").alias(f"__nd{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx{i}"),
+        ]
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn{i}")).cast("long").alias("n_null"),
+                F.col(f"__nd{i}").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_value"),
+                F.col(f"__mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ])).alias("p")
+    ).select("p.*")

@@ -2042,3 +2042,39 @@ def ext_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_r = dq.run_checks(docs, doc_checks)
     ord_r = dq.run_checks(orders, order_checks)
     return doc_r.unionByName(ord_r)
+
+
+@register(
+    "ext_profile_columns",
+    oracle="""
+    SELECT 'doc_id' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(doc_id) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT),
+           CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT),
+           CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(*) - count(n_chars) AS BIGINT),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+    """,
+    tags=("extension", "quality"),
+)
+def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/dq.py::profile_columns) in
+    exact-distinct mode so DuckDB can reproduce the numbers; the engine
+    default is HLL approx (single partial-agg pass, no Expand) for
+    corpus-scale tables. String-typed min/max keeps the output schema
+    uniform; profiled columns here are bigint/varchar so both engines
+    render identical strings.
+    """
+    from gads_etl_spark.operators import dq
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dq.profile_columns(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True)

@@ -90,6 +90,28 @@ class TestKeyChecks:
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+class TestProfiler:
+    def test_exact_profile_values(self, frame):
+        rows = {r["column"]: r for r in
+                dq.profile_columns(frame, exact_distinct=True).collect()}
+        assert set(rows) == {"id", "lang", "n"}
+        rid = rows["id"]
+        assert (rid["n_rows"], rid["n_null"], rid["n_distinct"]) == (6, 1, 4)
+        assert (rid["min_value"], rid["max_value"]) == ("1", "4")
+        assert rows["lang"]["n_distinct"] == 2  # en, xx (null excluded)
+
+    def test_approx_profile_single_scan_no_expand(self, frame):
+        out = dq.profile_columns(frame)  # HLL mode
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") == 1
+        assert "Expand" not in plan  # exact multi-distinct would add one
+
+    def test_no_columns_raises(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        with pytest.raises(ValueError, match="no columns"):
+            dq.profile_columns(df, [])
+
+
 class TestGate:
     def test_assert_passes_clean(self, spark):
         df = spark.createDataFrame([(1,)], "id int")
