@@ -38,18 +38,36 @@ def stage_partition(
     key: PartitionKey,
     run_id: str,
     schema_version: str = "v1",
+    checks: list | None = None,
 ) -> dict:
-    """Stage one curated partition (write + metadata-last seal)."""
+    """Stage one curated partition (write + metadata-last seal).
+
+    ``checks`` (operators/dq.py constraints) gate the PAYLOAD the way
+    count validation gates the ledger: they run before any byte is
+    written, so a constraint violation stages nothing — no unsealed
+    debris, no pointer ever observes the bad partition. The check cost
+    is one extra pass over the partition (row checks batch into one
+    aggregate), paid only where a gate was requested.
+    """
+    if checks:
+        from gads_etl_spark.operators import dq
+
+        dq.assert_checks(df, checks)
     return curated.write_partition(df, key, run_id, schema_version=schema_version)
 
 
-def materialize_plan(raw: RawZone, curated: CuratedZone, plan) -> int:
+def materialize_plan(raw: RawZone, curated: CuratedZone, plan,
+                     checks: list | None = None) -> int:
     """Copy every load/replace target raw → curated (idempotent: already-
     staged (key, run_id) partitions are skipped — reruns converge).
 
     Returns the number of partitions staged. Each copy is one columnar
     rewrite of one partition directory; targets are independent, so on a
-    cluster these parallelize across the scheduler queue.
+    cluster these parallelize across the scheduler queue. ``checks``
+    apply per partition (see ``stage_partition``); the first violating
+    partition aborts the materialization with nothing staged for it,
+    while partitions already staged remain (idempotent rerun semantics —
+    fix the data, rerun, only the missing targets restage).
     """
     targets = plan.load.unionByName(plan.replace).collect()
     staged = 0
@@ -61,6 +79,7 @@ def materialize_plan(raw: RawZone, curated: CuratedZone, plan) -> int:
             continue
         df = raw.read_partition(key, run_id)
         stage_partition(curated, df, key, run_id,
-                        schema_version=t["schema_version"] or "v1")
+                        schema_version=t["schema_version"] or "v1",
+                        checks=checks)
         staged += 1
     return staged

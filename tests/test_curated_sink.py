@@ -108,3 +108,24 @@ def test_replace_stages_new_run_only(spark, zones):
 
     visible = read_published(curated, pointers)
     assert visible.count() == 2  # only run-b, no mixed run_ids
+
+def test_dq_gate_blocks_staging(spark, zones):
+    """A payload constraint violation stages NOTHING — no unsealed
+    debris, partition absent from the curated zone entirely."""
+    from gads_etl_spark.operators import dq
+    from gads_etl_spark.pipeline.curated_sink import stage_partition
+
+    _, curated, _, _ = zones
+    bad = spark.createDataFrame(
+        [(1, 5), (None, 7)], "campaign_id long, clicks long")
+    with pytest.raises(dq.DataQualityError, match=r"not_null\(campaign_id\): 1"):
+        stage_partition(curated, bad, KEY, "run-dq",
+                        checks=[dq.not_null("campaign_id")])
+    assert not curated.is_sealed(KEY, "run-dq")
+    assert curated.manifest().count() == 0
+    # clean payload with the same gate stages normally
+    meta = stage_partition(curated, _payload(spark), KEY, "run-dq",
+                           checks=[dq.not_null("campaign_id"),
+                                   dq.unique("campaign_id")])
+    assert meta["record_count"] == 4
+    assert curated.is_sealed(KEY, "run-dq")
