@@ -206,6 +206,62 @@ def cmd_consume_preview(args) -> int:
     return 0
 
 
+def _parse_check(spec: str):
+    """``kind:args`` check DSL → a dq.py constraint.
+
+    not_null:col | unique:col[+col...] | in_set:col:v1|v2 |
+    in_range:col:lo:hi | matches:col:regex
+    Range bounds parse as numbers when they look numeric, else strings.
+    """
+    from gads_etl_spark.operators import dq
+
+    kind, _, rest = spec.partition(":")
+    if kind == "not_null":
+        return dq.not_null(rest)
+    if kind == "unique":
+        return dq.unique(*rest.split("+"))
+    if kind == "in_set":
+        col, _, vals = rest.partition(":")
+        return dq.in_set(col, tuple(vals.split("|")))
+    if kind == "in_range":
+        col, lo, hi = rest.split(":")
+
+        def num(x):
+            try:
+                return int(x)
+            except ValueError:
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+
+        return dq.in_range(col, num(lo), num(hi))
+    if kind == "matches":
+        col, _, regex = rest.partition(":")
+        return dq.matches(col, regex)
+    raise SystemExit(f"unknown check kind {kind!r} in {spec!r}")
+
+
+def cmd_dq_check(args) -> int:
+    """Run declarative data-quality checks against any table path;
+    exit 1 when any check reports violations (the CI-gate contract)."""
+    from gads_etl_spark.operators import dq
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    reader = spark.read
+    df = (reader.parquet(args.table) if args.format == "parquet"
+          else reader.orc(args.table) if args.format == "orc"
+          else reader.json(args.table))
+    checks = [_parse_check(s) for s in args.check]
+    rows = [r.asDict() for r in dq.run_checks(df, checks).collect()]
+    _emit(rows, args.json)
+    failed = [r for r in rows if r["n_violations"]]
+    print(f"{len(rows) - len(failed)}/{len(rows)} checks passed")
+    return 1 if failed else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -254,6 +310,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("consume-preview")
     sp.add_argument("--sample-rows", type=int, default=5)
     sp.set_defaults(fn=cmd_consume_preview)
+
+    sp = sub.add_parser("dq-check")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--format", default="parquet",
+                    choices=("parquet", "orc", "json"))
+    sp.add_argument("--check", action="append", required=True,
+                    metavar="KIND:ARGS",
+                    help="not_null:col | unique:a+b | in_set:col:v1|v2 | "
+                         "in_range:col:lo:hi | matches:col:regex")
+    sp.set_defaults(fn=cmd_dq_check)
     return p
 
 

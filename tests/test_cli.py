@@ -72,3 +72,32 @@ def test_observe_retries(roots, capsys):
 def test_warehouse_load_prints_plan(roots, capsys):
     assert main([*roots, "warehouse-load"]) == 0
     assert "loads=1 replacements=0 demotions=0" in capsys.readouterr().out
+
+
+def test_dq_check_pass_and_fail(spark, tmp_path, capsys):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "en", 10), (2, "xx", -3), (2, "en", 5)],
+        "id int, lang string, n int",
+    ).write.parquet(path)
+    base = ["--json", "dq-check", "--table", path]
+    # failing suite → exit 1, violation counts in the JSON
+    rc = main([*base,
+               "--check", "not_null:id",
+               "--check", "unique:id",
+               "--check", "in_set:lang:en|fr",
+               "--check", "in_range:n:0:100"])
+    assert rc == 1
+    out = capsys.readouterr().out
+    rows = {r["check"]: r["n_violations"] for r in json.loads(out.splitlines()[0])}
+    assert rows == {"not_null(id)": 0, "unique(id)": 1,
+                    "in_set(lang)": 1, "in_range(n)": 1}
+    # passing suite → exit 0
+    assert main([*base, "--check", "not_null:id"]) == 0
+
+
+def test_dq_check_bad_kind_exits(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    spark.range(1).write.parquet(path)
+    with pytest.raises(SystemExit):
+        main(["dq-check", "--table", path, "--check", "nope:id"])
