@@ -93,3 +93,50 @@ class TestSnapshotDiff:
         # as join output attributes
         join_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l)
         assert "a#" not in join_line and "b#" not in join_line
+
+
+class TestIncrementalIndexMaintenance:
+    """CDC delta drives O(Δ) maintenance of a live ANN index: drop dead
+    keys, re-assign only added/changed vectors against the FIXED
+    centroids, and the result must equal a full re-assignment of the new
+    corpus — the contract that makes a 100 TB index maintainable without
+    nightly rebuilds (assignment is deterministic given centroids)."""
+
+    def test_incremental_equals_full_rebuild(self, spark):
+        from gads_etl_spark.catalog import load_table
+        from gads_etl_spark.operators import similarity as S
+
+        v1 = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+            "vec_id", "embedding")
+        # simulated next corpus version: drops, vector revisions, adds
+        survived = v1.where(F.col("vec_id") % 17 != 0)
+        revised = survived.select(
+            "vec_id",
+            F.when(F.col("vec_id") % 13 == 0,
+                   F.transform("embedding", lambda x: -x))
+            .otherwise(F.col("embedding")).alias("embedding"),
+        )
+        added = v1.where(F.col("vec_id") % 19 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        v2 = revised.unionByName(added)
+
+        cents = S.fit_ivf_centroids(v1, n_clusters=8)
+        index_v1 = S.ivf_assign(v1, cents)
+
+        delta = cdc.snapshot_diff(v1, v2, ["vec_id"],
+                                  compare_cols=["embedding"])
+        classes = {r["change"] for r in delta.collect()}
+        assert classes == {"added", "removed", "changed"}
+        dead = delta.where(F.col("change").isin("removed", "changed")) \
+                    .select("vec_id")
+        fresh_keys = delta.where(F.col("change").isin("added", "changed")) \
+                          .select("vec_id")
+        incremental = index_v1.join(dead, "vec_id", "left_anti").unionByName(
+            S.ivf_assign(v2.join(fresh_keys, "vec_id", "left_semi"), cents))
+
+        full = S.ivf_assign(v2, cents)
+        canon = lambda df: sorted(
+            (r["vec_id"], r["cell"], tuple(r["_v"])) for r in df.collect())
+        assert canon(incremental) == canon(full)
+        # and the delta really is a delta: far fewer re-assignments than rows
+        assert fresh_keys.count() < v2.count() / 5
