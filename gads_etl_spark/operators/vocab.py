@@ -1,0 +1,107 @@
+"""Vocabulary building: dense frequency-ranked token ids at corpus scale.
+
+Tokenizer training and embedding-table layout both want ``token →
+contiguous id`` with ids ordered by global frequency. The naive Spark
+formulation — ``row_number() OVER (ORDER BY count DESC)`` — is the
+canonical scale trap: an empty ``partitionBy`` collapses the WHOLE
+vocabulary into ONE task's window (Spark even warns). This module
+assigns the identical ids with bounded per-task work:
+
+1. token counts: one explode + groupBy (map-side partial agg) — the
+   only corpus-sized shuffle;
+2. ``repartitionByRange(count DESC, token ASC)`` + ``sortWithinPartitions``
+   puts the vocabulary in global rank order across N range partitions
+   (range exchange; the sampled range boundaries are Spark's own);
+3. per-partition row counts (one tiny agg job) → exclusive prefix sums
+   on the driver (N numbers, not |V| rows) → broadcast offsets;
+4. ``mapInPandas`` adds ``offset[pid] + local position`` — Arrow
+   batches, a running counter per partition, zero additional shuffle.
+
+The result is bit-identical to the single-window formulation (the
+oracle pins it) while the largest single-task working set is |V|/N.
+Ties order deterministically by (count DESC, token ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gads_etl_spark.operators.dedup import tokens
+
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(token, n_docs, n_occurrences) — one explode + one groupBy."""
+    exploded = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    return exploded.groupBy("token").agg(
+        F.count_distinct("_doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+
+
+def assign_dense_ranks(df: DataFrame, order_cols: list, id_name: str = "rank",
+                       n_parts: int | None = None) -> DataFrame:
+    """Global contiguous 0-based rank in ``order_cols`` order, without a
+    single-partition window. See module docstring for the mechanics;
+    ``order_cols`` must be a deterministic total order (include a
+    tiebreak column).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = n_parts or max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        # The size probe and the id pass must see the SAME partitions:
+        # range boundaries come from a sample, so re-executing the
+        # exchange in two jobs could split ranges differently. Pin the
+        # ranged layout once (vocabulary-sized, not corpus-sized).
+        .localCheckpoint(eager=True)
+    )
+    # Tiny job: rows per range partition (N numbers back to the driver).
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields
+    ) + f", `{id_name}` long"
+
+    def add_ids(iterator):
+        pos = None
+        for batch in iterator:
+            if pos is None:
+                pos = offsets[int(batch["_pid"].iloc[0])]
+            batch = batch.assign(**{id_name: pd.RangeIndex(pos, pos + len(batch))})
+            pos += len(batch)
+            yield batch
+
+    return ranged.mapInPandas(add_ids, schema=out_schema).drop("_pid")
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", min_count: int = 1,
+                n_parts: int | None = None) -> DataFrame:
+    """(token, token_id, n_docs, n_occurrences): dense 0-based ids by
+    (n_occurrences DESC, token ASC), rare tokens cut at ``min_count`` —
+    ids identical to ``row_number() OVER (ORDER BY ...) - 1`` at any
+    partitioning (partition-invariance is oracle- and property-tested).
+    """
+    counts = token_counts(docs, text_col, id_col).where(
+        F.col("n_occurrences") >= min_count
+    )
+    ranked = assign_dense_ranks(
+        counts, [F.desc("n_occurrences"), F.asc("token")],
+        id_name="token_id", n_parts=n_parts,
+    )
+    return ranked.select("token", "token_id", "n_docs", "n_occurrences")

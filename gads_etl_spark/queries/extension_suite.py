@@ -2078,3 +2078,38 @@ def ext_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dq.profile_columns(
         docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True)
+
+
+@register(
+    "ext_build_vocab",
+    oracle="""
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
+               AS token_id,
+           n_docs, n_occurrences
+    FROM (
+        SELECT token,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+        GROUP BY token
+    ) WHERE n_occurrences >= 5
+    """,
+    tags=("extension", "text"),
+)
+def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with dense contiguous token ids
+    (operators/vocab.py). The oracle is the single-window row_number
+    formulation; the engine assigns the SAME ids via range partitioning
+    + per-partition offsets + an Arrow mapInPandas counter, so no task
+    ever windows the whole vocabulary — the difference between a
+    tokenizer-prep job that runs at 100 TB and one that pins a single
+    executor.
+    """
+    from gads_etl_spark.operators import vocab as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    return V.build_vocab(docs, min_count=5)

@@ -1,0 +1,70 @@
+"""Vocabulary building: dense rank assignment must be bit-identical to
+the single-window formulation at ANY partitioning, including degenerate
+layouts (more range partitions than vocabulary rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from gads_etl_spark.operators import vocab
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # heavy ties: tokens drawn from a small alphabet with skewed counts
+    rows = []
+    words = ["the", "of", "and", "model", "data", "spark", "scale",
+             "zz", "aa", "mm"]
+    for i in range(300):
+        text = " ".join(words[(i + j) % (2 + i % 9)] for j in range(12))
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _window_reference(counts_df):
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return {
+        r["token"]: r["tid"]
+        for r in counts_df.withColumn(
+            "tid", (F.row_number().over(w) - 1).cast("long")).collect()
+    }
+
+
+class TestDenseRanks:
+    @pytest.mark.parametrize("n_parts", [2, 7, 64])
+    def test_matches_single_window_at_any_width(self, docs, n_parts):
+        counts = vocab.token_counts(docs)
+        expect = _window_reference(counts)
+        got = {
+            r["token"]: r["token_id"]
+            for r in vocab.build_vocab(docs, n_parts=n_parts).collect()
+        }
+        assert got == expect  # 64 parts ≫ |V| exercises empty partitions
+
+    def test_ids_dense_and_frequency_ordered(self, docs):
+        rows = sorted(
+            vocab.build_vocab(docs).collect(), key=lambda r: r["token_id"])
+        assert [r["token_id"] for r in rows] == list(range(len(rows)))
+        occ = [r["n_occurrences"] for r in rows]
+        assert occ == sorted(occ, reverse=True)
+
+    def test_input_layout_invariance(self, docs):
+        a = {(r["token"], r["token_id"])
+             for r in vocab.build_vocab(docs, n_parts=5).collect()}
+        b = {(r["token"], r["token_id"])
+             for r in vocab.build_vocab(
+                 docs.repartition(13, "doc_id"), n_parts=5).collect()}
+        assert a == b
+
+    def test_min_count_cut(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a b b c")], "doc_id long, text string")
+        got = {r["token"]: (r["token_id"], r["n_occurrences"])
+               for r in vocab.build_vocab(df, min_count=2).collect()}
+        assert got == {"a": (0, 3), "b": (1, 2)}
+
+    def test_no_single_partition_window_in_plan(self, docs):
+        plan = vocab.build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan  # ids come from mapInPandas, not a window
