@@ -105,3 +105,38 @@ def build_vocab(docs: DataFrame, text_col: str = "text",
         id_name="token_id", n_parts=n_parts,
     )
     return ranked.select("token", "token_id", "n_docs", "n_occurrences")
+
+
+def encode_docs(docs: DataFrame, vocab_df: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                unk_id: int = -1,
+                broadcast_vocab: bool = True) -> DataFrame:
+    """(doc_id, token_ids): documents as frequency-ranked id sequences —
+    the corpus side of tokenizer prep, order-preserving, OOV → unk_id.
+
+    posexplode keeps each token's position; the vocab equi-join restores
+    sequence order via ``array_agg`` over (pos, id) structs sorted
+    map-side. With ``broadcast_vocab`` (default — vocabularies are
+    O(100k) rows) the corpus never shuffles for the join, leaving ONE
+    exchange: the groupBy(doc_id) re-assembly. Set it False to let AQE
+    pick the strategy for vocabularies beyond broadcast size.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    v = vocab_df.select("token", "token_id")
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    joined = exploded.join(v, "token", "left").select(
+        id_col, "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("tid"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("_s"))
+        .select(
+            id_col,
+            F.transform(F.col("_s"), lambda s: s["tid"]).alias("token_ids"),
+        )
+    )

@@ -2113,3 +2113,46 @@ def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return V.build_vocab(docs, min_count=5)
+
+
+@register(
+    "ext_encode_docs",
+    oracle="""
+    WITH vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
+                   AS token_id
+        FROM (
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS token
+                FROM documents
+            ) WHERE token <> ''
+            GROUP BY token
+        ) WHERE n_occurrences >= 5
+    ), exploded AS (
+        SELECT doc_id, t.pos, t.token
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS token,
+                             generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
+        WHERE t.token <> ''
+    )
+    SELECT e.doc_id,
+           list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+    FROM exploded e LEFT JOIN vocab v ON e.token = v.token
+    GROUP BY e.doc_id
+    """,
+    tags=("extension", "text"),
+)
+def ext_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding against the built vocabulary: every document as
+    its ordered token-id sequence, OOV = -1. The broadcast vocab join
+    leaves exactly one exchange (the per-document re-assembly groupBy);
+    order is restored by a map-side array_sort over (pos, id) structs,
+    not a window.
+    """
+    from gads_etl_spark.operators import vocab as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    voc = V.build_vocab(docs, min_count=5)
+    return V.encode_docs(docs, voc)

@@ -68,3 +68,36 @@ class TestDenseRanks:
     def test_no_single_partition_window_in_plan(self, docs):
         plan = vocab.build_vocab(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan  # ids come from mapInPandas, not a window
+
+
+class TestEncodeDocs:
+    def test_order_preserved_and_oov(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "b a b zz a"), (2, "a")], "doc_id long, text string")
+        voc = spark.createDataFrame(
+            [("a", 0), ("b", 1)], "token string, token_id long")
+        got = {r["doc_id"]: r["token_ids"]
+               for r in vocab.encode_docs(docs, voc).collect()}
+        assert got == {1: [1, 0, 1, -1, 0], 2: [0]}  # zz → unk -1
+
+    def test_custom_unk_id(self, spark):
+        docs = spark.createDataFrame([(1, "q")], "doc_id long, text string")
+        voc = spark.createDataFrame([("a", 0)], "token string, token_id long")
+        [r] = vocab.encode_docs(docs, voc, unk_id=99).collect()
+        assert r["token_ids"] == [99]
+
+    def test_vocab_join_broadcasts(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        voc = spark.createDataFrame([("a", 0)], "token string, token_id long")
+        plan = vocab.encode_docs(docs, voc)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_roundtrip_with_built_vocab(self, docs):
+        voc = vocab.build_vocab(docs)
+        enc = vocab.encode_docs(docs, voc)
+        id2tok = {r["token_id"]: r["token"] for r in voc.collect()}
+        sample = enc.where(F.col("doc_id") == 7).collect()[0]["token_ids"]
+        original = docs.where(F.col("doc_id") == 7).collect()[0]["text"].split()
+        decoded = [id2tok[t] for t in sample]
+        assert decoded == original  # min_count=1 vocab: lossless roundtrip
