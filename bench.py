@@ -57,6 +57,10 @@ EXTRA = [
     "ext_fuzzy_match",
     "ext_winnow_fingerprint",
     "ext_multimodal_decode",
+    "ext_snapshot_diff",
+    "ext_dq_checks",
+    "ext_build_vocab",
+    "ext_encode_docs",
 ]
 
 

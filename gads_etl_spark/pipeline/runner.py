@@ -57,11 +57,14 @@ def run_daily(
     target_date: date,
     curated: CuratedZone | None = None,
     run_id: str | None = None,
+    dq_checks: list | None = None,
 ) -> RunReport:
     """One daily sync: extract → validate (one batch) → load → publish.
 
     ``sources`` maps query entity → source DataFrame (the fixture stand-in
     for the live connector; a real deployment plugs a DataSource here).
+    ``dq_checks`` (operators/dq.py constraints) gate each curated staging
+    copy — a violating partition stages nothing and fails the run loudly.
     """
     report = RunReport(run_id=run_id or new_run_id())
     runs = plan_daily_runs(config, target_date)
@@ -89,7 +92,8 @@ def run_daily(
 
     loader = WarehouseLoader(states, pointers)
     if curated is not None:
-        report.staged = materialize_plan(raw, curated, loader.reconcile())
+        report.staged = materialize_plan(raw, curated, loader.reconcile(),
+                                         checks=dq_checks)
     plan = loader.run()
     report.published = plan.counts()
     return report
