@@ -61,6 +61,7 @@ EXTRA = [
     "ext_dq_checks",
     "ext_build_vocab",
     "ext_encode_docs",
+    "ext_block_pack",
 ]
 
 

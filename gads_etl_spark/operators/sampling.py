@@ -112,3 +112,62 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum_excl = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn("bin_id", F.floor(cum_excl / F.lit(budget)))
+
+
+def block_pack(encoded: DataFrame, block_size: int,
+               shard_col: str, id_col: str = "doc_id",
+               ids_col: str = "token_ids") -> DataFrame:
+    """GPT-style contiguous block packing: within each shard, concatenate
+    documents' token-id sequences in ``id_col`` order and cut the stream
+    into consecutive ``block_size`` blocks — documents SPLIT across block
+    boundaries (unlike ``pack_sequences``, which keeps documents whole).
+    Returns (shard, block_id, token_ids, n_tokens); every block is full
+    except each shard's last.
+
+    Scale shape: global concatenation is inherently sequential, so the
+    stream is per-shard — the caller picks the shard expression (hash of
+    doc_id for balance) and n_shards sets the parallelism, exactly like
+    real tokenizer pipelines write N independent training shards. One
+    exchange on the shard key drives the exclusive-cumsum window; block
+    slicing is pure expression arithmetic (explode over the spanned
+    block range + slice of the overlap); re-assembly is a second
+    exchange on (shard, block) with map-side array_sort — no window over
+    anything bigger than a shard, no Python in the plan.
+    """
+    from pyspark.sql.window import Window
+
+    b = F.lit(block_size)
+    w = (Window.partitionBy(shard_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    df = (
+        encoded.withColumn("_len", F.size(ids_col).cast("long"))
+        .where(F.col("_len") > 0)
+        .withColumn("_start", F.coalesce(F.sum("_len").over(w), F.lit(0)))
+    )
+    first = F.floor(F.col("_start") / b)
+    last = F.floor((F.col("_start") + F.col("_len") - 1) / b)
+    spans = df.withColumn("block_id", F.explode(F.sequence(first, last)))
+    lo = F.greatest(F.col("_start"), F.col("block_id") * b)
+    hi = F.least(F.col("_start") + F.col("_len"), (F.col("block_id") + 1) * b)
+    frags = spans.select(
+        shard_col, "block_id",
+        lo.alias("_lo"),
+        F.slice(
+            F.col(ids_col),
+            (lo - F.col("_start") + 1).cast("int"),
+            (hi - lo).cast("int"),
+        ).alias("_frag"),
+    )
+    return (
+        frags.groupBy(shard_col, "block_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("_lo").alias("o"),
+                                                         F.col("_frag").alias("f")))),
+                    lambda s: s["f"],
+                )
+            ).alias(ids_col)
+        )
+        .withColumn("n_tokens", F.size(ids_col).cast("long"))
+    )

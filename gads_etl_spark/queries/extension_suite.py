@@ -2156,3 +2156,71 @@ def ext_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     voc = V.build_vocab(docs, min_count=5)
     return V.encode_docs(docs, voc)
+
+
+@register(
+    "ext_block_pack",
+    oracle="""
+    WITH vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
+                   AS token_id
+        FROM (
+            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token
+        ) WHERE n_occurrences >= 5
+    ), exploded AS (
+        SELECT doc_id, t.pos, t.token
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS token,
+                             generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
+        WHERE t.token <> ''
+    ), enc AS (
+        SELECT e.doc_id, list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+        FROM exploded e LEFT JOIN vocab v ON e.token = v.token
+        GROUP BY e.doc_id
+    ), sh AS (
+        SELECT doc_id % 4 AS shard, doc_id, token_ids,
+               CAST(len(token_ids) AS BIGINT) AS l
+        FROM enc WHERE len(token_ids) > 0
+    ), cum AS (
+        SELECT *, COALESCE(SUM(l) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+        FROM sh
+    ), spans AS (
+        SELECT shard, doc_id, token_ids, l, s,
+               unnest(generate_series(CAST(floor(s / 64) AS BIGINT),
+                                      CAST(floor((s + l - 1) / 64) AS BIGINT))) AS block_id
+        FROM cum
+    ), frags AS (
+        SELECT shard, block_id,
+               GREATEST(s, block_id * 64) AS lo,
+               LEAST(s + l, (block_id + 1) * 64) AS hi,
+               token_ids, s
+        FROM spans
+    )
+    SELECT shard, block_id,
+           flatten(list(token_ids[CAST(lo - s + 1 AS BIGINT):CAST(hi - s AS BIGINT)]
+                        ORDER BY lo)) AS token_ids,
+           CAST(SUM(hi - lo) AS BIGINT) AS n_tokens
+    FROM frags GROUP BY shard, block_id
+    """,
+    tags=("extension", "packing"),
+)
+def ext_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-block construction end to end: build the
+    vocabulary, encode every document, then cut each shard's
+    concatenated id stream into contiguous 64-token blocks (documents
+    split across boundaries). Shard = doc_id % 4 so the oracle can
+    reproduce the sharding arithmetically; production uses a hash shard
+    expression with n_shards sized to the cluster.
+    """
+    from gads_etl_spark.operators import sampling as SA
+    from gads_etl_spark.operators import vocab as V
+
+    docs = load_table(spark, sf_dir, "documents")
+    voc = V.build_vocab(docs, min_count=5)
+    enc = V.encode_docs(docs, voc).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("long"))
+    return SA.block_pack(enc, block_size=64, shard_col="shard")

@@ -106,3 +106,64 @@ class TestPacking:
                .groupBy("grp").agg(F.max("n").alias("mx")).collect())
         for r in per:
             assert r["mx"] <= 4               # 4 × 250 = budget
+
+
+class TestBlockPack:
+    """GPT-style contiguous packing: documents split across block
+    boundaries; per shard, every block is full except the last."""
+
+    def _pack(self, spark, rows, block_size=4):
+        from gads_etl_spark.operators.sampling import block_pack
+
+        df = spark.createDataFrame(
+            rows, "shard long, doc_id long, token_ids array<long>")
+        return {
+            (r["shard"], r["block_id"]): r["token_ids"]
+            for r in block_pack(df, block_size, "shard").collect()
+        }
+
+    def test_straddle_and_order(self, spark):
+        got = self._pack(spark, [
+            (0, 1, [1, 2, 3]),
+            (0, 2, [4, 5, 6]),      # 4,5 finish block 0; 6 starts block 1
+            (0, 3, [7]),
+        ])
+        assert got == {(0, 0): [1, 2, 3, 4], (0, 1): [5, 6, 7]}
+
+    def test_giant_doc_spans_many_blocks(self, spark):
+        got = self._pack(spark, [(0, 1, list(range(10)))], block_size=3)
+        assert got == {(0, 0): [0, 1, 2], (0, 1): [3, 4, 5],
+                       (0, 2): [6, 7, 8], (0, 3): [9]}
+
+    def test_shards_independent(self, spark):
+        got = self._pack(spark, [
+            (0, 1, [1, 2]), (1, 2, [9, 9, 9, 9, 9]),
+        ])
+        assert got == {(0, 0): [1, 2], (1, 0): [9, 9, 9, 9],
+                       (1, 1): [9]}
+
+    def test_empty_docs_dropped(self, spark):
+        got = self._pack(spark, [(0, 1, []), (0, 2, [5])])
+        assert got == {(0, 0): [5]}
+
+    def test_all_blocks_full_except_last(self, spark):
+        from gads_etl_spark.operators.sampling import block_pack
+
+        rows = [(int(i % 3), int(i), [int(i)] * int(1 + i % 7))
+                for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "shard long, doc_id long, token_ids array<long>")
+        out = block_pack(df, 16, "shard").collect()
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(
+                (r["block_id"], r["n_tokens"]))
+        for shard, blocks in by_shard.items():
+            blocks.sort()
+            ids = [b for b, _ in blocks]
+            assert ids == list(range(len(ids)))     # contiguous block ids
+            assert all(n == 16 for _, n in blocks[:-1])
+            assert 1 <= blocks[-1][1] <= 16
+        # token conservation: nothing lost or duplicated
+        assert sum(n for bs in by_shard.values() for _, n in bs) == \
+            sum(len(r[2]) for r in rows)
