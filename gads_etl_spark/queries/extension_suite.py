@@ -2138,7 +2138,8 @@ def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE t.token <> ''
     )
     SELECT e.doc_id,
-           list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+           array_to_string(list(COALESCE(v.token_id, -1) ORDER BY e.pos), ' ')
+               AS token_ids
     FROM exploded e LEFT JOIN vocab v ON e.token = v.token
     GROUP BY e.doc_id
     """,
@@ -2149,13 +2150,17 @@ def ext_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its ordered token-id sequence, OOV = -1. The broadcast vocab join
     leaves exactly one exchange (the per-document re-assembly groupBy);
     order is restored by a map-side array_sort over (pos, id) structs,
-    not a window.
+    not a window. The id sequence is emitted space-joined: registered
+    query outputs stay scalar so the driver's value compare is
+    representation-independent (array columns round-trip as numpy vs
+    list depending on the session's Arrow conf).
     """
     from gads_etl_spark.operators import vocab as V
 
     docs = load_table(spark, sf_dir, "documents")
     voc = V.build_vocab(docs, min_count=5)
-    return V.encode_docs(docs, voc)
+    return V.encode_docs(docs, voc).select(
+        "doc_id", F.array_join("token_ids", " ").alias("token_ids"))
 
 
 @register(
@@ -2201,8 +2206,9 @@ def ext_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM spans
     )
     SELECT shard, block_id,
-           flatten(list(token_ids[CAST(lo - s + 1 AS BIGINT):CAST(hi - s AS BIGINT)]
-                        ORDER BY lo)) AS token_ids,
+           array_to_string(
+               flatten(list(token_ids[CAST(lo - s + 1 AS BIGINT):CAST(hi - s AS BIGINT)]
+                            ORDER BY lo)), ' ') AS token_ids,
            CAST(SUM(hi - lo) AS BIGINT) AS n_tokens
     FROM frags GROUP BY shard, block_id
     """,
@@ -2223,4 +2229,8 @@ def ext_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     voc = V.build_vocab(docs, min_count=5)
     enc = V.encode_docs(docs, voc).withColumn(
         "shard", (F.col("doc_id") % 4).cast("long"))
-    return SA.block_pack(enc, block_size=64, shard_col="shard")
+    packed = SA.block_pack(enc, block_size=64, shard_col="shard")
+    # scalar output convention: see ext_encode_docs docstring
+    return packed.select(
+        "shard", "block_id",
+        F.array_join("token_ids", " ").alias("token_ids"), "n_tokens")

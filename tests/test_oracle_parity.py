@@ -27,3 +27,23 @@ def test_rows_only_queries_run(spark, name):
     df = q.fn(spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_outputs_are_scalar_columns(spark, name):
+    """Registered query outputs must be scalar-typed: array/map/struct
+    columns round-trip through toPandas as numpy arrays or Python lists
+    depending on the session's Arrow conf, so the driver's repr-based
+    value compare would become conf-dependent. Sequence-valued results
+    join to strings at the query layer (operators still return real
+    arrays)."""
+    from pyspark.sql import types as T
+
+    df = REGISTRY[name].fn(spark, SF_ORACLE)  # analysis only, no execution
+    complex_cols = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name} emits non-scalar columns {complex_cols}; join them to "
+        "strings at the query layer")
