@@ -237,3 +237,41 @@ class TestScd2Property:
             for r in scd2_history(df, "k", "v", "ts", "eid").collect()
         }
         assert got == model
+
+
+class TestBlockPackProperty:
+    """block_pack vs a plain-Python model: concatenate each shard's docs
+    in id order, cut into B-sized blocks — outputs must be identical for
+    ANY corpus shape (empty docs, giant docs, ragged shards)."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),          # shard
+                st.lists(st.integers(min_value=0, max_value=99),
+                         max_size=17),                          # token_ids
+            ),
+            max_size=14,
+        ),
+        block=st.integers(min_value=1, max_value=7),
+    )
+    def test_matches_python_model(self, spark, docs, block):
+        from gads_etl_spark.operators.sampling import block_pack
+
+        rows = [(int(s), int(i), [int(t) for t in ids])
+                for i, (s, ids) in enumerate(docs)]
+        # model: per shard, concat in doc_id order, slice into blocks
+        streams = {}
+        for s, i, ids in sorted(rows, key=lambda r: r[1]):
+            streams.setdefault(s, []).extend(ids)
+        expect = {}
+        for s, stream in streams.items():
+            for b in range(0, (len(stream) + block - 1) // block):
+                expect[(s, b)] = stream[b * block:(b + 1) * block]
+        df = spark.createDataFrame(
+            rows, "shard long, doc_id long, token_ids array<long>")
+        got = {(r["shard"], r["block_id"]): list(r["token_ids"])
+               for r in block_pack(df, block, "shard").collect()}
+        assert got == expect
