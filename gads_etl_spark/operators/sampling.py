@@ -171,3 +171,37 @@ def block_pack(encoded: DataFrame, block_size: int,
         )
         .withColumn("n_tokens", F.size(ids_col).cast("long"))
     )
+
+
+def pps_sample(df: DataFrame, expected_n: int, weight_col: str,
+               id_col: str, salt: str = "pps") -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: row i is kept
+    independently with p_i = min(1, expected_n · w_i / ΣW) — the
+    quality- or length-weighted subsample a curation pass wants, with
+    E[|sample|] = expected_n (exactly expected_n when no p_i caps at 1).
+
+    Same determinism contract as the uniform hash sampler, extended to
+    weights WITHOUT transcendental math: the inclusion test is
+    ``md5_prefix_48bit(id) < floor(p_i · 2⁴⁸)`` compared as hex strings,
+    and p_i is two IEEE-exact double ops (multiply, divide) both engines
+    round identically — no ln/pow whose libm rounding could diverge
+    between JVM and C. ΣW is one aggregate reduced to a driver scalar
+    (the only job besides the scan-level filter); membership is
+    layout-invariant and stable under corpus growth that keeps ΣW fixed.
+    Null or non-positive weights are never sampled.
+    """
+    total = df.agg(F.sum(F.col(weight_col)).cast("double")).collect()[0][0]
+    if not total or total <= 0:
+        raise ValueError(f"sum({weight_col}) must be positive, got {total}")
+    # null → 0 BEFORE the clamp (least/greatest skip nulls, so a null
+    # weight would otherwise clamp to p=1); clamp below at 0 because a
+    # negative p floors to a negative threshold whose two's-complement
+    # hex compares above every md5 prefix
+    w = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    p = F.greatest(F.lit(0.0), F.least(
+        F.lit(1.0), F.lit(float(expected_n)) * w / F.lit(float(total))))
+    t = F.floor(p * F.lit(float(2 ** 48))).cast("bigint")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12)
+    keep = (p >= 1.0) | (h < F.lower(F.lpad(F.hex(t), 12, "0")))
+    return df.where(keep).withColumn("inclusion_p", p)

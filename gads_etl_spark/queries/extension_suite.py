@@ -2234,3 +2234,31 @@ def ext_block_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "shard", "block_id",
         F.array_join("token_ids", " ").alias("token_ids"), "n_tokens")
+
+
+@register(
+    "ext_pps_sample",
+    oracle="""
+    WITH tot AS (SELECT CAST(sum(n_chars) AS DOUBLE) AS w FROM documents)
+    SELECT doc_id, n_chars,
+           least(1.0, 300.0 * CAST(n_chars AS DOUBLE) / tot.w) AS inclusion_p
+    FROM documents, tot
+    WHERE least(1.0, 300.0 * CAST(n_chars AS DOUBLE) / tot.w) >= 1.0
+       OR substr(md5('pps' || CAST(doc_id AS VARCHAR)), 1, 12)
+          < printf('%012x',
+                   CAST(floor(least(1.0, 300.0 * CAST(n_chars AS DOUBLE) / tot.w)
+                              * 281474976710656.0) AS BIGINT))
+    """,
+    tags=("extension", "sampling"),
+)
+def ext_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted Poisson PPS subsample (expected 300 docs, weight
+    = n_chars; long documents cap at p=1, exercising the cap branch).
+    Inclusion is pure integer/hex arithmetic both engines compute
+    bit-identically — no seeded RNG, no transcendental functions.
+    """
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.pps_sample(docs, 300, "n_chars", "doc_id").select(
+        "doc_id", "n_chars", "inclusion_p")

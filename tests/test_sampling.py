@@ -167,3 +167,71 @@ class TestBlockPack:
         # token conservation: nothing lost or duplicated
         assert sum(n for bs in by_shard.values() for _, n in bs) == \
             sum(len(r[2]) for r in rows)
+
+
+class TestPpsSample:
+    def _df(self, spark):
+        rows = [(i, 1 + (i * 7) % 50) for i in range(400)]
+        return spark.createDataFrame(rows, "id long, w long")
+
+    def test_matches_python_model_exactly(self, spark):
+        """Inclusion is pure md5/integer arithmetic — a Python replica
+        must agree row for row, not just in expectation."""
+        import hashlib
+
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        df = self._df(spark)
+        rows = [(r["id"], r["w"]) for r in df.collect()]
+        total = float(sum(w for _, w in rows))
+        expect = set()
+        for i, w in rows:
+            p = min(1.0, 100.0 * float(w) / total)
+            t = int(p * float(2 ** 48))
+            h = hashlib.md5(f"pps{i}".encode()).hexdigest()[:12]
+            if p >= 1.0 or h < format(t, "012x"):
+                expect.add(i)
+        got = {r["id"] for r in pps_sample(df, 100, "w", "id").collect()}
+        assert got == expect
+
+    def test_expected_size_in_band(self, spark):
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        n = pps_sample(self._df(spark), 100, "w", "id").count()
+        # E=100, sd=sqrt(sum p(1-p)) < 10 → ±40 is a >4σ band
+        assert 60 <= n <= 140
+
+    def test_cap_branch_always_includes(self, spark):
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        df = spark.createDataFrame(
+            [(1, 1_000_000), (2, 1), (3, 1)], "id long, w long")
+        got = pps_sample(df, 2, "w", "id")
+        rows = {r["id"]: r["inclusion_p"] for r in got.collect()}
+        assert rows.get(1) == 1.0  # dominant weight capped and kept
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        df = spark.createDataFrame(
+            [(1, 100), (2, 0), (3, -5), (4, None)], "id long, w long")
+        got = {r["id"] for r in pps_sample(df, 1, "w", "id").collect()}
+        assert got <= {1}
+
+    def test_layout_invariance(self, spark):
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        df = self._df(spark)
+        a = {r["id"] for r in pps_sample(df, 80, "w", "id").collect()}
+        b = {r["id"] for r in
+             pps_sample(df.repartition(17, "id"), 80, "w", "id").collect()}
+        assert a == b
+
+    def test_zero_total_raises(self, spark):
+        import pytest as _pytest
+
+        from gads_etl_spark.operators.sampling import pps_sample
+
+        df = spark.createDataFrame([(1, 0)], "id long, w long")
+        with _pytest.raises(ValueError, match="must be positive"):
+            pps_sample(df, 10, "w", "id")
