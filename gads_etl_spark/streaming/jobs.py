@@ -310,3 +310,39 @@ def stream_stream_attribution(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {window}")),
     ).select("p_user", "purchase_id", "purchase_ts", "view_id", "view_ts", "amount")
+
+
+def continuous_dq(stream_df: DataFrame, checks: list, checkpoint_dir: str,
+                  metrics_dir: str):
+    """Continuous data-quality monitoring: run a dq.py constraint suite
+    on every micro-batch and append (batch_id, check, n_violations) to a
+    parquet metrics sink — the streaming twin of the batch gate, with
+    RECORD-not-refuse semantics (a stream cannot un-ingest a bad batch;
+    it alarms on the metric instead, and the batch gate at the curated
+    sink still refuses publication).
+
+    Cost per micro-batch is the same as batch: all row-level checks fuse
+    into one aggregate over the batch; unique/referential checks add
+    their single-shuffle jobs scoped to the batch. ``foreachBatch``
+    keeps the metric write transactional with the batch id, so a
+    restarted query re-emits, never skips, a batch's metrics.
+
+    Returns the (started) StreamingQuery handle; callers stop it.
+    """
+    from gads_etl_spark.operators import dq
+
+    def process(batch_df, batch_id: int) -> None:
+        (
+            dq.run_checks(batch_df, checks)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .coalesce(1)  # one row per check — metrics are tiny
+            .write.mode("append").parquet(metrics_dir)
+        )
+
+    return (
+        stream_df.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

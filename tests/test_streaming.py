@@ -401,3 +401,38 @@ class TestStreamStreamJoin:
         expected = sorted((r.purchase_id, r.view_id) for r in expected_df.collect())
         assert got == expected
         assert got == [(11, 10), (18, 16), (18, 17)]
+
+
+class TestContinuousDQ:
+    """Streaming DQ metrics: per-micro-batch violation counts summed
+    across the stream must equal one batch run over the same data
+    (row-level checks are sum-decomposable by construction)."""
+
+    def test_stream_metrics_sum_to_batch(self, spark, tmp_path):
+        from gads_etl_spark.operators import dq
+        from gads_etl_spark.streaming.jobs import continuous_dq
+
+        src, batch_df = _write_event_files(tmp_path, spark)
+        checks = [
+            dq.not_null("user_id"),
+            dq.in_set("event_type", ("click",)),       # views violate
+            dq.in_range("value", 0.0, 3.0),            # 4.0 and 8.0 violate
+        ]
+        stream = read_events_stream(spark, src)
+        metrics_dir = str(tmp_path / "dq-metrics")
+        q = continuous_dq(stream, checks, str(tmp_path / "dq-ckpt"), metrics_dir)
+        q.awaitTermination(120)
+
+        metrics = spark.read.parquet(metrics_dir)
+        assert metrics.select("batch_id").distinct().count() >= 1
+        summed = {
+            r["check"]: r["total"]
+            for r in metrics.groupBy("check")
+            .agg(F.sum("n_violations").alias("total")).collect()
+        }
+        batch = {
+            r["check"]: r["n_violations"]
+            for r in dq.run_checks(batch_df, checks).collect()
+        }
+        assert summed == batch
+        assert batch["in_set(event_type)"] == 2 and batch["in_range(value)"] == 2
