@@ -265,6 +265,81 @@ def probe_compact(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def probe_snapshot_diff(spark):
+    """10M-key snapshots diffed with constant-width shuffle payload."""
+    from gads_etl_spark.operators.cdc import snapshot_diff
+
+    old = spark.range(10_000_000).select(
+        F.col("id").alias("k"),
+        F.sha1(F.col("id").cast("string")).alias("payload"),
+    )
+    # arithmetic edits: drop 1/97, revise 1/89 of survivors, add 1/101
+    new = old.where(F.col("k") % 97 != 0).select(
+        "k",
+        F.when(F.col("k") % 89 == 0, F.concat(F.col("payload"), F.lit("!")))
+        .otherwise(F.col("payload")).alias("payload"),
+    ).unionByName(
+        old.where(F.col("k") % 101 == 0)
+        .select((F.col("k") + 100_000_000).alias("k"), "payload")
+    )
+    t0 = time.perf_counter()
+    out = snapshot_diff(old, new, ["k"], compare_cols=["payload"])
+    counts = {r["change"]: r["n"] for r in
+              out.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()}
+    dt = time.perf_counter() - t0
+    assert counts["removed"] == 10_000_000 // 97 + 1, counts
+    assert counts["added"] == 10_000_000 // 101 + 1, counts
+    return (f"snapshot_diff 10M vs 10M keys: {dt:.1f}s, "
+            f"{sum(counts.values())} delta rows, classification exact")
+
+
+def probe_vocab(spark):
+    """1M docs x 20 tokens -> 50k-token vocabulary, ids without a
+    single-partition window."""
+    from gads_etl_spark.operators.vocab import assign_dense_ranks, token_counts
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda j: F.concat(F.lit("t"), F.pmod(
+                F.hash(F.col("id") * 23 + j), F.lit(50_000)))
+        )).alias("text"),
+    )
+    t0 = time.perf_counter()
+    counts = token_counts(docs)
+    ranked = assign_dense_ranks(
+        counts, [F.desc("n_occurrences"), F.asc("token")], id_name="token_id")
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.min("token_id").alias("lo"), F.max("token_id").alias("hi"),
+        F.count_distinct("token_id").alias("d")).collect()[0]
+    dt = time.perf_counter() - t0
+    assert stats["lo"] == 0 and stats["hi"] == stats["v"] - 1 == stats["d"] - 1
+    return (f"build_vocab 20M tokens -> {stats['v']} vocab: {dt:.1f}s, "
+            "ids dense 0..V-1, no single-partition window")
+
+
+def probe_block_pack(spark):
+    """2M pre-encoded docs packed into 2048-token blocks over 64 shards."""
+    from gads_etl_spark.operators.sampling import block_pack
+
+    enc = spark.range(2_000_000).select(
+        (F.col("id") % 64).alias("shard"),
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(0), F.pmod(F.hash("id"), F.lit(37)) + 1).alias("token_ids"),
+    )
+    total_tokens = enc.agg(F.sum(F.size("token_ids"))).collect()[0][0]
+    t0 = time.perf_counter()
+    out = block_pack(enc, 2048, "shard")
+    got = out.agg(F.count(F.lit(1)).alias("blocks"),
+                  F.sum("n_tokens").alias("toks")).collect()[0]
+    dt = time.perf_counter() - t0
+    assert got["toks"] == total_tokens, (got["toks"], total_tokens)
+    return (f"block_pack {total_tokens} tokens -> {got['blocks']} x2048 blocks "
+            f"over 64 shards: {dt:.1f}s, token conservation exact")
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -276,6 +351,9 @@ PROBES = {
     "quality": probe_quality,
     "scd2": probe_scd2,
     "compact": probe_compact,
+    "snapshot_diff": probe_snapshot_diff,
+    "vocab": probe_vocab,
+    "block_pack": probe_block_pack,
 }
 
 
