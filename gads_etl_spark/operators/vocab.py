@@ -31,16 +31,23 @@ from gads_etl_spark.operators.dedup import tokens
 
 
 def token_counts(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """(token, n_docs, n_occurrences) — one explode + one groupBy."""
+                 id_col: str = "doc_id",
+                 with_doc_counts: bool = True) -> DataFrame:
+    """(token[, n_docs], n_occurrences) — one explode + one groupBy.
+
+    ``with_doc_counts=False`` skips the per-token distinct-document
+    count, which is the dominant cost at corpus scale (measured ~2× on
+    the 20M-token probe): frequency-only vocabularies (tokenizer prep)
+    don't need document frequencies — TF-IDF does.
+    """
     exploded = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    return exploded.groupBy("token").agg(
-        F.count_distinct("_doc").cast("long").alias("n_docs"),
-        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_occurrences")]
+    if with_doc_counts:
+        aggs.insert(0, F.count_distinct("_doc").cast("long").alias("n_docs"))
+    return exploded.groupBy("token").agg(*aggs)
 
 
 def assign_dense_ranks(df: DataFrame, order_cols: list, id_name: str = "rank",

@@ -101,3 +101,14 @@ class TestEncodeDocs:
         original = docs.where(F.col("doc_id") == 7).collect()[0]["text"].split()
         decoded = [id2tok[t] for t in sample]
         assert decoded == original  # min_count=1 vocab: lossless roundtrip
+
+
+def test_token_counts_without_doc_counts(spark):
+    df = spark.createDataFrame([(1, "a a b"), (2, "a")],
+                               "doc_id long, text string")
+    slim = vocab.token_counts(df, with_doc_counts=False)
+    assert slim.columns == ["token", "n_occurrences"]
+    got = {r["token"]: r["n_occurrences"] for r in slim.collect()}
+    assert got == {"a": 3, "b": 1}
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan  # no distinct-agg expansion in slim mode
