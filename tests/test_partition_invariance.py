@@ -23,6 +23,11 @@ QUERIES = [
     "ext_hash_sample",            # hash-range sampling
     "obs_date_gaps",              # sequence/explode/anti-join
     "ext_fuzzy_match",            # blocked self-join
+    "ext_snapshot_diff",          # fingerprint full-outer CDC join
+    "ext_build_vocab",            # offset-based dense rank assignment
+    "ext_block_pack",             # per-shard cumsum + overlap slicing
+    "ext_pps_sample",             # weighted hash-threshold sampling
+    "ext_dq_checks",              # batched constraint aggregate
 ]
 
 
