@@ -140,3 +140,35 @@ def cluster_survivors(
         .where(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
         .drop("component")
     )
+
+
+def cluster_survivors_by(
+    df: DataFrame,
+    components: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best row per duplicate cluster by an explicit ranking
+    (e.g. longest text, highest quality score) instead of the arbitrary
+    min-id canonical — dedup should keep the most valuable copy.
+
+    ``order_cols`` must be a deterministic total order within a cluster
+    (include the id as the final tiebreak). Unpaired rows bypass the
+    ranking entirely — they join to no component and take no part in the
+    window, so the only shuffle is the per-component ranking over
+    cluster MEMBERS (a tiny fraction of the corpus; clusters are small
+    by construction).
+    """
+    from pyspark.sql.window import Window
+
+    comp = components.select(F.col("node").alias(id_col), F.col("component"))
+    tagged = df.join(comp, id_col, "left")
+    unpaired = tagged.where(F.col("component").isNull()).drop("component")
+    members = tagged.where(F.col("component").isNotNull())
+    w = Window.partitionBy("component").orderBy(*order_cols)
+    best = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+    return unpaired.unionByName(best)

@@ -2262,3 +2262,43 @@ def ext_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return SA.pps_sample(docs, 300, "n_chars", "doc_id").select(
         "doc_id", "n_chars", "inclusion_p")
+
+
+@register(
+    "ext_cluster_best_dedup",
+    oracle=f"""
+    {_COMPONENTS_CTE.replace('WITH t AS', 'WITH RECURSIVE t AS', 1)}
+    , members AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars, c.component
+        FROM documents d JOIN comp c ON d.doc_id = c.node
+    ), best AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM members
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM best)
+       OR doc_id NOT IN (SELECT node FROM comp)
+    ORDER BY doc_id
+    """,
+    tags=("extension", "dedup", "graph"),
+)
+def ext_cluster_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup keeping the BEST member per duplicate cluster
+    (longest text, id tiebreak) instead of the min-id canonical —
+    the curation policy that retains the most complete copy. Same
+    candidate→verify→components pipeline as ext_cluster_dedup; only the
+    survivor selection differs (graph.cluster_survivors_by)."""
+    from gads_etl_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
+    comps = G.connected_components(pairs.select("a_id", "b_id"),
+                                   src="a_id", dst="b_id")
+    return G.cluster_survivors_by(
+        docs.select("doc_id", "lang", "source", "n_chars"), comps,
+        [F.desc("n_chars"), F.asc("doc_id")],
+    ).orderBy("doc_id")

@@ -260,3 +260,31 @@ class TestScd2History:
         t0 = _ts("2024-01-01 00:00:00")
         got = self._hist(spark, [(7, t0, 0, "only")])
         assert got == {(7, "only", t0, None, True, 1)}
+
+
+class TestClusterSurvivorsBy:
+    def test_best_member_kept_not_min_id(self, spark):
+        from gads_etl_spark.operators.graph import cluster_survivors_by
+
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 99), (3, 99), (7, 5), (9, 42)],
+            "doc_id long, quality long")
+        # cluster {1,2,3}; 7 and 9 unpaired
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "node long, component long")
+        got = sorted(
+            r["doc_id"] for r in cluster_survivors_by(
+                docs, comps, [F.desc("quality"), F.asc("doc_id")]).collect())
+        # best = doc 2 (quality 99, lower id than 3); min-id policy
+        # would have kept doc 1
+        assert got == [2, 7, 9]
+
+    def test_unpaired_rows_bypass_ranking(self, spark):
+        from gads_etl_spark.operators.graph import cluster_survivors_by
+
+        docs = spark.createDataFrame(
+            [(i, i * 2) for i in range(20)], "doc_id long, quality long")
+        comps = spark.createDataFrame([], "node long, component long")
+        out = cluster_survivors_by(
+            docs, comps, [F.desc("quality"), F.asc("doc_id")])
+        assert out.count() == 20  # nothing clustered → nothing dropped
