@@ -262,6 +262,40 @@ def cmd_dq_check(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_dq_profile(args) -> int:
+    """One-pass column profile of any table path (HLL distinct counts;
+    --exact opts into exact multi-distinct for small tables)."""
+    from gads_etl_spark.operators import dq
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    reader = spark.read
+    df = (reader.parquet(args.table) if args.format == "parquet"
+          else reader.orc(args.table) if args.format == "orc"
+          else reader.json(args.table))
+    cols = args.columns.split(",") if args.columns else None
+    rows = [r.asDict() for r in
+            dq.profile_columns(df, cols, exact_distinct=args.exact).collect()]
+    _emit(rows, args.json)
+    return 0
+
+
+def cmd_state_vacuum(args) -> int:
+    """Drop old control-table versions (state + pointers), keeping the
+    newest N — the retention knob for the versioned ledgers."""
+    from gads_etl_spark.pipeline import PointerStore, StateStore
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    dropped_s = StateStore(spark, args.state_root)._table.vacuum(keep=args.keep)
+    dropped_p = PointerStore(spark, args.pointer_root)._table.vacuum(keep=args.keep)
+    print(f"vacuumed {dropped_s} state version(s), {dropped_p} pointer version(s); "
+          f"kept newest {args.keep}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -320,6 +354,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="not_null:col | unique:a+b | in_set:col:v1|v2 | "
                          "in_range:col:lo:hi | matches:col:regex")
     sp.set_defaults(fn=cmd_dq_check)
+
+    sp = sub.add_parser("dq-profile")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--format", default="parquet",
+                    choices=("parquet", "orc", "json"))
+    sp.add_argument("--columns", help="comma-separated; default: all")
+    sp.add_argument("--exact", action="store_true",
+                    help="exact distinct counts (Expand plan) instead of HLL")
+    sp.set_defaults(fn=cmd_dq_profile)
+
+    sp = sub.add_parser("state-vacuum")
+    sp.add_argument("--keep", type=int, default=5)
+    sp.set_defaults(fn=cmd_state_vacuum)
     return p
 
 

@@ -101,3 +101,31 @@ def test_dq_check_bad_kind_exits(spark, tmp_path):
     spark.range(1).write.parquet(path)
     with pytest.raises(SystemExit):
         main(["dq-check", "--table", path, "--check", "nope:id"])
+
+
+def test_dq_profile(spark, tmp_path, capsys):
+    path = str(tmp_path / "prof")
+    spark.createDataFrame(
+        [(1, "en"), (2, None), (2, "fr")], "id int, lang string",
+    ).write.parquet(path)
+    assert main(["--json", "dq-profile", "--table", path, "--exact"]) == 0
+    rows = {r["column"]: r for r in json.loads(capsys.readouterr().out.splitlines()[0])}
+    assert rows["id"]["n_distinct"] == 2 and rows["lang"]["n_null"] == 1
+    # column subset
+    assert main(["--json", "dq-profile", "--table", path,
+                 "--columns", "id", "--exact"]) == 0
+    rows = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert [r["column"] for r in rows] == ["id"]
+
+
+def test_state_vacuum(roots, spark, capsys):
+    from gads_etl_spark.pipeline import StateStore
+
+    # pile up versions beyond the keep horizon
+    store = StateStore(spark, dict(zip(roots[::2], roots[1::2]))["--state-root"])
+    base = store.read()
+    for _ in range(3):
+        store.commit(base)
+    assert main([*roots, "state-vacuum", "--keep", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "vacuumed" in out and "kept newest 2" in out
