@@ -84,3 +84,33 @@ def refresh_buckets(source: DataFrame, prior: DataFrame,
         F.broadcast(b), prior.bucket_start == b._refresh, "left_anti"
     )
     return kept.unionByName(rebuilt)
+
+
+def sketch_distinct_rollup(events: DataFrame, value_col: str,
+                           bucket_cols: list[str], lgk: int = 14) -> DataFrame:
+    """Per-bucket mergeable distinct-count sketches (Datasketches HLL,
+    binary column) — the pre-aggregation COUNT(DISTINCT) cannot give
+    you: plain distinct counts don't add across days, sketches union.
+    Store one sketch per (bucket) alongside the additive counters; any
+    later grouping (month, quarter, all-time) derives distinct users by
+    unioning sketches instead of re-scanning events.
+    """
+    return events.groupBy(*bucket_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def merge_sketch_rollup(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-bucket sketches up to a coarser grouping and estimate.
+
+    HLL registers are element-wise maxima, so union is associative,
+    commutative, and idempotent: merged-of-daily is REGISTER-IDENTICAL
+    to a direct sketch of the raw events (pinned in tests) — the rollup
+    loses nothing vs the full rescan, at sketch-sized I/O.
+    """
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"), F.lit(False)))
+        .cast("long").alias("distinct_est"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )

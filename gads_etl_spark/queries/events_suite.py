@@ -633,3 +633,54 @@ def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hh = heavy_hitters(ev, "user_id", support=0.0008)
     return hh.select("user_id", F.col("n").cast("long").alias("n"),
                      F.round("share", 6).alias("share"))
+
+
+@register(
+    "ev_distinct_sketch_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           true AS est_within_5pct,
+           true AS merged_equals_direct
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "rollup", "approx-agg"),
+)
+def ev_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: per-day Datasketches HLL sketches
+    unioned up to event_type (operators/rollup.py::sketch_distinct_rollup
+    / merge_sketch_rollup) — the incremental form COUNT(DISTINCT) cannot
+    take, since distinct counts don't add across days but sketch
+    registers max-merge losslessly.
+
+    Certificate oracle in the op_approx_distinct style: exact counts are
+    value-checked outright; the sketch estimate must sit within 5% of
+    exact, and the union of DAILY sketches must estimate identically to
+    one sketch of the raw events (associative max-merge ⇒ register-
+    identical — the property that makes the rollup trustworthy).
+    """
+    from gads_etl_spark.operators.rollup import (
+        merge_sketch_rollup,
+        sketch_distinct_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketch_distinct_rollup(
+        ev.withColumn("day", F.to_date("ts")), "user_id",
+        ["event_type", "day"])
+    merged = merge_sketch_rollup(daily, ["event_type"]).select(
+        "event_type", "distinct_est")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .cast("long").alias("direct_est"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return merged.join(direct, "event_type").select(
+        "event_type", "exact_users", "n_events",
+        (F.abs(F.col("distinct_est") - F.col("exact_users"))
+         <= 0.05 * F.col("exact_users")).alias("est_within_5pct"),
+        (F.col("distinct_est") == F.col("direct_est"))
+        .alias("merged_equals_direct"),
+    )

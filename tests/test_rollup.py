@@ -72,3 +72,62 @@ class TestRefreshBuckets:
         prior = hourly_rollup(ev.where(F.lit(False)))  # empty prior
         buckets = ev.select(F.date_trunc("hour", "ts").alias("bucket_start")).distinct()
         assert _canon(refresh_buckets(ev, prior, buckets)) == _canon(hourly_rollup(ev))
+
+
+class TestSketchDistinctRollup:
+    """Mergeable HLL rollup: union of per-bucket sketches must estimate
+    identically to a direct sketch of the raw rows (register identity),
+    under any layout, and under incremental append."""
+
+    def _events(self, spark):
+        return spark.range(5_000).select(
+            (F.col("id") % 7).alias("g"),
+            (F.col("id") % 10).alias("day"),
+            F.pmod(F.hash("id"), F.lit(400)).alias("user_id"),
+        )
+
+    def test_merged_equals_direct_any_layout(self, spark):
+        from gads_etl_spark.operators.rollup import (
+            merge_sketch_rollup, sketch_distinct_rollup)
+
+        ev = self._events(spark)
+        daily = sketch_distinct_rollup(ev, "user_id", ["g", "day"])
+        merged = {r["g"]: r["distinct_est"] for r in
+                  merge_sketch_rollup(daily, ["g"]).collect()}
+        relaid = sketch_distinct_rollup(
+            ev.repartition(13, "user_id"), "user_id", ["g", "day"])
+        merged2 = {r["g"]: r["distinct_est"] for r in
+                   merge_sketch_rollup(relaid, ["g"]).collect()}
+        direct = {r["g"]: r["d"] for r in ev.groupBy("g").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+            .cast("long").alias("d")).collect()}
+        assert merged == merged2 == direct
+
+    def test_incremental_append_equals_recompute(self, spark):
+        from gads_etl_spark.operators.rollup import (
+            merge_sketch_rollup, sketch_distinct_rollup)
+
+        ev = self._events(spark)
+        old = ev.where(F.col("day") < 8)
+        new = ev.where(F.col("day") >= 8)
+        # rollup maintained incrementally: old buckets untouched, new
+        # day's sketches appended, then merged
+        incr = sketch_distinct_rollup(old, "user_id", ["g", "day"]).unionByName(
+            sketch_distinct_rollup(new, "user_id", ["g", "day"]))
+        a = {r["g"]: r["distinct_est"] for r in
+             merge_sketch_rollup(incr, ["g"]).collect()}
+        b = {r["g"]: r["distinct_est"] for r in merge_sketch_rollup(
+            sketch_distinct_rollup(ev, "user_id", ["g", "day"]), ["g"]).collect()}
+        assert a == b
+
+    def test_estimate_accuracy(self, spark):
+        from gads_etl_spark.operators.rollup import (
+            merge_sketch_rollup, sketch_distinct_rollup)
+
+        ev = self._events(spark)
+        est = {r["g"]: r["distinct_est"] for r in merge_sketch_rollup(
+            sketch_distinct_rollup(ev, "user_id", ["g", "day"]), ["g"]).collect()}
+        exact = {r["g"]: r["e"] for r in ev.groupBy("g").agg(
+            F.count_distinct("user_id").alias("e")).collect()}
+        for g in exact:
+            assert abs(est[g] - exact[g]) <= 0.05 * exact[g]
