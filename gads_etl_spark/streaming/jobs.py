@@ -346,3 +346,33 @@ def continuous_dq(stream_df: DataFrame, checks: list, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_rollup_stream(events: DataFrame, checkpoint_dir: str,
+                         rollup_dir: str, bucket: str = "1 hour"):
+    """Continuously maintain the mergeable distinct-user rollup: each
+    micro-batch appends its own per-(event_type, bucket) HLL sketches to
+    the rollup table; readers union sketches at query time
+    (rollup.merge_sketch_rollup), so a bucket split across micro-batches
+    still estimates register-identically to a batch rebuild — the
+    mergeability property doing the exactly-once-free heavy lifting
+    (append-only fragments, max-merge on read, duplicates idempotent).
+
+    Returns the (started) StreamingQuery handle.
+    """
+    from gads_etl_spark.operators.rollup import sketch_distinct_rollup
+
+    def process(batch_df, batch_id: int) -> None:
+        frag = sketch_distinct_rollup(
+            batch_df.withColumn("bucket", F.window("ts", bucket)["start"]),
+            "user_id", ["event_type", "bucket"],
+        )
+        frag.write.mode("append").parquet(rollup_dir)
+
+    return (
+        events.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

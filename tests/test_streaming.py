@@ -436,3 +436,37 @@ class TestContinuousDQ:
         }
         assert summed == batch
         assert batch["in_set(event_type)"] == 2 and batch["in_range(value)"] == 2
+
+
+class TestSketchRollupStream:
+    def test_streamed_rollup_estimates_match_batch(self, spark, tmp_path):
+        """Per-micro-batch sketch fragments, merged on read, must give
+        the SAME estimates as one batch pass — buckets split across
+        micro-batches included (max-merge is associative)."""
+        from gads_etl_spark.operators.rollup import (
+            merge_sketch_rollup, sketch_distinct_rollup)
+        from gads_etl_spark.streaming.jobs import sketch_rollup_stream
+
+        src, batch_df = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        rollup_dir = str(tmp_path / "sketch-rollup")
+        q = sketch_rollup_stream(stream, str(tmp_path / "sk-ckpt"), rollup_dir)
+        q.awaitTermination(120)
+
+        fragments = spark.read.parquet(rollup_dir)
+        # hour 00 arrives across two micro-batches → more fragments than
+        # (type, bucket) groups, or at minimum the merge must still agree
+        streamed = {
+            (r["event_type"], str(r["bucket"])): r["distinct_est"]
+            for r in merge_sketch_rollup(
+                fragments, ["event_type", "bucket"]).collect()
+        }
+        direct = {
+            (r["event_type"], str(r["bucket"])): r["distinct_est"]
+            for r in merge_sketch_rollup(
+                sketch_distinct_rollup(
+                    batch_df.withColumn("bucket", F.window("ts", "1 hour")["start"]),
+                    "user_id", ["event_type", "bucket"]),
+                ["event_type", "bucket"]).collect()
+        }
+        assert streamed == direct and len(streamed) >= 4
