@@ -140,3 +140,39 @@ class TestIncrementalIndexMaintenance:
         assert canon(incremental) == canon(full)
         # and the delta really is a delta: far fewer re-assignments than rows
         assert fresh_keys.count() < v2.count() / 5
+
+
+class TestVersionedTableDiff:
+    """snapshot_diff over _VersionedTable time travel: the audit query
+    'what did this control-plane operation change' needs no extra
+    infrastructure — any two committed versions are diffable."""
+
+    def test_diff_between_committed_versions(self, spark, tmp_path):
+        from datetime import date, datetime
+
+        from gads_etl_spark.pipeline import StateStore
+        from gads_etl_spark.pipeline.state_store import STATE_SCHEMA
+
+        store = StateStore(spark, str(tmp_path / "state"))
+
+        def row(day, status, run="run-a"):
+            return {"source": "google_ads", "customer_id": "1",
+                    "query_name": "q", "logical_date": date(2024, 1, day),
+                    "status": status, "current_run_id": run,
+                    "schema_version": "v1", "record_count": 5,
+                    "updated_at": datetime(2024, 3, 1),
+                    "error_message": None, "attempt_count": 1}
+
+        store.upsert(spark.createDataFrame(
+            [row(1, "pending"), row(2, "success")], STATE_SCHEMA))
+        store.upsert(spark.createDataFrame(
+            [row(1, "success", "run-b"), row(3, "pending")], STATE_SCHEMA))
+        v1, v2 = store._table.history()[-2:]
+
+        delta = cdc.snapshot_diff(
+            store._table.read_version(v1), store._table.read_version(v2),
+            ["source", "customer_id", "query_name", "logical_date"],
+            compare_cols=["status", "current_run_id"],
+        )
+        got = {r["logical_date"].day: r["change"] for r in delta.collect()}
+        assert got == {1: "changed", 3: "added"}  # day 2 untouched
