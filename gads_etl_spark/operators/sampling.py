@@ -205,3 +205,28 @@ def pps_sample(df: DataFrame, expected_n: int, weight_col: str,
         F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 12)
     keep = (p >= 1.0) | (h < F.lower(F.lpad(F.hex(t), 12, "0")))
     return df.where(keep).withColumn("inclusion_p", p)
+
+
+def balanced_sample(df: DataFrame, group_col: str, n_per_group: int,
+                    id_col: str, salt: str = "balance") -> DataFrame:
+    """Deterministic equal-n per group (class-balanced downsampling):
+    keep the first ``n_per_group`` rows of each group in content-hash
+    order — no RNG, layout-invariant, stable under reruns, and groups
+    smaller than the target keep everything (no oversampling here;
+    upsampling is a different, weight-aware concern).
+
+    One exchange on the group key; the per-group window ranks at most
+    the group's rows, and Spark's WindowGroupLimit pushes the rank-k
+    cutoff below the sort at scale (same plan shape the ANN top-k gates
+    pin). Hash order, not ts/id order, so the kept subset is an unbiased
+    draw rather than "the earliest rows".
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )

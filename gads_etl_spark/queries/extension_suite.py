@@ -2302,3 +2302,30 @@ def ext_cluster_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "source", "n_chars"), comps,
         [F.desc("n_chars"), F.asc("doc_id")],
     ).orderBy("doc_id")
+
+
+@register(
+    "ext_balanced_sample",
+    oracle="""
+    SELECT vec_id, label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (
+                   PARTITION BY label
+                   ORDER BY md5('balance' || CAST(vec_id AS VARCHAR)) ASC,
+                            vec_id ASC
+               ) AS rn
+        FROM embeddings
+    ) WHERE rn <= 30
+    """,
+    tags=("extension", "sampling"),
+)
+def ext_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of the embeddings table: 30 vectors
+    per label in content-hash order (operators/sampling.py::
+    balanced_sample) — deterministic on any layout, no RNG; groups
+    below the target keep all rows."""
+    from gads_etl_spark.operators import sampling as SA
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SA.balanced_sample(emb, "label", 30, "vec_id").select(
+        "vec_id", "label")

@@ -235,3 +235,34 @@ class TestPpsSample:
         df = spark.createDataFrame([(1, 0)], "id long, w long")
         with _pytest.raises(ValueError, match="must be positive"):
             pps_sample(df, 10, "w", "id")
+
+
+class TestBalancedSample:
+    def test_equal_n_and_small_groups_whole(self, spark):
+        from gads_etl_spark.operators.sampling import balanced_sample
+
+        rows = ([(i, "big") for i in range(100)]
+                + [(1000 + i, "small") for i in range(5)])
+        df = spark.createDataFrame(rows, "id long, cls string")
+        out = balanced_sample(df, "cls", 20, "id")
+        sizes = {r["cls"]: r["n"] for r in
+                 out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sizes == {"big": 20, "small": 5}
+
+    def test_layout_invariant_membership(self, spark):
+        from gads_etl_spark.operators.sampling import balanced_sample
+
+        df = spark.createDataFrame(
+            [(i, f"c{i % 3}") for i in range(90)], "id long, cls string")
+        a = {r["id"] for r in balanced_sample(df, "cls", 10, "id").collect()}
+        b = {r["id"] for r in balanced_sample(
+            df.repartition(11, "id"), "cls", 10, "id").collect()}
+        assert a == b and len(a) == 30
+
+    def test_hash_order_not_id_order(self, spark):
+        from gads_etl_spark.operators.sampling import balanced_sample
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(200)], "id long, cls string")
+        kept = sorted(r["id"] for r in balanced_sample(df, "cls", 30, "id").collect())
+        assert kept != list(range(30))  # an unbiased draw, not the head
