@@ -470,3 +470,56 @@ class TestSketchRollupStream:
                 ["event_type", "bucket"]).collect()
         }
         assert streamed == direct and len(streamed) >= 4
+
+
+class TestLateDataDiscipline:
+    def test_late_rows_dropped_and_counted(self, spark, tmp_path):
+        """Watermark contract, observable: an event arriving well after
+        the watermark passed its window is (a) absent from the appended
+        aggregate and (b) COUNTED in numRowsDroppedByWatermark — late
+        data is dropped loudly, never silently folded in or lost.
+        (Empirically the late filter allows one extra watermark-delay of
+        slack beyond the reported watermark before dropping, hence the
+        two on-time batches between the window and the straggler.)"""
+        import json as _json
+        import time as _time
+
+        from gads_etl_spark.streaming.jobs import tumbling_counts_stream
+
+        src = tmp_path / "late-src"
+        src.mkdir()
+
+        def write(name, rows):
+            with open(src / name, "w") as f:
+                for i, (ts, v) in enumerate(rows):
+                    f.write(_json.dumps({
+                        "event_id": hash((name, i)) % 10**9, "ts": ts,
+                        "user_id": 1, "event_type": "click", "value": v,
+                        "props": "{}"}) + "\n")
+            _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+        write("f0.json", [("2024-01-01 01:00:00", 1.0),
+                          ("2024-01-01 02:00:00", 1.0)])
+        write("f1.json", [("2024-01-01 03:00:00", 1.0)])
+        # watermark when f2 processes: 02:30 → the 00:00 window is far
+        # behind even the slack bound → its straggler must drop
+        write("f2.json", [("2024-01-01 00:10:00", 99.0),
+                          ("2024-01-01 04:00:00", 1.0)])
+
+        stream = read_events_stream(spark, str(src))
+        out = tumbling_counts_stream(stream, watermark="30 minutes")
+        q = (out.writeStream.format("memory").queryName("t_late")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0]["numRowsDroppedByWatermark"]
+            for p in (_json.loads(x.json) for x in q.recentProgress)
+            if p["stateOperators"]
+        )
+        q.stop()
+
+        rows = spark.table("t_late").collect()
+        starts = {str(r["window_start"]) for r in rows}
+        assert "2024-01-01 00:00:00" not in starts  # late window absent
+        assert not any(r["value_sum"] == 99.0 for r in rows)
+        assert dropped == 1
