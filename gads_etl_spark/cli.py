@@ -242,18 +242,24 @@ def _parse_check(spec: str):
     raise SystemExit(f"unknown check kind {kind!r} in {spec!r}")
 
 
-def cmd_dq_check(args) -> int:
-    """Run declarative data-quality checks against any table path;
-    exit 1 when any check reports violations (the CI-gate contract)."""
-    from gads_etl_spark.operators import dq
+def _read_table(args):
+    """Session + format-dispatched read of --table for the dq commands."""
     from gads_etl_spark.session import get_session
 
     spark = get_session("gads-etl-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
     reader = spark.read
-    df = (reader.parquet(args.table) if args.format == "parquet"
-          else reader.orc(args.table) if args.format == "orc"
-          else reader.json(args.table))
+    return (reader.parquet(args.table) if args.format == "parquet"
+            else reader.orc(args.table) if args.format == "orc"
+            else reader.json(args.table))
+
+
+def cmd_dq_check(args) -> int:
+    """Run declarative data-quality checks against any table path;
+    exit 1 when any check reports violations (the CI-gate contract)."""
+    from gads_etl_spark.operators import dq
+
+    df = _read_table(args)
     checks = [_parse_check(s) for s in args.check]
     rows = [r.asDict() for r in dq.run_checks(df, checks).collect()]
     _emit(rows, args.json)
@@ -266,14 +272,8 @@ def cmd_dq_profile(args) -> int:
     """One-pass column profile of any table path (HLL distinct counts;
     --exact opts into exact multi-distinct for small tables)."""
     from gads_etl_spark.operators import dq
-    from gads_etl_spark.session import get_session
 
-    spark = get_session("gads-etl-spark-cli")
-    spark.sparkContext.setLogLevel("ERROR")
-    reader = spark.read
-    df = (reader.parquet(args.table) if args.format == "parquet"
-          else reader.orc(args.table) if args.format == "orc"
-          else reader.json(args.table))
+    df = _read_table(args)
     cols = args.columns.split(",") if args.columns else None
     rows = [r.asDict() for r in
             dq.profile_columns(df, cols, exact_distinct=args.exact).collect()]

@@ -153,22 +153,22 @@ def cluster_survivors_by(
     min-id canonical — dedup should keep the most valuable copy.
 
     ``order_cols`` must be a deterministic total order within a cluster
-    (include the id as the final tiebreak). Unpaired rows bypass the
-    ranking entirely — they join to no component and take no part in the
-    window, so the only shuffle is the per-component ranking over
-    cluster MEMBERS (a tiny fraction of the corpus; clusters are small
-    by construction).
+    (include the id as the final tiebreak). One join + one window pass:
+    unpaired rows rank inside their own singleton window partition
+    (group key falls back to their id, disambiguated from genuine
+    component values by the membership flag), so no task ever windows
+    more than one cluster — never the whole unpaired population.
     """
     from pyspark.sql.window import Window
 
     comp = components.select(F.col("node").alias(id_col), F.col("component"))
     tagged = df.join(comp, id_col, "left")
-    unpaired = tagged.where(F.col("component").isNull()).drop("component")
-    members = tagged.where(F.col("component").isNotNull())
-    w = Window.partitionBy("component").orderBy(*order_cols)
-    best = (
-        members.withColumn("_rn", F.row_number().over(w))
+    member = F.col("component").isNotNull()
+    w = Window.partitionBy(
+        member, F.coalesce(F.col("component"), F.col(id_col))
+    ).orderBy(*order_cols)
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "component")
     )
-    return unpaired.unionByName(best)

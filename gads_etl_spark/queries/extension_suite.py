@@ -2115,20 +2115,18 @@ def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.build_vocab(docs, min_count=5)
 
 
-@register(
-    "ext_encode_docs",
-    oracle="""
+#: Shared DuckDB oracle prefix: min_count=5 vocabulary, positional token
+#: explode, and per-document encoded id lists — the encode/pack oracles
+#: state their results over this one definition.
+_ENCODE_CTE = """\
     WITH vocab AS (
         SELECT token,
                CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
                    AS token_id
         FROM (
             SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM (
-                SELECT unnest(string_split(lower(text), ' ')) AS token
-                FROM documents
-            ) WHERE token <> ''
-            GROUP BY token
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+            WHERE token <> '' GROUP BY token
         ) WHERE n_occurrences >= 5
     ), exploded AS (
         SELECT doc_id, t.pos, t.token
@@ -2136,12 +2134,17 @@ def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS token,
                              generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
         WHERE t.token <> ''
-    )
-    SELECT e.doc_id,
-           array_to_string(list(COALESCE(v.token_id, -1) ORDER BY e.pos), ' ')
-               AS token_ids
-    FROM exploded e LEFT JOIN vocab v ON e.token = v.token
-    GROUP BY e.doc_id
+    ), enc AS (
+        SELECT e.doc_id, list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+        FROM exploded e LEFT JOIN vocab v ON e.token = v.token
+        GROUP BY e.doc_id
+    )"""
+
+
+@register(
+    "ext_encode_docs",
+    oracle=_ENCODE_CTE + """
+    SELECT doc_id, array_to_string(token_ids, ' ') AS token_ids FROM enc
     """,
     tags=("extension", "text"),
 )
@@ -2165,27 +2168,8 @@ def ext_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ext_block_pack",
-    oracle="""
-    WITH vocab AS (
-        SELECT token,
-               CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
-                   AS token_id
-        FROM (
-            SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
-            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
-            WHERE token <> '' GROUP BY token
-        ) WHERE n_occurrences >= 5
-    ), exploded AS (
-        SELECT doc_id, t.pos, t.token
-        FROM documents,
-             LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS token,
-                             generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
-        WHERE t.token <> ''
-    ), enc AS (
-        SELECT e.doc_id, list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
-        FROM exploded e LEFT JOIN vocab v ON e.token = v.token
-        GROUP BY e.doc_id
-    ), sh AS (
+    oracle=_ENCODE_CTE + """
+    , sh AS (
         SELECT doc_id % 4 AS shard, doc_id, token_ids,
                CAST(len(token_ids) AS BIGINT) AS l
         FROM enc WHERE len(token_ids) > 0
