@@ -296,6 +296,31 @@ def cmd_state_vacuum(args) -> int:
     return 0
 
 
+def cmd_corpus_diff(args) -> int:
+    """CDC between two table paths: per-class delta counts (and the full
+    delta to --out when requested). Exit 0 even when differences exist —
+    a diff is information, not a failure."""
+    from gads_etl_spark.operators import cdc
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    keys = args.key.split(",")
+    compare = args.compare.split(",") if args.compare else None
+    delta = cdc.snapshot_diff(old, new, keys, compare_cols=compare)
+    if args.out:
+        delta.write.mode("errorifexists").parquet(args.out)
+        delta = spark.read.parquet(args.out)  # count what was written
+    counts = {r["change"]: r["n"] for r in
+              delta.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rows = [{"change": c, "n_keys": counts.get(c, 0)}
+            for c in ("added", "removed", "changed")]
+    _emit(rows, args.json)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -367,6 +392,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("state-vacuum")
     sp.add_argument("--keep", type=int, default=5)
     sp.set_defaults(fn=cmd_state_vacuum)
+
+    sp = sub.add_parser("corpus-diff")
+    sp.add_argument("--old", required=True)
+    sp.add_argument("--new", required=True)
+    sp.add_argument("--key", required=True, help="comma-separated key columns")
+    sp.add_argument("--compare", help="comma-separated; default: common non-keys")
+    sp.add_argument("--out", help="write the full delta to this parquet path")
+    sp.set_defaults(fn=cmd_corpus_diff)
     return p
 
 

@@ -129,3 +129,19 @@ def test_state_vacuum(roots, spark, capsys):
     assert main([*roots, "state-vacuum", "--keep", "2"]) == 0
     out = capsys.readouterr().out
     assert "vacuumed" in out and "kept newest 2" in out
+
+
+def test_corpus_diff(spark, tmp_path, capsys):
+    old_p, new_p = str(tmp_path / "old"), str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string").write.parquet(old_p)
+    spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k int, v string").write.parquet(new_p)
+    out_p = str(tmp_path / "delta")
+    assert main(["--json", "corpus-diff", "--old", old_p, "--new", new_p,
+                 "--key", "k", "--out", out_p]) == 0
+    rows = {r["change"]: r["n_keys"]
+            for r in json.loads(capsys.readouterr().out.splitlines()[0])}
+    assert rows == {"added": 1, "removed": 1, "changed": 1}
+    written = {(r.k, r.change) for r in spark.read.parquet(out_p).collect()}
+    assert written == {(4, "added"), (3, "removed"), (2, "changed")}

@@ -275,3 +275,37 @@ class TestBlockPackProperty:
         got = {(r["shard"], r["block_id"]): list(r["token_ids"])
                for r in block_pack(df, block, "shard").collect()}
         assert got == expect
+
+
+class TestSnapshotDiffProperty:
+    """snapshot_diff vs a dict model, fingerprint and exact paths both —
+    random key overlaps, random value collisions, nulls included."""
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        old=st.dictionaries(KEYS, st.one_of(st.none(), VALS), max_size=10),
+        new=st.dictionaries(KEYS, st.one_of(st.none(), VALS), max_size=10),
+        fingerprint=st.booleans(),
+    )
+    def test_matches_dict_model(self, spark, old, new, fingerprint):
+        from gads_etl_spark.operators.cdc import snapshot_diff
+
+        expect = {}
+        for k in set(old) | set(new):
+            if k not in new:
+                expect[k] = "removed"
+            elif k not in old:
+                expect[k] = "added"
+            elif old[k] != new[k]:
+                expect[k] = "changed"
+        df_old = spark.createDataFrame(
+            [(k, v) for k, v in old.items()] or [(None, None)], "k int, v int"
+        ).where(F.col("k").isNotNull())
+        df_new = spark.createDataFrame(
+            [(k, v) for k, v in new.items()] or [(None, None)], "k int, v int"
+        ).where(F.col("k").isNotNull())
+        got = {r["k"]: r["change"]
+               for r in snapshot_diff(df_old, df_new, ["k"],
+                                      fingerprint=fingerprint).collect()}
+        assert got == expect
