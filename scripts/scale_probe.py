@@ -340,6 +340,49 @@ def probe_block_pack(spark):
             f"over 64 shards: {dt:.1f}s, token conservation exact")
 
 
+def probe_aqe_skew(spark):
+    """Prove the AQE skew-split claim: a 90%-hot-key sort-merge join must
+    re-plan with SortMergeJoin(skew=true), splitting the hot partition.
+
+    Thresholds are lowered (and broadcast disabled) because at probe
+    scale every partition is megabytes — production keeps stock
+    thresholds, where the same mechanism engages at executor-hurting
+    sizes. The result filter involves BOTH join sides so it cannot push
+    below the join (a pushed filter would empty the plan entirely)."""
+    CONFS = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    }
+    saved = {k: spark.conf.get(k, None) for k in CONFS}
+    try:
+        for k, v in CONFS.items():
+            spark.conf.set(k, v)
+        fact = spark.range(5_000_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.sha1(F.col("id").cast("string")).alias("pad"))
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.sha1(F.col("id").cast("string")).alias("w"))
+        out = fact.join(dim, "k").where(F.length(F.concat("pad", "w")) > 1000)
+        t0 = time.perf_counter()
+        rows = out.collect()
+        dt = time.perf_counter() - t0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert not rows  # sha1+sha1 is 80 chars; the filter keeps nothing
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, "AQE did not split the hot key"
+        assert "skewed" in plan
+        return (f"AQE skew join 5M rows, 90% one key: {dt:.1f}s, "
+                "SortMergeJoin(skew=true) + skewed AQEShuffleRead in final plan")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -354,6 +397,7 @@ PROBES = {
     "snapshot_diff": probe_snapshot_diff,
     "vocab": probe_vocab,
     "block_pack": probe_block_pack,
+    "aqe_skew": probe_aqe_skew,
 }
 
 
