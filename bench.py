@@ -62,6 +62,9 @@ EXTRA = [
     "ext_build_vocab",
     "ext_encode_docs",
     "ext_block_pack",
+    "ext_pps_sample",
+    "ext_cluster_best_dedup",
+    "ev_distinct_sketch_rollup",
 ]
 
 
