@@ -376,3 +376,29 @@ def sketch_rollup_stream(events: DataFrame, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def inspect_stream_state(spark: SparkSession, checkpoint_dir: str,
+                         batch_id: int | None = None) -> DataFrame:
+    """Offline view of a streaming query's keyed state (Spark 4
+    ``statestore`` data source over the checkpoint) — the observability
+    answer to "why is my state store growing": inspect surviving keys,
+    expiry timestamps, and per-partition state row counts WITHOUT
+    touching the running query. Pass ``batch_id`` to time-travel to an
+    earlier committed micro-batch's state.
+
+    At 100 TB event scale this is how you audit watermark eviction
+    (dedup keys must disappear once expired) and find skewed state
+    partitions (group by partition_id) before they OOM an executor.
+    """
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load(checkpoint_dir)
+
+
+def state_partition_profile(state: DataFrame) -> DataFrame:
+    """State rows per store partition — the skew probe for streaming
+    state (one hot grouping key family ⇒ one fat partition)."""
+    return state.groupBy("partition_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_state_rows"))

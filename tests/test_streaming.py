@@ -523,3 +523,75 @@ class TestLateDataDiscipline:
         assert "2024-01-01 00:00:00" not in starts  # late window absent
         assert not any(r["value_sum"] == 99.0 for r in rows)
         assert dropped == 1
+
+
+class TestStateInspection:
+    def _ordered_files(self, tmp_path):
+        """Three files with distinct mtimes → deterministic batch order."""
+        import json as _json
+        import time as _time
+
+        src = tmp_path / "st-src"
+        src.mkdir()
+        batches = [
+            [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 00:12:00"),
+             (3, "2024-01-01 00:55:00")],
+            [(4, "2024-01-01 01:05:00"), (5, "2024-01-01 01:20:00")],
+            [(6, "2024-01-01 02:10:00")],
+        ]
+        for i, rows in enumerate(batches):
+            with open(src / f"f{i}.json", "w") as f:
+                for eid, ts in rows:
+                    f.write(_json.dumps({
+                        "event_id": eid, "ts": ts, "user_id": 1,
+                        "event_type": "click", "value": 1.0,
+                        "props": "{}"}) + "\n")
+            _time.sleep(1.1)
+        return str(src)
+
+    def _run_dedup(self, spark, src, ck):
+        from gads_etl_spark.streaming.jobs import dedup_stream
+
+        q = (dedup_stream(read_events_stream(spark, src), watermark="1 hour")
+             .writeStream.format("memory").queryName("t_state_q")
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    def test_dedup_state_visible_and_evicted(self, spark, tmp_path):
+        """The statestore source must expose the dedup keys offline,
+        eviction must have removed watermark-expired keys, and every
+        surviving key's expiry must still be ahead of the final
+        watermark (the invariant, stated without pinning Spark's exact
+        boundary comparison)."""
+        from gads_etl_spark.streaming.jobs import (
+            inspect_stream_state, state_partition_profile)
+
+        src = self._ordered_files(tmp_path)
+        ck = str(tmp_path / "st-ck")
+        self._run_dedup(spark, src, ck)
+
+        state = inspect_stream_state(spark, ck)
+        rows = state.collect()
+        keys = {r["key"]["event_id"] for r in rows}
+        assert keys < {1, 2, 3, 4, 5, 6} and keys  # some evicted, some live
+        assert 1 not in keys  # earliest key is long past the watermark
+        # final watermark = 02:10 − 1h = 01:10 → every survivor's expiry
+        # must be at or after it
+        wm_micros = 1704071400000000  # 2024-01-01T01:10:00Z in micros
+        assert all(r["value"]["expiresAtMicros"] >= wm_micros for r in rows)
+        profile = state_partition_profile(state)
+        assert profile.agg(F.sum("n_state_rows")).collect()[0][0] == len(keys)
+
+    def test_time_travel_to_earlier_batch(self, spark, tmp_path):
+        """batchId time travel: state after batch 0 is exactly the first
+        file's keys (no watermark has evicted anything yet)."""
+        from gads_etl_spark.streaming.jobs import inspect_stream_state
+
+        src = self._ordered_files(tmp_path)
+        ck = str(tmp_path / "tt-ck")
+        self._run_dedup(spark, src, ck)
+        early = {r["key"]["event_id"]
+                 for r in inspect_stream_state(spark, ck, batch_id=0).collect()}
+        assert early == {1, 2, 3}
