@@ -321,6 +321,27 @@ def cmd_corpus_diff(args) -> int:
     return 0
 
 
+def cmd_stream_state(args) -> int:
+    """Inspect a streaming checkpoint's keyed state offline: total rows,
+    per-partition distribution (state-skew probe), optional batchId
+    time travel."""
+    from gads_etl_spark.session import get_session
+    from gads_etl_spark.streaming.jobs import (
+        inspect_stream_state,
+        state_partition_profile,
+    )
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    state = inspect_stream_state(spark, args.checkpoint, batch_id=args.batch_id)
+    rows = [r.asDict() for r in
+            state_partition_profile(state).orderBy("partition_id").collect()]
+    total = sum(r["n_state_rows"] for r in rows)
+    print(f"{total} state row(s) across {len(rows)} store partition(s)")
+    _emit(rows, args.json)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -400,6 +421,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--compare", help="comma-separated; default: common non-keys")
     sp.add_argument("--out", help="write the full delta to this parquet path")
     sp.set_defaults(fn=cmd_corpus_diff)
+
+    sp = sub.add_parser("stream-state")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--batch-id", type=int)
+    sp.set_defaults(fn=cmd_stream_state)
     return p
 
 

@@ -145,3 +145,27 @@ def test_corpus_diff(spark, tmp_path, capsys):
     assert rows == {"added": 1, "removed": 1, "changed": 1}
     written = {(r.k, r.change) for r in spark.read.parquet(out_p).collect()}
     assert written == {(4, "added"), (3, "removed"), (2, "changed")}
+
+
+def test_stream_state_command(spark, tmp_path, capsys):
+    from gads_etl_spark.streaming.jobs import dedup_stream, read_events_stream
+
+    src = tmp_path / "cli-st-src"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({
+                "event_id": i, "ts": f"2024-01-01 0{i}:00:00", "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": "{}"}) + "\n")
+    ck = str(tmp_path / "cli-st-ck")
+    q = (dedup_stream(read_events_stream(spark, str(src)))
+         .writeStream.format("memory").queryName("t_cli_state")
+         .option("checkpointLocation", ck)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    assert main(["--json", "stream-state", "--checkpoint", ck]) == 0
+    out = capsys.readouterr().out
+    assert "state row(s)" in out
+    rows = json.loads(out.splitlines()[-1])
+    assert sum(r["n_state_rows"] for r in rows) >= 1
