@@ -348,26 +348,39 @@ def continuous_dq(stream_df: DataFrame, checks: list, checkpoint_dir: str,
     )
 
 
+def write_rollup_fragment(batch_df: DataFrame, batch_id: int,
+                          rollup_dir: str, bucket: str = "1 hour") -> None:
+    """One micro-batch's sketch fragments, written into a per-batch
+    subdirectory with OVERWRITE — the replay-safety half of the design.
+    Sketch union is idempotent under duplicate fragments, but the
+    additive ``n_events`` counter is NOT, so a replayed foreachBatch
+    (crash between write and checkpoint commit) must replace its own
+    fragment rather than append a double-counting copy. batch_id keys
+    the directory; reruns of the same batch converge."""
+    from gads_etl_spark.operators.rollup import sketch_distinct_rollup
+
+    frag = sketch_distinct_rollup(
+        batch_df.withColumn("bucket", F.window("ts", bucket)["start"]),
+        "user_id", ["event_type", "bucket"],
+    )
+    frag.write.mode("overwrite").parquet(f"{rollup_dir}/batch_id={batch_id}")
+
+
 def sketch_rollup_stream(events: DataFrame, checkpoint_dir: str,
                          rollup_dir: str, bucket: str = "1 hour"):
     """Continuously maintain the mergeable distinct-user rollup: each
-    micro-batch appends its own per-(event_type, bucket) HLL sketches to
-    the rollup table; readers union sketches at query time
-    (rollup.merge_sketch_rollup), so a bucket split across micro-batches
-    still estimates register-identically to a batch rebuild — the
-    mergeability property doing the exactly-once-free heavy lifting
-    (append-only fragments, max-merge on read, duplicates idempotent).
+    micro-batch writes its per-(event_type, bucket) HLL sketches into
+    its own ``batch_id=`` fragment directory; readers union sketches at
+    query time (rollup.merge_sketch_rollup), so a bucket split across
+    micro-batches still estimates register-identically to a batch
+    rebuild, and a REPLAYED batch overwrites its own fragment instead of
+    double-counting (see ``write_rollup_fragment``).
 
     Returns the (started) StreamingQuery handle.
     """
-    from gads_etl_spark.operators.rollup import sketch_distinct_rollup
 
     def process(batch_df, batch_id: int) -> None:
-        frag = sketch_distinct_rollup(
-            batch_df.withColumn("bucket", F.window("ts", bucket)["start"]),
-            "user_id", ["event_type", "bucket"],
-        )
-        frag.write.mode("append").parquet(rollup_dir)
+        write_rollup_fragment(batch_df, batch_id, rollup_dir, bucket)
 
     return (
         events.writeStream

@@ -595,3 +595,34 @@ class TestStateInspection:
         early = {r["key"]["event_id"]
                  for r in inspect_stream_state(spark, ck, batch_id=0).collect()}
         assert early == {1, 2, 3}
+
+
+class TestSketchRollupReplay:
+    def test_replayed_fragment_write_is_idempotent(self, spark, tmp_path):
+        """Crash-replay of a committed micro-batch reruns foreachBatch
+        with the same batch_id and payload; the per-batch overwrite must
+        leave the rollup byte-for-byte equivalent. Sketch estimates were
+        always replay-safe (max-merge); the additive n_events counter is
+        only safe because the fragment replaces itself instead of
+        appending a double-counting copy."""
+        from gads_etl_spark.operators.rollup import merge_sketch_rollup
+        from gads_etl_spark.streaming.jobs import write_rollup_fragment
+
+        _, batch_df = _write_event_files(tmp_path, spark)
+        rollup_dir = str(tmp_path / "replay-rollup")
+        b0 = batch_df.where(F.col("event_id").isin(1, 2, 3))
+        b1 = batch_df.where(F.col("event_id").isin(4, 5, 6))
+        write_rollup_fragment(b0, 0, rollup_dir)
+        write_rollup_fragment(b1, 1, rollup_dir)
+
+        def snapshot():
+            frags = spark.read.parquet(rollup_dir)
+            return sorted(
+                (r["event_type"], str(r["bucket"]), r["distinct_est"], r["n_events"])
+                for r in merge_sketch_rollup(
+                    frags, ["event_type", "bucket"]).collect())
+
+        before = snapshot()
+        assert sum(n for *_, n in before) == 6
+        write_rollup_fragment(b0, 0, rollup_dir)  # the replay
+        assert snapshot() == before  # no double count, no register drift
