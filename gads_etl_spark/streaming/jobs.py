@@ -334,9 +334,11 @@ def continuous_dq(stream_df: DataFrame, checks: list, checkpoint_dir: str,
     def process(batch_df, batch_id: int) -> None:
         (
             dq.run_checks(batch_df, checks)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .coalesce(1)  # one row per check — metrics are tiny
-            .write.mode("append").parquet(metrics_dir)
+            # batch_id-keyed overwrite: a crash-replayed batch replaces
+            # its own metric rows instead of appending duplicates that
+            # would double-count any sum over the metrics table
+            .write.mode("overwrite").parquet(f"{metrics_dir}/batch_id={batch_id}")
         )
 
     return (
