@@ -342,6 +342,27 @@ def cmd_stream_state(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run a YAML-declared curation pipeline over a documents table:
+    one write pass, per-step funnel counts measured by Observations
+    during that same pass."""
+    from gads_etl_spark.pipeline.curation import load_curation_config, run_curation
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    with open(args.config) as f:
+        steps = load_curation_config(f.read())
+    docs = spark.read.parquet(args.input)
+    result = run_curation(docs, steps)
+    result.df.write.mode("errorifexists").parquet(args.output)
+    funnel = result.funnel()
+    _emit(funnel, args.json)
+    print(f"curated {funnel[-1]['rows_out']}/{funnel[0]['rows_out']} rows "
+          f"through {len(steps)} step(s) → {args.output}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -426,6 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--checkpoint", required=True)
     sp.add_argument("--batch-id", type=int)
     sp.set_defaults(fn=cmd_stream_state)
+
+    sp = sub.add_parser("curate")
+    sp.add_argument("--config", required=True)
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_curate)
     return p
 
 

@@ -169,3 +169,26 @@ def test_stream_state_command(spark, tmp_path, capsys):
     assert "state row(s)" in out
     rows = json.loads(out.splitlines()[-1])
     assert sum(r["n_state_rows"] for r in rows) >= 1
+
+
+def test_curate_command(spark, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"body text {i % 5} tail", ["en", "zh"][i % 2])
+         for i in range(40)],
+        "doc_id long, text string, lang string").write.parquet(inp)
+    cfg = tmp_path / "curate.yaml"
+    cfg.write_text(
+        "curation:\n  steps:\n"
+        "    - kind: exact_dedup\n"
+        "    - kind: lang_filter\n      allowed: [en]\n")
+    out = str(tmp_path / "curated")
+    assert main(["--json", "curate", "--config", str(cfg),
+                 "--input", inp, "--output", out]) == 0
+    printed = capsys.readouterr().out
+    funnel = json.loads(printed.splitlines()[0])
+    assert [f["step"] for f in funnel] == ["input", "0:exact_dedup", "1:lang_filter"]
+    assert funnel[0]["rows_out"] == 40
+    written = spark.read.parquet(out)
+    assert written.count() == funnel[-1]["rows_out"] > 0
+    assert set(r["lang"] for r in written.select("lang").distinct().collect()) == {"en"}
