@@ -2313,3 +2313,60 @@ def ext_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SA.balanced_sample(emb, "label", 30, "vec_id").select(
         "vec_id", "label")
+
+
+@register(
+    "ext_curation_funnel",
+    oracle="""
+    WITH s0 AS (
+        SELECT * FROM documents
+    ), s1 AS (
+        SELECT * FROM s0 WHERE doc_id IN (
+            SELECT doc_id FROM (
+                SELECT doc_id, row_number() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM s0
+            ) WHERE rn = 1
+        )
+    ), s2 AS (
+        SELECT * FROM s1 WHERE lang IN ('en', 'es')
+    ), s3 AS (
+        SELECT * FROM s2 WHERE length(text) BETWEEN 100 AND 2147483647
+    )
+    SELECT 'input' AS step, CAST((SELECT count(*) FROM s0) AS BIGINT) AS rows_out
+    UNION ALL SELECT '0:exact_dedup', CAST((SELECT count(*) FROM s1) AS BIGINT)
+    UNION ALL SELECT '1:lang_filter', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL SELECT '2:length_range', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+    tags=("extension", "quality", "pipeline"),
+)
+def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit form of the curation funnel: surviving row count after each
+    declared step (dedup → lang → length), as a queryable result. The
+    production path measures the same numbers with Observations during
+    ONE pass (pipeline/curation.py — pytest ties the two together); this
+    registered form states each prefix as its own aggregate so DuckDB
+    can verify every stage count exactly.
+    """
+    from gads_etl_spark.pipeline.curation import STEP_KINDS, CurationStep
+
+    docs = load_table(spark, sf_dir, "documents")
+    steps = [
+        CurationStep("exact_dedup"),
+        CurationStep("lang_filter", {"allowed": ["en", "es"]}),
+        CurationStep("length_range", {"min_chars": 100}),
+    ]
+    stages = [("input", docs)]
+    df = docs
+    for i, st in enumerate(steps):
+        df = STEP_KINDS[st.kind](df, **st.params)
+        stages.append((f"{i}:{st.kind}", df))
+    counts = [
+        d.agg(F.count(F.lit(1)).cast("long").alias("rows_out"))
+        .select(F.lit(name).alias("step"), "rows_out")
+        for name, d in stages
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

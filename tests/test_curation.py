@@ -98,3 +98,24 @@ class TestRun:
         assert out.count() == 200
         assert set(r["split"] for r in out.select("split").distinct().collect()) \
             <= {"train", "val", "test"}
+
+
+def test_funnel_query_matches_observation_funnel(spark):
+    """The oracle-checked audit query and the one-pass Observation
+    funnel must report identical stage counts over the same steps."""
+    from gads_etl_spark.catalog import load_table
+    from gads_etl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["step"]: r["rows_out"]
+             for r in REGISTRY["ext_curation_funnel"].fn(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    steps = load_curation_config(
+        "curation:\n  steps:\n"
+        "    - kind: exact_dedup\n"
+        "    - kind: lang_filter\n      allowed: [en, es]\n"
+        "    - kind: length_range\n      min_chars: 100\n")
+    result = run_curation(docs, steps)
+    result.df.count()
+    observed = {f["step"]: f["rows_out"] for f in result.funnel()}
+    assert observed == audit
