@@ -79,6 +79,24 @@ def _step_split(df: DataFrame, train: float = 0.8, val: float = 0.1) -> DataFram
     return train_val_test_split(df, "doc_id", train=train, val=val)
 
 
+def _step_pps_sample(df: DataFrame, expected_n: int,
+                     weight_col: str = "n_chars") -> DataFrame:
+    # NOTE: pps_sample reduces ΣW to a driver scalar when the step is
+    # BUILT, which executes the upstream chain once beyond the main
+    # pass — the one step kind that isn't purely lazy. Place it early
+    # (or pre-compute weights) when the upstream chain is expensive.
+    from gads_etl_spark.operators.sampling import pps_sample
+
+    return pps_sample(df, expected_n, weight_col, "doc_id").drop("inclusion_p")
+
+
+def _step_balanced_sample(df: DataFrame, group_col: str,
+                          n_per_group: int) -> DataFrame:
+    from gads_etl_spark.operators.sampling import balanced_sample
+
+    return balanced_sample(df, group_col, n_per_group, "doc_id")
+
+
 STEP_KINDS = {
     "exact_dedup": _step_exact_dedup,
     "lang_filter": _step_lang_filter,
@@ -87,6 +105,8 @@ STEP_KINDS = {
     "pii_redact": _step_pii_redact,
     "sample": _step_sample,
     "split": _step_split,
+    "pps_sample": _step_pps_sample,
+    "balanced_sample": _step_balanced_sample,
 }
 
 

@@ -119,3 +119,21 @@ def test_funnel_query_matches_observation_funnel(spark):
     result.df.count()
     observed = {f["step"]: f["rows_out"] for f in result.funnel()}
     assert observed == audit
+
+
+def test_sampling_step_kinds(spark):
+    from gads_etl_spark.operators.sampling import balanced_sample, pps_sample
+
+    rows = [(i, f"text {i}", ["en", "zh"][i % 2], 50 + i) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    steps = load_curation_config(
+        "curation:\n  steps:\n"
+        "    - kind: pps_sample\n      expected_n: 40\n"
+        "    - kind: balanced_sample\n      group_col: lang\n      n_per_group: 10\n")
+    got = run_curation(docs, steps, observe=False).df
+    manual = pps_sample(docs, 40, "n_chars", "doc_id").drop("inclusion_p")
+    manual = balanced_sample(manual, "lang", 10, "doc_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+    sizes = {r["lang"]: r["n"] for r in
+             got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 10 for n in sizes.values()) and sizes
