@@ -97,12 +97,24 @@ def _step_balanced_sample(df: DataFrame, group_col: str,
     return balanced_sample(df, group_col, n_per_group, "doc_id")
 
 
+def _step_decontaminate(df: DataFrame, eval_path: str, n: int = 8) -> DataFrame:
+    """Drop docs sharing any word n-gram with the eval set at
+    ``eval_path`` (parquet with a ``text`` column). The eval grams
+    broadcast; the corpus side never shuffles for this step."""
+    from gads_etl_spark.operators.quality import ngram_contamination
+
+    eval_df = df.sparkSession.read.parquet(eval_path)
+    contaminated = ngram_contamination(df, eval_df, n=n).select("doc_id")
+    return df.join(contaminated, "doc_id", "left_anti")
+
+
 STEP_KINDS = {
     "exact_dedup": _step_exact_dedup,
     "lang_filter": _step_lang_filter,
     "length_range": _step_length_range,
     "quality_min": _step_quality_min,
     "pii_redact": _step_pii_redact,
+    "decontaminate": _step_decontaminate,
     "sample": _step_sample,
     "split": _step_split,
     "pps_sample": _step_pps_sample,

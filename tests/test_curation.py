@@ -137,3 +137,19 @@ def test_sampling_step_kinds(spark):
     sizes = {r["lang"]: r["n"] for r in
              got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n <= 10 for n in sizes.values()) and sizes
+
+
+def test_decontaminate_step(spark, tmp_path):
+    eval_path = str(tmp_path / "benchmark")
+    spark.createDataFrame(
+        [(1, "the secret benchmark question about spark internals here today")],
+        "qid long, text string").write.parquet(eval_path)
+    docs = spark.createDataFrame(
+        [(1, "the secret benchmark question about spark internals here today and more"),
+         (2, "a perfectly clean training document with enough words to pass by")],
+        "doc_id long, text string")
+    steps = load_curation_config(
+        f"curation:\n  steps:\n"
+        f"    - kind: decontaminate\n      eval_path: {eval_path}\n      n: 8\n")
+    out = run_curation(docs, steps, observe=False).df
+    assert [r["doc_id"] for r in out.collect()] == [2]
