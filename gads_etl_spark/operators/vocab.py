@@ -147,3 +147,30 @@ def encode_docs(docs: DataFrame, vocab_df: DataFrame,
             F.transform(F.col("_s"), lambda s: s["tid"]).alias("token_ids"),
         )
     )
+
+
+def extend_vocab(vocab_df: DataFrame, new_docs: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 min_count: int = 1, n_parts: int | None = None) -> DataFrame:
+    """Grow a vocabulary from a corpus delta WITHOUT renumbering: every
+    existing token keeps its id (retraining-free for any model already
+    tied to the table), and genuinely new tokens append at the tail with
+    ids V, V+1, … ranked by their frequency in the delta.
+
+    The CDC-shaped vocabulary workflow: diff the corpus
+    (cdc.snapshot_diff), count tokens only over added/changed docs,
+    anti-join against the existing table, dense-rank the remainder with
+    an offset — O(|delta| tokens), the full corpus is never re-scanned.
+    """
+    fresh = token_counts(new_docs, text_col, id_col).where(
+        F.col("n_occurrences") >= min_count
+    ).join(vocab_df.select("token"), "token", "left_anti")
+    base = int(
+        vocab_df.agg(F.coalesce(F.max("token_id") + 1, F.lit(0))).collect()[0][0]
+    )
+    ranked = assign_dense_ranks(
+        fresh, [F.desc("n_occurrences"), F.asc("token")],
+        id_name="token_id", n_parts=n_parts,
+    ).withColumn("token_id", (F.col("token_id") + F.lit(base)).cast("long"))
+    return vocab_df.select("token", "token_id", "n_docs", "n_occurrences") \
+        .unionByName(ranked.select("token", "token_id", "n_docs", "n_occurrences"))

@@ -112,3 +112,41 @@ def test_token_counts_without_doc_counts(spark):
     assert got == {"a": 3, "b": 1}
     plan = slim._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan  # no distinct-agg expansion in slim mode
+
+
+class TestExtendVocab:
+    def test_existing_ids_stable_new_ids_appended(self, spark, docs):
+        base = vocab.build_vocab(docs, min_count=2)
+        old_ids = {r["token"]: r["token_id"] for r in base.collect()}
+        new_docs = spark.createDataFrame(
+            [(1000, "zzfresh zzfresh zzfresh aanew aanew the the")],
+            "doc_id long, text string")
+        ext = vocab.extend_vocab(base, new_docs, min_count=2)
+        got = {r["token"]: r["token_id"] for r in ext.collect()}
+        # every old token keeps its id exactly
+        assert all(got[t] == i for t, i in old_ids.items())
+        # new tokens appended at the tail, frequency-ranked among themselves
+        v = len(old_ids)
+        assert got["zzfresh"] == v and got["aanew"] == v + 1
+        # known token 'the' did NOT get a duplicate entry
+        assert ext.groupBy("token").count().where("count > 1").count() == 0
+
+    def test_extension_reduces_oov_without_changing_old_encoding(self, spark, docs):
+        base = vocab.build_vocab(docs, min_count=2)
+        new_docs = spark.createDataFrame(
+            [(1000, "qqword qqword")], "doc_id long, text string")
+        ext = vocab.extend_vocab(base, new_docs, min_count=2)
+        enc_before = {r["doc_id"]: list(r["token_ids"]) for r in
+                      vocab.encode_docs(docs, base).collect()}
+        enc_after = {r["doc_id"]: list(r["token_ids"]) for r in
+                     vocab.encode_docs(docs, ext).collect()}
+        assert enc_before == enc_after  # old corpus encoding untouched
+        [r] = vocab.encode_docs(new_docs, ext).collect()
+        assert -1 not in r["token_ids"]  # delta no longer OOV
+
+    def test_empty_delta_is_identity(self, spark, docs):
+        base = vocab.build_vocab(docs, min_count=2)
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        ext = vocab.extend_vocab(base, empty)
+        assert sorted(map(tuple, ext.collect())) == \
+            sorted(map(tuple, base.collect()))
