@@ -417,3 +417,49 @@ def state_partition_profile(state: DataFrame) -> DataFrame:
     state (one hot grouping key family ⇒ one fat partition)."""
     return state.groupBy("partition_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_state_rows"))
+
+
+def vocab_stream(docs: DataFrame, checkpoint_dir: str, table_root: str,
+                 min_count: int = 1):
+    """Maintain a token vocabulary from a document stream: each
+    micro-batch extends the versioned vocab table (`_VersionedTable` —
+    atomic CURRENT swap, time travel per batch) with the batch's
+    genuinely new tokens via ``vocab.extend_vocab``.
+
+    Semantics are EXTENSION, not global re-ranking: ids are stable
+    forever (the property an embedding table needs), so a streamed
+    vocabulary reaches the same token SET as a batch rebuild while its
+    id order reflects arrival, not global frequency — re-rank offline
+    with ``build_vocab`` when global frequency order matters. Counters
+    (n_docs/n_occurrences) are first-seen-batch counts, not running
+    totals; single-writer discipline applies like every control table.
+
+    Returns the (started) StreamingQuery handle.
+    """
+    from pyspark.sql import types as T
+
+    from gads_etl_spark.operators.vocab import extend_vocab
+    from gads_etl_spark.pipeline.state_store import _VersionedTable
+
+    schema = T.StructType([
+        T.StructField("token", T.StringType(), False),
+        T.StructField("token_id", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("n_occurrences", T.LongType(), True),
+    ])
+
+    def process(batch_df, batch_id: int) -> None:
+        table = _VersionedTable(batch_df.sparkSession, table_root, schema)
+        current = table.read()
+        extended = extend_vocab(current, batch_df, min_count=min_count)
+        # localCheckpoint: the commit re-executes its input when writing;
+        # extend_vocab's dense-rank stage must not resample boundaries.
+        table.commit(extended.localCheckpoint(eager=True))
+
+    return (
+        docs.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -626,3 +626,56 @@ class TestSketchRollupReplay:
         assert sum(n for *_, n in before) == 6
         write_rollup_fragment(b0, 0, rollup_dir)  # the replay
         assert snapshot() == before  # no double count, no register drift
+
+
+class TestVocabStream:
+    def test_streamed_vocab_extends_with_stable_ids(self, spark, tmp_path):
+        """Stream batches into the versioned vocab table: ids assigned in
+        an earlier batch never change, the final token set equals a
+        batch rebuild's, and time travel shows the growth history."""
+        import json as _json
+        import time as _time
+
+        from gads_etl_spark.pipeline.state_store import _VersionedTable
+        from gads_etl_spark.streaming.jobs import vocab_stream
+
+        src = tmp_path / "vb-src"
+        src.mkdir()
+        batches = [
+            [(1, "alpha beta alpha"), (2, "beta gamma")],
+            [(3, "alpha delta")],          # delta is new
+            [(4, "epsilon epsilon beta")], # epsilon is new
+        ]
+        for i, rows in enumerate(batches):
+            with open(src / f"f{i}.json", "w") as f:
+                for did, text in rows:
+                    f.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+            _time.sleep(1.1)
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        root = str(tmp_path / "vocab-table")
+        q = vocab_stream(stream, str(tmp_path / "vb-ck"), root)
+        q.awaitTermination(180)
+
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("token", T.StringType(), False),
+            T.StructField("token_id", T.LongType(), False),
+            T.StructField("n_docs", T.LongType(), True),
+            T.StructField("n_occurrences", T.LongType(), True),
+        ])
+        table = _VersionedTable(spark, root, schema)
+        final = {r["token"]: r["token_id"] for r in table.read().collect()}
+        assert set(final) == {"alpha", "beta", "gamma", "delta", "epsilon"}
+        assert sorted(final.values()) == list(range(5))  # dense, no gaps
+        # id stability: versions only ever ADD mappings, never change them
+        history = table.history()
+        assert len(history) == 3
+        prev: dict = {}
+        for v in history:
+            snap = {r["token"]: r["token_id"]
+                    for r in table.read_version(v).collect()}
+            assert all(snap[t] == i for t, i in prev.items())
+            assert len(snap) >= len(prev)
+            prev = snap
