@@ -2370,3 +2370,57 @@ def ext_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "ext_trigram_typicality",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(text) - 2, 0)),
+                   i -> substring(lower(text), i, 3)))) AS g
+        FROM documents
+    ), freq AS (
+        SELECT g FROM tri GROUP BY g HAVING count(*) >= 50
+    )
+    SELECT tri.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(freq.g) AS BIGINT) AS n_typical
+    FROM tri LEFT JOIN freq ON tri.g = freq.g
+    GROUP BY tri.doc_id
+    """,
+    tags=("extension", "text", "quality"),
+)
+def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-typicality scoring: how much of a document's distinct
+    character-trigram set appears widely (≥50 docs-occurrences) across
+    the corpus — a language-model-free perplexity proxy (out-of-domain
+    or garbled text has low typical-trigram coverage). Integer outputs
+    (counts, not ratios) keep the oracle hash exact.
+
+    Scale shape: one explode to distinct per-doc trigrams, one corpus
+    count to build the frequent set (bounded: ≤ |alphabet|³ grams, so
+    the join side is broadcastable at ANY corpus size), one equi-join
+    back, one per-doc aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, greatest(length(text) - 2, 0)),"
+            " i -> substring(lower(text), i, 3))"
+        ))).alias("g"),
+    )
+    freq = (
+        tri.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 50).select("g", F.lit(1).alias("_f"))
+    )
+    return (
+        tri.join(F.broadcast(freq), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.count("_f").cast("long").alias("n_typical"),
+        )
+    )
