@@ -684,3 +684,62 @@ def ev_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("distinct_est") == F.col("direct_est"))
         .alias("merged_equals_direct"),
     )
+
+
+@register(
+    "ev_rate_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type, h, c,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(c) OVER w AS BIGINT) AS s,
+               CAST(sum(c * c) OVER w AS BIGINT) AS ss
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, CAST(h AS TIMESTAMP) AS hour, c AS n_events,
+           s AS trailing_sum, n AS trailing_hours
+    FROM stats
+    WHERE n >= 12 AND (n * c - s) * (n * c - s) > 9 * (n * ss - s * s)
+    """,
+    tags=("events", "window", "anomaly"),
+)
+def ev_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate spike detection with EXACT arithmetic: an hour is
+    anomalous when its count sits more than 3 trailing-window standard
+    deviations from the trailing-24h mean — but the z-test is stated
+    cross-multiplied in integers, (n·c − s)² > 9·(n·ss − s²), so no
+    division, no sqrt, no float: both engines agree bit-for-bit, and
+    the result is layout-invariant by construction.
+
+    Scale shape: one groupBy to hourly counts (map-side partial), one
+    bounded ROWS window per event_type. Overflow note: the squared terms
+    need |n·c| < ~3·10⁹ to stay in BIGINT — per-(type, hour) counts
+    beyond that (extreme even at 100 TB) call for pre-scaling counts or
+    narrower buckets, which changes no semantics.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(-24, -1))
+    stats = hourly.select(
+        "event_type", "h", "c",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("c").over(w).cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("ss"),
+    )
+    lhs = (F.col("n") * F.col("c") - F.col("s"))
+    rhs = F.lit(9) * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return stats.where((F.col("n") >= 12) & (lhs * lhs > rhs)).select(
+        "event_type", F.col("h").alias("hour"), F.col("c").alias("n_events"),
+        F.col("s").alias("trailing_sum"), F.col("n").alias("trailing_hours"),
+    )
