@@ -65,6 +65,8 @@ EXTRA = [
     "ext_pps_sample",
     "ext_cluster_best_dedup",
     "ev_distinct_sketch_rollup",
+    "ev_rate_anomalies",
+    "ext_trigram_typicality",
 ]
 
 

@@ -2424,3 +2424,36 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_f").cast("long").alias("n_typical"),
         )
     )
+
+
+@register(
+    "ext_cluster_sizes",
+    oracle=f"""
+    {_COMPONENTS_CTE.replace('WITH t AS', 'WITH RECURSIVE t AS', 1)}
+    , sizes AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM comp GROUP BY component
+    )
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("extension", "dedup", "graph"),
+)
+def ext_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health view of
+    dedup (a long tail of pairs is normal; a giant cluster means
+    boilerplate or a crawler loop). Same candidate→components pipeline;
+    one extra tiny aggregate over the component map."""
+    from gads_etl_spark.operators import graph as G
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
+    comps = G.connected_components(pairs.select("a_id", "b_id"),
+                                   src="a_id", dst="b_id")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
