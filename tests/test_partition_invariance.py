@@ -28,6 +28,9 @@ QUERIES = [
     "ext_block_pack",             # per-shard cumsum + overlap slicing
     "ext_pps_sample",             # weighted hash-threshold sampling
     "ext_dq_checks",              # batched constraint aggregate
+    "ev_rate_anomalies",          # integer z-test over trailing window
+    "ext_trigram_typicality",     # broadcast frequent-set join
+    "ext_curation_funnel",        # chained prefix aggregates
 ]
 
 
