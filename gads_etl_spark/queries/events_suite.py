@@ -743,3 +743,42 @@ def ev_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("h").alias("hour"), F.col("c").alias("n_events"),
         F.col("s").alias("trailing_sum"), F.col("n").alias("trailing_hours"),
     )
+
+
+@register(
+    "ev_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), firsts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY f.cohort_day, day_offset
+    """,
+    tags=("events", "agg", "cohort"),
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each subsequent active day — the product-analytics staple.
+
+    Scale shape: two aggregates on user_id (distinct activity days, then
+    first day) share a partitioning, the join is user-keyed, and the
+    final rollup groups on (cohort, offset) — bounded by days², not
+    users. All integer/date arithmetic, bit-identical engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    firsts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_day",
+                 F.datediff(F.col("day"), F.col("cohort_day"))
+                 .cast("long").alias("day_offset"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
+    )
