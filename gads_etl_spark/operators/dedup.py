@@ -490,3 +490,51 @@ def strip_duplicated_spans(
         )
         .drop("__sp", "__kept")
     )
+
+
+def simhash_radius_pairs(docs: DataFrame, radius: int = 3,
+                         id_col: str = "doc_id") -> DataFrame:
+    """All document pairs within ``radius`` SimHash hamming distance —
+    a bounded-distance similarity join, NOT all-pairs: the 64-bit
+    fingerprint splits into ``radius + 1`` chunks, and by pigeonhole two
+    signatures within the radius agree on at least one whole chunk, so
+    candidates come from equi-joins on (chunk index, chunk value) and
+    only candidates pay the popcount verification. Returns
+    (a_id, b_id, hamming) with a_id < b_id, exact w.r.t. the criterion
+    (the blocking is lossless, unlike probabilistic bands).
+
+    Scale shape: one signature pass (simhash), one explode to
+    ``radius + 1`` rows each, one equi-join per shared chunk bucket, and
+    a distinct to collapse pairs matching in several chunks. Chunk
+    buckets are 2^(64/(radius+1)) wide — 65k values at radius 3 — so
+    bucket skew mirrors signature skew, which near-uniform hashing keeps
+    flat.
+    """
+    n_chunks = radius + 1
+    bits = 64 // n_chunks
+    fp = simhash(docs, id_col=id_col).select(id_col, "simhash")
+    def chunk_val(i: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * bits)
+        if bits >= 64:  # radius 0: the "chunk" is the whole signature
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    chunk = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("ci"), chunk_val(i).alias("cv"))
+        for i in range(n_chunks)
+    ])).alias("c")
+    chunked = fp.select(F.col(id_col), F.col("simhash"), chunk).select(
+        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = chunked.select(F.col(id_col).alias("a_id"),
+                       F.col("simhash").alias("fp_a"), "ci", "cv")
+    b = chunked.select(F.col(id_col).alias("b_id"),
+                       F.col("simhash").alias("fp_b"), "ci", "cv")
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return cand.select("a_id", "b_id", hamming.alias("hamming")) \
+        .where(F.col("hamming") <= radius)

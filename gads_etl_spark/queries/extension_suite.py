@@ -2457,3 +2457,30 @@ def ext_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "ext_simhash_radius",
+    oracle="""
+    SELECT doc_id, doc_id + 100000 AS copy_id, CAST(0 AS BIGINT) AS hamming
+    FROM documents WHERE doc_id < 30
+    """,
+    tags=("extension", "dedup", "lsh"),
+)
+def ext_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-distance SimHash join (hamming ≤ 3) with the planted-copy
+    derived oracle: the full chunk-blocked pipeline runs over corpus +
+    30 exact copies, and every (original, copy) pair MUST surface at
+    hamming 0 — pigeonhole blocking is lossless, so recovery is
+    guaranteed under any seed or partitioning. Natural near-dup pairs
+    are excluded from the registered result (not SQL-derivable) and stay
+    invariant-tested in tests/test_extension_ops.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.where(F.col("doc_id") < 30).withColumn(
+        "doc_id", F.col("doc_id") + 100000)
+    pairs = D.simhash_radius_pairs(docs.unionByName(copies), radius=3)
+    return pairs.where(
+        (F.col("b_id") - F.col("a_id") == 100000) & (F.col("a_id") < 30)
+    ).select(F.col("a_id").alias("doc_id"),
+             F.col("b_id").alias("copy_id"), "hamming")

@@ -567,3 +567,35 @@ class TestStripDuplicatedSpans:
         out = {r.doc_id: (r.clean_text, r.n_removed_tokens)
                for r in D.strip_duplicated_spans(docs, spans).collect()}
         assert out == {1: ("", 3), 2: ("", 3)}
+
+
+class TestSimhashRadiusPairs:
+    def test_exact_vs_brute_force(self, spark):
+        """Pigeonhole chunk blocking must be LOSSLESS: the chunked join
+        recovers exactly the pairs a brute-force O(n²) popcount finds."""
+        from gads_etl_spark.operators.dedup import simhash, simhash_radius_pairs
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+             for i in range(60)],
+            "doc_id long, text string")
+        got = {(r["a_id"], r["b_id"], r["hamming"])
+               for r in simhash_radius_pairs(docs, radius=3).collect()}
+        fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+        brute = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for a in fp for b in fp
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+        }
+        assert got == brute
+
+    def test_radius_zero_finds_exact_duplicates_only(self, spark):
+        from gads_etl_spark.operators.dedup import simhash_radius_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+             (3, "totally different words here")],
+            "doc_id long, text string")
+        got = {(r["a_id"], r["b_id"]) for r in
+               simhash_radius_pairs(docs, radius=0).collect()}
+        assert got == {(1, 2)}
