@@ -782,3 +782,50 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
         .withColumn("cohort_day", F.col("cohort_day").cast("timestamp"))
     )
+
+
+@register(
+    "ev_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(floor(gap_s / 600) AS BIGINT) AS gap_bucket_10min,
+           CAST(count(*) AS BIGINT) AS n_gaps
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type, gap_bucket_10min
+    """,
+    tags=("events", "window", "agg"),
+)
+def ev_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per event type: seconds between a
+    user's consecutive events, bucketed to 10-minute bins — the input
+    to choosing a sessionization gap empirically rather than by folklore.
+
+    One ``partitionBy(user_id)`` window (the same exchange every
+    session-family query pays), integer epoch arithmetic, then a
+    map-side-combining rollup bounded by types × buckets. The (ts,
+    event_id) ordering tiebreak keeps lag deterministic under
+    simultaneous events.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts carries sub-second precision: subtract fractional epoch seconds,
+    # then FLOOR explicitly on both engines (DuckDB's double->BIGINT cast
+    # rounds where Spark's truncates — floor sidesteps both conventions)
+    gaps = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("double")
+                - F.lag(F.col("ts").cast("double")).over(w))
+        .cast("long").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.floor(F.col("gap_s") / 600).cast("long").alias("gap_bucket_10min"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
