@@ -383,6 +383,32 @@ def probe_aqe_skew(spark):
                 spark.conf.set(k, v)
 
 
+def probe_simhash_radius(spark):
+    """1M docs through signature + pigeonhole chunk join; 1k planted
+    copies must all surface at hamming 0."""
+    from gads_etl_spark.operators.dedup import simhash_radius_pairs
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda j: F.concat(F.lit("w"), F.pmod(
+                F.hash(F.col("id") * 31 + j), F.lit(40_000)))
+        )).alias("text"),
+    )
+    copies = docs.where(F.col("doc_id") < 1_000).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    t0 = time.perf_counter()
+    pairs = simhash_radius_pairs(docs.unionByName(copies), radius=3)
+    planted = pairs.where(
+        (F.col("b_id") - F.col("a_id") == 10_000_000)
+        & (F.col("hamming") == 0)).count()
+    dt = time.perf_counter() - t0
+    assert planted == 1_000, planted
+    return (f"simhash_radius 1M docs + 1k copies, radius 3: {dt:.1f}s, "
+            "all 1000 planted pairs recovered at hamming 0")
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -398,6 +424,7 @@ PROBES = {
     "vocab": probe_vocab,
     "block_pack": probe_block_pack,
     "aqe_skew": probe_aqe_skew,
+    "simhash_radius": probe_simhash_radius,
 }
 
 
