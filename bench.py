@@ -67,6 +67,9 @@ EXTRA = [
     "ev_distinct_sketch_rollup",
     "ev_rate_anomalies",
     "ext_trigram_typicality",
+    "ev_cohort_retention",
+    "ev_gap_histogram",
+    "ext_simhash_radius",
 ]
 
 
