@@ -2484,3 +2484,48 @@ def ext_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b_id") - F.col("a_id") == 100000) & (F.col("a_id") < 30)
     ).select(F.col("a_id").alias("doc_id"),
              F.col("b_id").alias("copy_id"), "hamming")
+
+
+@register(
+    "ext_source_scorecard",
+    oracle="""
+    WITH marked AS (
+        SELECT source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dup_docs,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars
+    FROM marked GROUP BY source
+    """,
+    tags=("extension", "quality", "agg"),
+)
+def ext_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus scorecard: document and token volumes, exact
+    duplicate burden (non-survivor count under min-id dedup), and length
+    bounds — the table a curation run consults to decide which sources
+    to downweight (`mix_to_budget`) or drop. All-integer outputs; one
+    dedup-marking window plus one rollup bounded by |sources|.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    marked = docs.select(
+        "source", "text",
+        F.size(D.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_docs"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
