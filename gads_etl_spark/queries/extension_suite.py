@@ -2529,3 +2529,37 @@ def ext_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("text")).cast("long").alias("min_chars"),
         F.max(F.length("text")).cast("long").alias("max_chars"),
     )
+
+
+@register(
+    "ext_lang_confusion",
+    oracle="""
+    WITH guessed AS (
+        SELECT lang,
+               CASE greatest(s_en, s_de, s_es, s_fr)
+                    WHEN s_en THEN 'en' WHEN s_de THEN 'de'
+                    WHEN s_es THEN 'es' ELSE 'fr' END AS lang_guess
+        FROM (
+            SELECT lang,
+                   CAST((len(text) - len(replace(text, 'th', ''))) / 2 AS BIGINT) AS s_en,
+                   CAST((len(text) - len(replace(text, 'ch', ''))) / 2 AS BIGINT) AS s_de,
+                   CAST((len(text) - len(replace(text, 'll', ''))) / 2 AS BIGINT) AS s_es,
+                   CAST((len(text) - len(replace(text, 'ou', ''))) / 2 AS BIGINT) AS s_fr
+            FROM documents
+        )
+    )
+    SELECT lang AS true_lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+    FROM guessed GROUP BY lang, lang_guess
+    """,
+    tags=("extension", "text", "agg"),
+)
+def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language-ID heuristic against the
+    labelled lang column — the evaluation view that tells a curation run
+    whether a classifier is good enough to route on (per-pair error
+    counts, not just accuracy). One rollup over the per-doc guesses,
+    bounded by |langs|²."""
+    guessed = ext_lang_guess(spark, sf_dir)
+    return guessed.groupBy(
+        F.col("lang").alias("true_lang"), "lang_guess"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
