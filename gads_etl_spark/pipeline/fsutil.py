@@ -70,6 +70,42 @@ def read_text(spark, path: str) -> str | None:
         stream.close()
 
 
+def _is_already_exists(exc: Exception) -> bool:
+    """True when a Py4J error wraps a file-already-exists condition.
+
+    Hadoop filesystems signal an exclusive-create collision as
+    ``FileAlreadyExistsException`` (HDFS namenode, LocalFileSystem) or
+    ``AlreadyBeingCreatedException`` (HDFS lease conflict); string-match
+    because the wrapped class varies by FS implementation.
+    """
+    text = str(exc)
+    return ("AlreadyExists" in text or "AlreadyBeingCreated" in text
+            or "already exists" in text)
+
+
+def create_text_exclusive(spark, path: str, content: str) -> None:
+    """Publish a small text file via ``FileSystem.create(path, overwrite=false)``.
+
+    Raises ``FileExistsError`` when the destination already exists — the
+    atomic claim primitive used by the versioned-table commit protocol: two
+    writers racing to the same sequence number both call this, and the
+    filesystem serializes them (atomically on HDFS, where the namenode
+    arbitrates the create; best-effort on raw local FS). The loser never
+    half-commits: it fails before any reader could see its manifest.
+    """
+    fs, hpath = get_fs(spark, path)
+    try:
+        out = fs.create(hpath, False)
+    except Exception as exc:  # Py4JJavaError from the JVM boundary
+        if _is_already_exists(exc):
+            raise FileExistsError(path) from exc
+        raise
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def write_text_atomic(spark, path: str, content: str) -> None:
     """Create-then-rename publish of a small text file.
 

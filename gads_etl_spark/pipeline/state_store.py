@@ -81,30 +81,48 @@ _BUCKET_COL = "bucket"
 
 
 class ConcurrentCommitError(RuntimeError):
-    """The table advanced underneath a read-modify-write commit.
+    """Another commit claimed this table's next sequence number first.
 
-    Optimistic detection, not a lock: the single-writer discipline is
-    still the operating contract (docs/state_store_contract.md:32-33);
-    this turns an ACCIDENTAL second writer from silent lost updates into
-    a loud failure the loser can retry from a fresh read."""
+    Not merely optimistic detection: the commit record IS the manifest
+    file, named by bare sequence number and created with
+    ``FileSystem.create(path, overwrite=false)`` — so of two writers
+    racing from the same parent, the filesystem admits exactly one and
+    the loser deterministically raises this, even when interleaved at
+    any point. Single-writer remains the operating contract
+    (docs/state_store_contract.md:32-33); this makes violations loud
+    instead of silently losing an update."""
 
 
 class _VersionedTable:
-    """Hash-bucketed parquet versions + atomic CURRENT pointer.
+    """Hash-bucketed parquet versions committed via create-exclusive.
 
     Layout under ``root`` (any Hadoop FS URI):
 
-    - ``CURRENT`` — text file naming the live version (atomic swap).
-    - ``_versions/<version>.json`` — one manifest per commit:
+    - ``_versions/v_<seq>.json`` — one manifest per commit, named by the
+      bare zero-padded sequence number:
       ``{"version", "seq", "parent", "buckets": {"<k>": "<dir uri>"}}``.
-      Lexicographic manifest-name order == commit order (zero-padded seq).
-    - ``data/<version>/bucket=<k>/`` — parquet written by THIS commit for
-      bucket ``k``. A manifest may reference bucket dirs of OLDER versions:
-      that is the carry-over that makes MERGE O(touched buckets).
+      Lexicographic manifest-name order == commit order.
+    - ``data/<version>-<token>/bucket=<k>/`` — parquet written by ONE
+      commit attempt (token uniquifies racing attempts, so losers never
+      collide on a data path). A manifest may reference bucket dirs of
+      OLDER versions: that is the carry-over that makes MERGE O(touched
+      buckets). Unreferenced data dirs (crashed/losing attempts) are
+      garbage-collected by ``vacuum``.
+    - ``CURRENT`` — advisory cache of the live version name for humans
+      and debugging; readers derive truth from the manifest listing.
 
-    Single-writer discipline (reference docs/state_store_contract.md:32-33)
-    makes the create-then-rename pointer swap sufficient; readers see
-    either the old or the new manifest, never a partial table.
+    Commit protocol: a version is committed iff its manifest file exists
+    AND parses as JSON. The manifest is created with
+    ``FileSystem.create(overwrite=false)`` — the filesystem serializes
+    two writers racing to the same seq, so the loser fails with
+    ``ConcurrentCommitError`` before any reader could observe it. A
+    writer that crashes mid-manifest-write leaves an unparseable corpse:
+    readers skip it (falling back to the highest parseable seq) and the
+    next committer reclaims the seq by deleting the corpse and retrying
+    the exclusive create. The reclaim assumes a writer does not pause
+    indefinitely inside a sub-KB manifest write — under the documented
+    single-writer discipline (docs/state_store_contract.md:32-33) the
+    corpse's author is dead by construction.
     """
 
     def __init__(self, spark: SparkSession, root: str, schema: T.StructType,
@@ -128,33 +146,60 @@ class _VersionedTable:
     def _versions_dir(self) -> str:
         return f"{self.root}/_versions"
 
-    def _current_version(self) -> str | None:
-        text = fsutil.read_text(self.spark, self._pointer)
-        return (text or "").strip() or None
+    def _manifest_names(self) -> list[str]:
+        """All manifest file stems (committed or corpse), seq order."""
+        return sorted(
+            name[: -len(".json")]
+            for name in fsutil.list_names(self.spark, self._versions_dir)
+            if name.endswith(".json")
+        )
+
+    def _try_manifest(self, version: str) -> dict | None:
+        """Parsed manifest, or None when absent/unparseable (a corpse
+        left by a writer that crashed mid-manifest-write — not committed)."""
+        text = fsutil.read_text(
+            self.spark, f"{self._versions_dir}/{version}.json")
+        if text is None:
+            return None
+        try:
+            return json.loads(text)
+        except ValueError:
+            return None
 
     def _manifest(self, version: str) -> dict:
-        text = fsutil.read_text(self.spark, f"{self._versions_dir}/{version}.json")
-        if text is None:
-            raise KeyError(f"unknown version {version!r}")
-        return json.loads(text)
+        manifest = self._try_manifest(version)
+        if manifest is None:
+            raise KeyError(f"unknown or uncommitted version {version!r}")
+        return manifest
 
     def _current_manifest(self) -> dict | None:
-        v = self._current_version()
-        return self._manifest(v) if v is not None else None
+        """Highest committed (= parseable) manifest; the listing is the
+        source of truth, the CURRENT pointer file is only a cache."""
+        for version in reversed(self._manifest_names()):
+            manifest = self._try_manifest(version)
+            if manifest is not None:
+                return manifest
+        return None
+
+    def _current_version(self) -> str | None:
+        manifest = self._current_manifest()
+        return manifest["version"] if manifest else None
 
     def _next_version(self, parent: dict | None) -> str:
         seq = (parent["seq"] + 1) if parent else 1
-        return f"v_{seq:010d}_{uuid.uuid4().hex[:6]}"
+        return f"v_{seq:010d}"
 
     def _publish(self, version: str, parent: dict | None,
                  buckets: dict[str, str]) -> None:
-        """Manifest first, CURRENT swap last (metadata-last publish).
+        """Commit by exclusive-creating the seq-named manifest.
 
-        Before swapping, re-read CURRENT and require it still to name the
-        parent this commit was computed from — optimistic concurrency
-        control (check-then-act, so a true race needs the storage layer's
-        atomic rename to serialize; the check catches the accidental
-        dual-writer case deterministically)."""
+        The early staleness check gives a cheap, well-messaged failure
+        when the table visibly advanced; the exclusive create is the
+        authoritative serializer — it wins even for interleavings the
+        check cannot see, because only one writer can create
+        ``_versions/<version>.json``. On collision with an unparseable
+        corpse (a crashed writer's partial manifest) the seq is reclaimed
+        once: delete the corpse, retry the exclusive create."""
         live = self._current_version()
         expected = parent["version"] if parent else None
         if live != expected:
@@ -168,10 +213,25 @@ class _VersionedTable:
             "parent": parent["version"] if parent else None,
             "buckets": buckets,
         }
-        fsutil.write_text_atomic(
-            self.spark, f"{self._versions_dir}/{version}.json",
-            json.dumps(manifest, sort_keys=True),
-        )
+        path = f"{self._versions_dir}/{version}.json"
+        payload = json.dumps(manifest, sort_keys=True)
+        try:
+            fsutil.create_text_exclusive(self.spark, path, payload)
+        except FileExistsError:
+            if self._try_manifest(version) is not None:
+                raise ConcurrentCommitError(
+                    f"version {version!r} at {self.root} was committed by "
+                    "another writer; re-read and retry"
+                ) from None
+            # Corpse reclaim: the occupant never committed (unparseable).
+            fsutil.delete(self.spark, path, recursive=False)
+            try:
+                fsutil.create_text_exclusive(self.spark, path, payload)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"version {version!r} at {self.root} was claimed while "
+                    "reclaiming a crashed commit; re-read and retry"
+                ) from None
         fsutil.write_text_atomic(self.spark, self._pointer, version)
 
     # -- bucketing --------------------------------------------------------
@@ -192,9 +252,12 @@ class _VersionedTable:
 
         One shuffle with bounded width (n_buckets tasks) replaces the old
         ``coalesce(1)`` single-task rewrite; the hive-style ``bucket=``
-        write yields at most a few files per bucket.
+        write yields at most a few files per bucket. The data dir carries
+        a per-attempt token: two writers racing to the same version write
+        disjoint dirs, and the losing attempt's dir — referenced by no
+        manifest — is garbage-collected by ``vacuum``.
         """
-        data_dir = f"{self.root}/data/{version}"
+        data_dir = f"{self.root}/data/{version}-{uuid.uuid4().hex[:6]}"
         (
             df.select([f.name for f in self.schema.fields])
             .withColumn(_BUCKET_COL, self._bucket_expr())
@@ -290,12 +353,12 @@ class _VersionedTable:
         self._publish(version, parent, buckets)
 
     def history(self) -> list[str]:
-        """Committed versions, oldest first (zero-padded seq in the name)."""
-        return sorted(
-            name[: -len(".json")]
-            for name in fsutil.list_names(self.spark, self._versions_dir)
-            if name.endswith(".json")
-        )
+        """Committed versions, oldest first (zero-padded seq in the name).
+
+        Corpses (unparseable manifests from crashed writers) are excluded:
+        a version exists iff its manifest parses."""
+        return [v for v in self._manifest_names()
+                if self._try_manifest(v) is not None]
 
     def read_version(self, version: str) -> DataFrame:
         """Time travel: read a specific committed version."""

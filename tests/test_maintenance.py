@@ -77,40 +77,56 @@ class TestTimeTravel:
 
 
 class TestCrashRecovery:
-    def test_orphan_manifest_from_crashed_commit_is_harmless(self, spark, tmp_path):
-        # Crash window: a commit that died AFTER writing its version
-        # manifest but BEFORE swapping CURRENT leaves an orphan manifest.
-        # The table must keep reading the pre-crash version, accept the
-        # next commit normally (its parent is CURRENT, not the orphan),
-        # and vacuum must collect the orphan's data eventually.
-        import json as _json
+    def test_stale_pointer_cache_is_ignored(self, spark, tmp_path):
+        # Crash window: a commit that died AFTER exclusive-creating its
+        # manifest but BEFORE refreshing the CURRENT cache file. The
+        # manifest IS the commit record — readers derive truth from the
+        # manifest listing, so the new version is visible regardless.
+        from gads_etl_spark.pipeline import fsutil
 
+        states = StateStore(spark, str(tmp_path / "state"))
+        states.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
+        v1 = states._table._current_version()
+        states.upsert(spark.createDataFrame([_row("2", "pending")], STATE_SCHEMA))
+        # Simulate the crash by rolling the cache back to v1.
+        fsutil.write_text_atomic(spark, states._table._pointer, v1)
+        assert states._table._current_version() != v1
+        assert states.read().count() == 2
+        # And the next commit proceeds normally from the real current.
+        states.upsert(spark.createDataFrame([_row("3", "pending")], STATE_SCHEMA))
+        assert states.read().count() == 3
+
+    def test_partial_manifest_corpse_skipped_then_reclaimed(self, spark, tmp_path):
+        # Crash window: a writer that died MID-manifest-write leaves an
+        # unparseable corpse at the next seq. Readers must skip it (the
+        # version never committed), and the next committer must reclaim
+        # the seq — delete the corpse, retry the exclusive create — so a
+        # crash never wedges the table.
         from gads_etl_spark.pipeline import fsutil
 
         states = StateStore(spark, str(tmp_path / "state"))
         states.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
         table = states._table
-        current = table._current_manifest()
-        orphan = table._next_version(current)
+        corpse = table._next_version(table._current_manifest())
         fsutil.write_text_atomic(
-            spark, f"{table._versions_dir}/{orphan}.json",
-            _json.dumps({"version": orphan, "seq": current["seq"] + 1,
-                         "parent": current["version"], "buckets": {}}))
+            spark, f"{table._versions_dir}/{corpse}.json", '{"version": "v_')
 
-        # Reads still serve the committed version; the next writer's
-        # optimistic check passes because CURRENT never moved.
-        assert states.read().count() == 1
+        assert states.read().count() == 1  # corpse invisible to readers
+        assert corpse not in table.history()
+        with pytest.raises(KeyError):
+            table.read_version(corpse)
+
         states.upsert(spark.createDataFrame([_row("2", "pending")], STATE_SCHEMA))
         assert states.read().count() == 2
-        assert orphan in table.history()  # visible as history, harmless
-        assert table.read_version(orphan).count() == 0
+        # The reclaimed seq now holds the real commit.
+        assert corpse in table.history()
+        assert table.read_version(corpse).count() == 2
 
 
 class TestConcurrentCommitDetection:
     def test_stale_writer_detected(self, spark, tmp_path):
-        # Optimistic concurrency: a commit computed against a parent that
-        # is no longer CURRENT must fail loudly instead of silently
-        # overwriting the other writer's merge (lost update).
+        # Cheap path: a commit computed against a parent that is no longer
+        # current fails the early staleness check with a clear message.
         from gads_etl_spark.pipeline.state_store import ConcurrentCommitError
 
         writer_a = StateStore(spark, str(tmp_path / "state"))
@@ -122,6 +138,51 @@ class TestConcurrentCommitDetection:
             writer_a._table._publish("v_dead", stale_parent, {})
         # The winning writer's state is intact.
         assert writer_a.read().count() == 2
+
+    def test_interleaved_dual_writer_loses_at_exclusive_create(
+            self, spark, tmp_path, monkeypatch):
+        # The hard case the old check-then-act could not see: writer B
+        # passes its staleness check, THEN writer A commits, THEN B tries
+        # to publish. B computed the same next seq as A, so B's exclusive
+        # manifest create collides and raises — deterministically, with
+        # no window, because the filesystem arbitrates the create.
+        from gads_etl_spark.pipeline.state_store import (
+            ConcurrentCommitError, merge_upsert)
+
+        writer_a = StateStore(spark, str(tmp_path / "state"))
+        writer_b = StateStore(spark, str(tmp_path / "state"))
+        writer_a.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
+        table_b = writer_b._table
+
+        # B reads the table and prepares its commit from this parent.
+        parent_b = table_b._current_manifest()
+        version_b = table_b._next_version(parent_b)
+        merged_b = merge_upsert(
+            writer_b.read(),
+            spark.createDataFrame([_row("B", "pending")], STATE_SCHEMA),
+            table_b.key_cols)
+        buckets_b = table_b._write_buckets(merged_b, version_b)
+
+        # A commits first and wins the seq.
+        writer_a.upsert(spark.createDataFrame([_row("A", "success")], STATE_SCHEMA))
+
+        # Freeze B's staleness check at its (now stale) read — the
+        # interleaving where check-then-act silently lost an update.
+        monkeypatch.setattr(
+            table_b, "_current_version", lambda: parent_b["version"])
+        with pytest.raises(ConcurrentCommitError):
+            table_b._publish(version_b, parent_b, buckets_b)
+        monkeypatch.undo()
+
+        # A's commit is intact; B's row never became visible.
+        got = {r.customer_id: r.status for r in writer_a.read().collect()}
+        assert got == {"1": "pending", "A": "success"}
+        # B's orphan data dir is referenced by no manifest → vacuum GCs it.
+        import os
+        data_root = str(tmp_path / "state" / "data")
+        n_dirs_before = len(os.listdir(data_root))
+        writer_a._table.vacuum(keep=100)
+        assert len(os.listdir(data_root)) == n_dirs_before - 1
 
 
 def _dir_digest(path):
