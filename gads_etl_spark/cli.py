@@ -216,15 +216,24 @@ def _parse_check(spec: str):
     from gads_etl_spark.operators import dq
 
     kind, _, rest = spec.partition(":")
+    if kind in ("not_null", "unique", "in_set", "in_range", "matches") and not rest:
+        raise SystemExit(f"malformed check {spec!r}: expected {kind}:ARGS")
     if kind == "not_null":
         return dq.not_null(rest)
     if kind == "unique":
         return dq.unique(*rest.split("+"))
     if kind == "in_set":
-        col, _, vals = rest.partition(":")
+        col, sep, vals = rest.partition(":")
+        if not sep or not vals:
+            raise SystemExit(
+                f"malformed check {spec!r}: expected in_set:COL:V1|V2")
         return dq.in_set(col, tuple(vals.split("|")))
     if kind == "in_range":
-        col, lo, hi = rest.split(":")
+        parts = rest.split(":")
+        if len(parts) != 3 or not all(parts):
+            raise SystemExit(
+                f"malformed check {spec!r}: expected in_range:COL:LO:HI")
+        col, lo, hi = parts
 
         def num(x):
             try:
@@ -237,7 +246,10 @@ def _parse_check(spec: str):
 
         return dq.in_range(col, num(lo), num(hi))
     if kind == "matches":
-        col, _, regex = rest.partition(":")
+        col, sep, regex = rest.partition(":")
+        if not sep or not regex:
+            raise SystemExit(
+                f"malformed check {spec!r}: expected matches:COL:REGEX")
         return dq.matches(col, regex)
     raise SystemExit(f"unknown check kind {kind!r} in {spec!r}")
 

@@ -54,10 +54,18 @@ def snapshot_diff(
     compare_cols: list[str] | None = None,
     fingerprint: bool = True,
     include_unchanged: bool = False,
+    assert_unique_keys: bool = False,
 ) -> DataFrame:
     """Diff two snapshots by key; emit one row per key whose membership
     or compared content differs, labelled ``change`` ∈ {'added',
     'removed', 'changed'} (+ 'unchanged' when ``include_unchanged``).
+
+    PRECONDITION: ``key_cols`` uniquely identify a row within each
+    snapshot. Duplicate keys fan out in the full-outer join and yield
+    multiple (possibly contradictory) change rows per key, which
+    ``apply_diff`` would then silently drop or duplicate. Pass
+    ``assert_unique_keys=True`` to fail loudly instead (one extra
+    count-distinct aggregate per side before the diff).
 
     ``compare_cols`` defaults to every non-key column present in BOTH
     frames. With ``fingerprint=True`` (default) each side shuffles only
@@ -69,6 +77,14 @@ def snapshot_diff(
                     else _common_compare_cols(old, new, key_cols))
     if not compare_cols:
         raise ValueError("no columns to compare (pass compare_cols)")
+    if assert_unique_keys:
+        for side, df in (("old", old), ("new", new)):
+            dup = (df.groupBy(*key_cols).count()
+                   .where(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    f"snapshot_diff: {side} snapshot has duplicate keys on "
+                    f"{key_cols}; the diff is undefined per key")
 
     if fingerprint:
         # xxhash64 over the compared columns; nulls are hashed distinctly

@@ -127,9 +127,13 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
 
     row_checks = [c for c in checks if isinstance(c, RowCheck)]
     if row_checks:
+        # coalesce(_, 0): sum over zero rows is NULL — an empty input has
+        # zero violations, and persisted metric rows must say so as 0.
         aggs = [
-            F.sum(F.when(~c.predicate, F.lit(1)).otherwise(F.lit(0)))
-            .cast("long").alias(f"v{i}")
+            F.coalesce(
+                F.sum(F.when(~c.predicate, F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("long").alias(f"v{i}")
             for i, c in enumerate(row_checks)
         ]
         one = df.agg(*aggs)  # ONE pass for every row-level check

@@ -168,11 +168,18 @@ def run_curation(docs: DataFrame, steps: list[CurationStep],
         obs0 = Observation()
         df = df.observe(obs0, F.count(F.lit(1)).alias("n"))
         observations.append(("input", obs0))
+    import inspect
+
     for i, step in enumerate(steps):
+        fn = STEP_KINDS[step.kind]
+        # Validate params against the step signature BEFORE calling, so a
+        # genuine TypeError raised inside the operator body propagates as
+        # the bug it is instead of being misreported as a config error.
         try:
-            df = STEP_KINDS[step.kind](df, **step.params)
-        except TypeError as exc:  # wrong/missing params — config error
+            inspect.signature(fn).bind(df, **step.params)
+        except TypeError as exc:
             raise CurationConfigError(f"step {i} ({step.kind}): {exc}") from exc
+        df = fn(df, **step.params)
         if observe:
             obs = Observation()
             df = df.observe(obs, F.count(F.lit(1)).alias("n"))

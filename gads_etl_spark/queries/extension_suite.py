@@ -2399,19 +2399,24 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     or garbled text has low typical-trigram coverage). Integer outputs
     (counts, not ratios) keep the oracle hash exact.
 
-    Scale shape: one explode to distinct per-doc trigrams, one corpus
-    count to build the frequent set (bounded: ≤ |alphabet|³ grams, so
-    the join side is broadcastable at ANY corpus size), one equi-join
-    back, one per-doc aggregate.
+    Scale shape: the corpus is scanned and exploded exactly ONCE — the
+    trigram relation feeds both the frequent-set aggregate and the join
+    probe, so it is materialized (localCheckpoint: narrow rows, doc_id +
+    3-char gram) rather than recomputed per consumer; two full corpus
+    explodes at 100 TB would double the dominant cost. The frequent set
+    is bounded (≤ |alphabet|³ grams) and broadcastable at ANY corpus
+    size; then one equi-join back, one per-doc aggregate.
     """
+    from gads_etl_spark.operators.util import spread
+
     docs = load_table(spark, sf_dir, "documents")
-    tri = docs.select(
+    tri = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
             "transform(sequence(1, greatest(length(text) - 2, 0)),"
             " i -> substring(lower(text), i, 3))"
         ))).alias("g"),
-    )
+    ).localCheckpoint(eager=True)
     freq = (
         tri.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 50).select("g", F.lit(1).alias("_f"))

@@ -458,12 +458,13 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning-dependent, but at fraction 0.1 the ±20% relative band on
     the sample size is ≥5σ of binomial slack even at the smallest fixture
     (sf0.001: n=6000, sd≈23, band ±120 ≈ 5.2σ; sf0.1: ≈52σ), and the
-    sample mean of l_quantity sits within ±10% of the population mean —
-    ≥4.5σ of sampling slack even at sf0.001 (n≈600 sampled, se≈0.59,
-    band≈2.55), ≥14σ at the sf0.01+ scales the oracle sweep runs at — so
-    the flags are deterministic for any partitioning while still catching
-    a broken sampler. Exact per-row invariants are in
-    tests/test_approx_ops.py.
+    sample mean of l_quantity sits within ±12% of the population mean —
+    ≥5σ of sampling slack at EVERY fixture the sweep can run (sf0.001:
+    n≈600 sampled, se = 14.52/√600 ≈ 0.593, band = 0.12·25.38 ≈ 3.05 →
+    5.1σ; sf0.01: 16σ; sf0.1: 52σ) — so the flags are deterministic for
+    any partitioning while still catching a broken sampler (a biased
+    sampler shifts the mean by O(sd), ~57% of it, vs our 12% band).
+    Exact per-row invariants are in tests/test_approx_ops.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
     sampled = li.sample(fraction=0.1, seed=42).agg(
@@ -481,7 +482,7 @@ def op_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_sampled") <= 0.12 * F.col("n_total"))
         ).alias("sample_size_ok"),
         (
-            F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.10 * F.col("pop_avg")
+            F.abs(F.col("avg_qty") - F.col("pop_avg")) <= 0.12 * F.col("pop_avg")
         ).alias("sample_mean_ok"),
     )
 

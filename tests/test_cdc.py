@@ -176,3 +176,19 @@ class TestVersionedTableDiff:
         )
         got = {r["logical_date"].day: r["change"] for r in delta.collect()}
         assert got == {1: "changed", 3: "added"}  # day 2 untouched
+
+
+class TestUniqueKeyGuard:
+    def test_duplicate_keys_fail_loudly_when_asserted(self, spark):
+        old = _mk(spark, [(1, "a", 1), (1, "b", 2)])  # dup key in old
+        new = _mk(spark, [(1, "a", 1)])
+        with pytest.raises(ValueError, match="old snapshot has duplicate keys"):
+            cdc.snapshot_diff(old, new, ["k"], assert_unique_keys=True)
+        with pytest.raises(ValueError, match="new snapshot has duplicate keys"):
+            cdc.snapshot_diff(new, old, ["k"], assert_unique_keys=True)
+
+    def test_unique_inputs_pass_guard(self, snapshots):
+        old, new = snapshots
+        got = _classes(cdc.snapshot_diff(old, new, ["k"],
+                                         assert_unique_keys=True))
+        assert got == TestSnapshotDiff.EXPECT

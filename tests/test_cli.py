@@ -192,3 +192,26 @@ def test_curate_command(spark, tmp_path, capsys):
     written = spark.read.parquet(out)
     assert written.count() == funnel[-1]["rows_out"] > 0
     assert set(r["lang"] for r in written.select("lang").distinct().collect()) == {"en"}
+
+
+class TestParseCheckValidation:
+    @pytest.mark.parametrize("spec", [
+        "in_range:col:5",            # missing hi bound
+        "in_range:a:b:c:d",          # a ':' too many (colon in a name)
+        "in_set:col",                # no value list
+        "matches:col",               # no regex
+        "not_null:",                 # no column
+        "bogus:col",                 # unknown kind
+    ])
+    def test_malformed_specs_exit_with_usage(self, spec):
+        from gads_etl_spark.cli import _parse_check
+
+        with pytest.raises(SystemExit, match="check"):
+            _parse_check(spec)
+
+    def test_wellformed_specs_parse(self):
+        from gads_etl_spark.cli import _parse_check
+
+        for spec in ["not_null:id", "unique:a+b", "in_set:lang:en|es",
+                     "in_range:n:1:10", "matches:name:^x"]:
+            assert _parse_check(spec) is not None

@@ -153,3 +153,19 @@ def test_decontaminate_step(spark, tmp_path):
         f"    - kind: decontaminate\n      eval_path: {eval_path}\n      n: 8\n")
     out = run_curation(docs, steps, observe=False).df
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_runtime_typeerror_inside_step_is_not_a_config_error(docs, monkeypatch):
+    # A TypeError raised by the operator BODY is a bug, not bad YAML —
+    # it must propagate as TypeError so the real stack is visible.
+    from gads_etl_spark.pipeline import curation as cur
+
+    def broken_step(df):
+        raise TypeError("unsupported operand deep inside the operator")
+
+    monkeypatch.setitem(cur.STEP_KINDS, "broken", broken_step)
+    with pytest.raises(TypeError, match="deep inside"):
+        run_curation(docs, [CurationStep("broken")])
+    # ...while bad params still surface as the friendly config error.
+    with pytest.raises(CurationConfigError, match="broken"):
+        run_curation(docs, [CurationStep("broken", {"no_such": 1})])

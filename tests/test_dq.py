@@ -123,3 +123,13 @@ class TestGate:
 
     def test_empty_checks(self, frame):
         assert dq.run_checks(frame, []).count() == 0
+
+
+class TestEmptyInput:
+    def test_row_checks_report_zero_not_null_on_empty_frame(self, spark):
+        # sum over zero rows is NULL in SQL; persisted metric rows (and
+        # any JSON consumer) must see 0 violations, not null.
+        empty = spark.createDataFrame([], "id int, lang string")
+        got = _result(empty, [dq.not_null("id"), dq.in_set("lang", ("en",))])
+        assert got == {"not_null(id)": 0, "in_set(lang)": 0}
+        assert all(v is not None for v in got.values())

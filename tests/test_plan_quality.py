@@ -181,6 +181,17 @@ class TestRound3Plans:
         assert "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
 
+    def test_trigram_typicality_explodes_corpus_once(self, spark):
+        # The exploded trigram relation feeds BOTH the frequent-set
+        # aggregate and the join probe; it is materialized once
+        # (localCheckpoint), so the final plan contains ZERO parquet
+        # scans — both consumers read the checkpointed rows. Without
+        # the materialization the corpus would be scanned and exploded
+        # twice, doubling the dominant cost at any scale.
+        plan = _formatted_plan(spark, "ext_trigram_typicality")
+        assert plan.count("Scan parquet") == 0, plan
+        assert "ExistingRDD" in plan, plan
+
     def test_domain_mix_broadcasts_rates(self, spark):
         # The per-source rates table (bounded by #domains) broadcasts
         # back onto the corpus — the corpus never shuffles for the join.
