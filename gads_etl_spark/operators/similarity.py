@@ -508,6 +508,110 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_fraction: float = 0.25,
+    max_iter: int = 5,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    pq_k: int = 16,
+) -> DataFrame:
+    """IVF-PQ: the full ANN memory ladder in one index — IVF cells prune
+    the candidate space, PQ byte codes score the survivors (ADC lookup
+    tables), exact cosine re-ranks the pool. The standard composition
+    (Jégou et al. 2011, public method) of the two structures this module
+    already ships separately.
+
+    Cost shape at 100 TB, per query: |cell| * n_probe candidate rows
+    (not |corpus|), each carrying ``m`` bytes of code (not ``dim``
+    floats) — IVF cuts the row count, PQ cuts the row width, and the
+    corpus never shuffles: index build is map-only (expression argmin
+    cell assignment + expression PQ encode, both persistable), candidate
+    selection is a cell equi-join against the broadcast query side, and
+    the re-rank pool is |queries| * rerank rows.
+
+    Derived-oracle guarantee (any clustering AND any codebooks — the two
+    arguments compose): an exact copy of a query assigns to the query's
+    own nearest cell (identical centroid distances, deterministic
+    tie-break), so it is always among the probed candidates; its PQ code
+    per subspace is the argmin centroid for the query's own subvector,
+    so it attains the GLOBAL minimum ADC — minimal within any candidate
+    set containing it; the min-ADC tie clause makes pool eviction
+    impossible; exact re-rank then puts its 1.0 cosine at rank 1.
+    """
+    centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
+                                  train_fraction, max_iter)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, id_col=id_col,
+                                       vec_col=vec_col, m=m, k=pq_k,
+                                       seed=seed)
+    m_ = len(codebooks)
+    d = len(codebooks[0][0])
+
+    # Corpus index: ONE map-only pass — nearest cell + PQ codes. In
+    # production this is written once (partitioned by cell) and reused.
+    assigned = ivf_assign(spread(corpus), centroids, id_col=id_col,
+                          vec_col=vec_col, n_probe=1,
+                          id_alias="neighbor_id", vec_alias="c_vec")
+    c_codes = pq_encode(assigned, codebooks, vec_col="c_vec").select(
+        "neighbor_id", "cell", "pq_code")
+
+    # Query side: n_probe nearest cells + the per-query ADC lookup table.
+    q = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col,
+                   n_probe=n_probe, id_alias="query_id",
+                   vec_alias="q_vec").select(
+        "query_id", "cell",
+        F.array(*[
+            F.expr(_centroid_d2s_sql("q_vec", s * d, d, codebooks[s]))
+            for s in range(m_)
+        ]).alias("lut"),
+    )
+
+    # ADC scoring rides the cell equi-join: m byte-lookups per candidate.
+    adc = F.aggregate(
+        F.zip_with(F.col("lut"), F.col("pq_code"),
+                   lambda l, c: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.asc("adc"),
+                                                    F.asc("neighbor_id"))
+    w_all = Window.partitionBy("query_id")
+    pool = (
+        c_codes.join(F.broadcast(q), "cell")
+        .withColumn("adc", adc)
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_min_adc", F.min("adc").over(w_all))
+        .where((F.col("_rn") <= rerank) | (F.col("adc") == F.col("_min_adc")))
+        .select("query_id", "neighbor_id")
+    )
+
+    c_vec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("c_vec"))
+    q_vec = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("q_vec"))
+    scored = (
+        c_vec.join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes for sign-LSH."""
     rng = np.random.RandomState(seed)

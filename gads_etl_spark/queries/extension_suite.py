@@ -468,6 +468,25 @@ def ext_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                      k=5).where(F.col("rank") == 1)
 
 
+@register("ext_knn_ivfpq", oracle=_ANN_EXACT_HIT_SQL,
+          tags=("extension", "similarity", "ivf", "pq"))
+def ext_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via the composed IVF-PQ index (16 cells
+    4-probed for candidate pruning; 8×16 PQ codebooks for ADC scoring of
+    the candidates; exact-cosine re-rank of the top-50 pool), over the
+    corpus plus an injected exact copy of each query vector. The verified
+    projection is the rank-1 row per query, which must be the planted
+    copy under ANY clustering and ANY codebooks — the copy shares the
+    query's nearest (always-probed) cell by deterministic tie-break, and
+    attains the global minimum ADC because its per-subspace code is the
+    argmin centroid for the query's own subvector; the min-ADC tie clause
+    keeps it in the re-rank pool. Recall on natural neighbours is
+    asserted in tests/test_extension_ops.py."""
+    corpus, queries = _ann_corpus_with_planted_hits(spark, sf_dir)
+    return S.ivfpq_topk(corpus=corpus, queries=queries,
+                        k=5).where(F.col("rank") == 1)
+
+
 @register(
     "ext_regex_tokens",
     oracle="""

@@ -170,6 +170,36 @@ class TestHyperplaneANN:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.5, f"IVF recall {hits}/{total} too low"
 
+    def test_ivfpq_recall_vs_bruteforce(self, emb):
+        # The composed index (cells prune, codes score, exact re-rank)
+        # must keep most true neighbours despite BOTH approximations
+        # stacking. The re-rank pool (50) is generous at this scale, so
+        # losses can only come from cell pruning.
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        approx = S.ivfpq_topk(corpus, queries, k=5, n_clusters=8,
+                              n_probe=3).collect()
+        exact_sets, approx_sets = {}, {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.5, f"IVF-PQ recall {hits}/{total} too low"
+
+    def test_ivfpq_planted_copy_is_rank1(self, emb):
+        # The derived-oracle argument, exercised directly: copies of the
+        # queries planted in the corpus must come back at rank 1 with
+        # cosine 1.0 under the composed index.
+        queries = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5).unionByName(
+            queries.withColumn("vec_id", F.col("vec_id") + 100000))
+        top1 = S.ivfpq_topk(corpus, queries, k=1).collect()
+        assert {r.query_id: (r.neighbor_id, r.cos_sim) for r in top1} == {
+            q: (q + 100000, 1.0) for q in range(5)}
+
     def test_bruteforce_self_similarity(self, emb):
         """A vector queried against a corpus containing itself ranks
         itself first with cos_sim 1.0."""

@@ -225,7 +225,8 @@ class TestScd2Plan:
 
 class TestTopKPlans:
     @pytest.mark.parametrize("name", [
-        "ext_knn_bruteforce", "ext_knn_lsh", "ext_knn_ivf", "ext_knn_quantized",
+        "ext_knn_bruteforce", "ext_knn_lsh", "ext_knn_ivf",
+        "ext_knn_quantized", "ext_knn_ivfpq",
     ])
     def test_ann_topk_is_window_group_limited(self, spark, name):
         # InferWindowGroupLimit (Spark 3.5+) keeps only top-k rows per
