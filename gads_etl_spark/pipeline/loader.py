@@ -102,11 +102,13 @@ class WarehouseLoader:
             demote=demotion_targets(success, ptrs),
         )
 
-    def run(self) -> ReconciliationPlan:
+    def run(self, plan: ReconciliationPlan | None = None) -> ReconciliationPlan:
         """Reconcile, then publish load+replace targets and demote stale
         pointers (reference loader.py:44-49). Plan DataFrames are computed
-        against the pre-mutation snapshot, mirroring the reference."""
-        plan = self.reconcile()
+        against the pre-mutation snapshot, mirroring the reference.
+        Pass ``plan`` to publish a plan already reconciled (and staged)
+        by the caller instead of recomputing it."""
+        plan = plan or self.reconcile()
         self._publish(plan)
         self._demote(plan)
         return plan

@@ -111,6 +111,61 @@ def continuous_validation(raw, states, checkpoint_dir: str):
     )
 
 
+def continuous_publish(raw, states, pointers, curated, checkpoint_dir: str,
+                       dq_checks: list | None = None):
+    """Streaming warehouse publish: validate → stage → pointer swap per
+    micro-batch of newly sealed raw partitions — the full batch pipeline
+    (``runner.run_daily`` steps 3-4) driven by the manifest stream
+    instead of a scheduler tick.
+
+    Replay safety (a crashed/re-delivered micro-batch converges, never
+    corrupts): every step is idempotent on (logical key, run_id) —
+    validation re-derives the same outcome from the same sealed bytes
+    and MERGEs it; staging skips already-sealed curated partitions
+    (``materialize_plan``); the pointer swap upserts the same run_id.
+    A crash BETWEEN stage and swap leaves a staged-but-unpublished
+    partition that consumers cannot see (they resolve through pointers
+    only), and the restarted batch republishes it — consumers observe
+    the old run_id until the swap, the new one after, never a mix
+    (docs/warehouse_semantics.md:39-43 parity, now also under streaming
+    delivery).
+
+    Returns the started StreamingQuery handle; callers stop it.
+    """
+    from gads_etl_spark.pipeline.curated_sink import materialize_plan
+    from gads_etl_spark.pipeline.loader import WarehouseLoader
+    from gads_etl_spark.pipeline.raw_sink import MANIFEST_SCHEMA
+    from gads_etl_spark.pipeline.validator import validate_batch
+
+    manifest_stream = (
+        raw.spark.readStream.schema(MANIFEST_SCHEMA)
+        .parquet(raw._manifest_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        requests = batch_df.select(
+            "source", "customer_id", "query_name", "logical_date",
+            "run_id", "schema_version",
+        )
+        if not requests.limit(1).count():
+            return
+        validate_batch(raw, states, requests)
+        loader = WarehouseLoader(states, pointers)
+        # ONE reconcile snapshot drives both staging and the swap, so the
+        # pointers published are exactly the partitions just staged.
+        plan = loader.reconcile()
+        materialize_plan(raw, curated, plan, checks=dq_checks)
+        loader.run(plan)
+
+    return (
+        manifest_stream.writeStream
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 _COUNTER_STATE = "n LONG, total_cents LONG"
 _COUNTER_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),

@@ -73,11 +73,19 @@ class TestBucketedTableModel:
                       st.dictionaries(KEYS, VALS, min_size=1, max_size=6)),
             st.tuples(st.just("delete"),
                       st.sets(KEYS, min_size=1, max_size=4)),
+            st.tuples(st.just("commit"),
+                      st.dictionaries(KEYS, VALS, max_size=6)),
             st.tuples(st.just("vacuum"), st.just(None)),
         ),
-        min_size=1, max_size=5,
+        min_size=1, max_size=6,
     ))
     def test_matches_dict_model(self, spark, ops):
+        """Any interleaving of merge / delete / full-replace commit /
+        vacuum must leave (a) read() equal to the dict model, and
+        (b) EVERY surviving version time-travelling to the exact model
+        snapshot recorded when it committed — including versions whose
+        buckets are carry-over references into vacuumed-away commits'
+        data dirs."""
         import tempfile
 
         from pyspark.sql import types as T
@@ -93,20 +101,39 @@ class TestBucketedTableModel:
             key_cols=("k",), n_buckets=4,  # small → heavy bucket reuse
         )
         model: dict[int, int] = {}
+        snapshots: dict[str, dict[int, int]] = {}
+
+        def record():
+            snapshots[table._current_version()] = dict(model)
+
         for op, arg in ops:
             if op == "merge":
                 table.merge(spark.createDataFrame(
                     list(arg.items()), schema))
                 model.update(arg)
+                record()
             elif op == "delete":
                 table.delete_keys(spark.createDataFrame(
                     [(k, 0) for k in arg], schema))
                 for k in arg:
                     model.pop(k, None)
+                if table._current_version() is not None:
+                    record()  # delete on an empty table commits nothing
+            elif op == "commit":
+                table.commit(spark.createDataFrame(
+                    list(arg.items()), schema) if arg
+                    else spark.createDataFrame([], schema))
+                model = dict(arg)
+                record()
             else:
                 table.vacuum(keep=2)
         got = {r.k: r.v for r in table.read().collect()}
         assert got == model
+        # Time-travel consistency for every surviving version.
+        for v in table.history():
+            assert v in snapshots, f"unrecorded version {v} in history"
+            travelled = {r.k: r.v for r in table.read_version(v).collect()}
+            assert travelled == snapshots[v], f"time travel diverged at {v}"
 
 
 class TestTerminalMessageProperty:

@@ -89,6 +89,110 @@ class TestContinuousValidation:
         assert all(a == 1 for (_, _, a) in rows)
 
 
+class TestContinuousPublish:
+    """Streaming curated publish: validate → stage → pointer swap per
+    micro-batch, replay-safe — a killed-mid-publish batch re-delivers and
+    converges with no mixed run_ids and no double-publish."""
+
+    @staticmethod
+    def _zones(spark, tmp_path):
+        from gads_etl_spark.pipeline import PointerStore, RawZone, StateStore
+        from gads_etl_spark.pipeline.curated_sink import CuratedZone
+
+        # Same non-local-scheme witness as test_object_store_parity: the
+        # whole publish pipeline runs against a viewfs:// root.
+        mount = f"pubstream-{tmp_path.name.lower()}"
+        hc = spark.sparkContext._jsc.hadoopConfiguration()
+        hc.set(f"fs.viewfs.mounttable.{mount}.link./zone", f"file://{tmp_path}")
+        root = f"viewfs://{mount}/zone"
+        return (RawZone(spark, f"{root}/raw"),
+                StateStore(spark, f"{root}/state"),
+                PointerStore(spark, f"{root}/pointers"),
+                CuratedZone(spark, f"{root}/curated"),
+                str(tmp_path / "ckpt"))
+
+    def test_publish_end_to_end_then_replace(self, spark, tmp_path):
+        from datetime import date
+
+        from gads_etl_spark.pipeline import PartitionKey
+        from gads_etl_spark.pipeline.consumer import read_published
+        from gads_etl_spark.streaming.jobs import continuous_publish
+
+        raw, states, pointers, curated, ckpt = self._zones(spark, tmp_path)
+        key = PartitionKey("google_ads", "1", "campaign_stats", date(2024, 1, 1))
+        raw.write_partition(
+            spark.range(4).select(F.col("id").alias("campaign_id")), key, "run-a")
+
+        q = continuous_publish(raw, states, pointers, curated, ckpt)
+        q.awaitTermination(120)
+
+        assert pointers.get(key)["run_id"] == "run-a"
+        vis = read_published(curated, pointers)
+        assert vis.count() == 4
+        assert {r.run_id for r in vis.select("run_id").distinct().collect()} == {"run-a"}
+
+        # A later, larger run replaces atomically via the pointer swap.
+        raw.write_partition(
+            spark.range(6).select(F.col("id").alias("campaign_id")), key, "run-b")
+        q2 = continuous_publish(raw, states, pointers, curated, ckpt)
+        q2.awaitTermination(120)
+        assert pointers.get(key)["run_id"] == "run-b"
+        vis = read_published(curated, pointers)
+        assert vis.count() == 6
+        assert {r.run_id for r in vis.select("run_id").distinct().collect()} == {"run-b"}
+
+    def test_kill_between_stage_and_swap_replays_cleanly(
+            self, spark, tmp_path, monkeypatch):
+        from datetime import date
+
+        from gads_etl_spark.pipeline import PartitionKey
+        from gads_etl_spark.pipeline.consumer import read_published
+        from gads_etl_spark.pipeline.loader import WarehouseLoader
+        from gads_etl_spark.streaming.jobs import continuous_publish
+
+        raw, states, pointers, curated, ckpt = self._zones(spark, tmp_path)
+        key = PartitionKey("google_ads", "1", "campaign_stats", date(2024, 1, 1))
+        raw.write_partition(
+            spark.range(4).select(F.col("id").alias("campaign_id")), key, "run-a")
+        q = continuous_publish(raw, states, pointers, curated, ckpt)
+        q.awaitTermination(120)
+        assert pointers.get(key)["run_id"] == "run-a"
+
+        # run-b seals; the publishing batch dies AFTER staging the
+        # curated copy but BEFORE the pointer swap.
+        raw.write_partition(
+            spark.range(6).select(F.col("id").alias("campaign_id")), key, "run-b")
+
+        def crash(self, plan=None):
+            raise RuntimeError("injected crash before pointer swap")
+
+        monkeypatch.setattr(WarehouseLoader, "run", crash)
+        q2 = continuous_publish(raw, states, pointers, curated, ckpt)
+        with pytest.raises(Exception, match="injected crash"):
+            q2.awaitTermination(120)
+            raise RuntimeError(q2.exception() or "stream ended without error")
+        monkeypatch.undo()
+
+        # Mid-crash state: run-b is staged but INVISIBLE — consumers
+        # resolve through pointers, which still name run-a only.
+        assert curated.is_sealed(key, "run-b")  # the stage half happened
+        assert pointers.get(key)["run_id"] == "run-a"
+        vis = read_published(curated, pointers)
+        assert {r.run_id for r in vis.select("run_id").distinct().collect()} == {"run-a"}
+        assert vis.count() == 4  # never a mix of run-a and run-b rows
+
+        # Restart from the same checkpoint: the failed batch re-delivers,
+        # staging skips the already-sealed copy, the swap completes.
+        q3 = continuous_publish(raw, states, pointers, curated, ckpt)
+        q3.awaitTermination(120)
+        assert pointers.get(key)["run_id"] == "run-b"
+        ptr_rows = pointers.read().collect()
+        assert len(ptr_rows) == 1  # no double-publish: one pointer per key
+        vis = read_published(curated, pointers)
+        assert vis.count() == 6
+        assert {r.run_id for r in vis.select("run_id").distinct().collect()} == {"run-b"}
+
+
 class TestStreaming:
     def test_tumbling_counts_match_batch(self, spark, tmp_path):
         src, batch_df = _write_event_files(tmp_path, spark)
