@@ -3,6 +3,17 @@
 Each job takes a (possibly streaming) DataFrame and returns the
 transformed (streaming) DataFrame — callers attach sources and sinks, so
 the identical logic is testable in batch and runs under readStream.
+
+EXPERIMENTAL: ``stateful_user_counters_tws`` (the
+``transformWithStateInPandas`` twin) has never executed in this
+environment — its Python runner needs ``protobuf>=6.33``, which this
+container cannot provide (the skip message at
+tests/test_streaming.py documents the full audit). Every other job here
+is exercised end-to-end; treat the tws twin as shipped-but-unverified
+until its parity test has run on a protobuf-equipped cluster. The
+``applyInPandasWithState`` twin (``stateful_user_counters``) is the
+tested surface and emits the same totals by construction (shared
+``_accumulate_counters``).
 """
 
 from __future__ import annotations
@@ -246,9 +257,14 @@ class _RunningCounters(StatefulProcessor):
 
 
 def stateful_user_counters_tws(events: DataFrame) -> DataFrame:
-    """Per-user running counters via ``transformWithStateInPandas`` —
-    the modern twin of ``stateful_user_counters``; both must emit the
-    same final totals (asserted in tests/test_streaming.py)."""
+    """EXPERIMENTAL — per-user running counters via
+    ``transformWithStateInPandas``, the modern twin of
+    ``stateful_user_counters``; both must emit the same final totals
+    (parity test in tests/test_streaming.py). The test SKIPS in this
+    container (protobuf>=6.33 unavailable — see the module docstring),
+    so this function has never executed here: prefer
+    ``stateful_user_counters`` until the parity test has run on your
+    cluster."""
     return events.groupBy("user_id").transformWithStateInPandas(
         _RunningCounters(),
         outputStructType=_COUNTER_OUT,
