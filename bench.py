@@ -39,6 +39,7 @@ EXTRA = [
     "ext_knn_bruteforce",
     "ext_knn_ivf",
     "ext_knn_pq",
+    "ext_knn_ivfpq",
     "ext_dup_spans",
     "ev_tumbling_hourly",
     "ev_sessionization",

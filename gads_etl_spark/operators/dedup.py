@@ -344,38 +344,144 @@ def blocked_edit_distance_pairs(
     product. Blocking trades recall for scale by construction: a pair
     split across blocks is not compared (pick block keys the match
     invariant preserves — e.g. an exact attribute equality the fuzz
-    never crosses). A length prefilter (|len(a) − len(b)| ≤ max_dist is
-    a Levenshtein lower bound) discards most candidates before the
-    O(n·m) distance. The reference has no fuzzy matching (its keys are
+    never crosses). The reference has no fuzzy matching (its keys are
     exact composites, reference src/gads_etl/keys.py).
 
-    At 100 TB: shuffle is the equi-join on the block key; cost is
-    Σ|block|² · avg-levenshtein, so keep blocks bounded (add a length
-    bucket or initial to the key if a block grows hot).
+    The length constraint is part of the BLOCKING KEY, not just a
+    residual filter: |len(a) − len(b)| ≤ max_dist is a Levenshtein lower
+    bound, so lengths are bucketed at width ``max_dist`` and a matching
+    pair can only span the same or adjacent buckets. The probe side
+    claims its own bucket and the one below, which makes every matching
+    pair meet on EXACTLY one join key (same-bucket pairs are ordered by
+    id; cross-bucket pairs meet once by construction) — lossless, no
+    post-join dedup. This matters because categorical block keys have
+    FIXED cardinality: at growing corpus size their blocks grow linearly
+    and the per-block quadratic work grows as corpus², which the sf1
+    scaling run measured as a 17× wall-time step for a 10× data step
+    before length bucketing entered the key (Σ|block|² with |block| ∝
+    corpus/|keys|). Length buckets scale the key space WITH the data, so
+    block occupancy — and the quadratic term — stays bounded.
     """
+    width = max(max_dist, 1)
     base = df.select(
         F.col(id_col), F.col(name_col).alias("_nm"),
         F.length(name_col).alias("_ln"), *block_cols,
-    )
+    ).withColumn("_bk", (F.col("_ln") / width).cast("int"))
     a = base.select(
         F.col(id_col).alias("a_id"), F.col("_nm").alias("a_nm"),
-        F.col("_ln").alias("a_ln"), *block_cols,
+        F.col("_ln").alias("a_ln"), F.col("_bk").alias("a_bk"), *block_cols,
     )
     b = base.select(
         F.col(id_col).alias("b_id"), F.col("_nm").alias("b_nm"),
-        F.col("_ln").alias("b_ln"), *block_cols,
+        F.col("_ln").alias("b_ln"), F.col("_bk").alias("b_bk"),
+        F.explode(F.array(F.col("_bk"), F.col("_bk") - 1)).alias("a_bk"),
+        *block_cols,
     )
     return (
-        a.join(b, block_cols)
+        a.join(b, [*block_cols, "a_bk"])
         .where(
-            (F.col("a_id") < F.col("b_id"))
+            # Same-bucket pairs arrive in both id orders (keep one);
+            # cross-bucket pairs arrive exactly once (keep it as-is).
+            ((F.col("b_bk") != F.col("a_bk")) | (F.col("a_id") < F.col("b_id")))
+            & (F.col("a_id") != F.col("b_id"))
             & (F.abs(F.col("a_ln") - F.col("b_ln")) <= max_dist)
             & (F.levenshtein("a_nm", "b_nm") <= max_dist)
         )
         .select(
-            "a_id", "b_id",
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
             F.levenshtein("a_nm", "b_nm").cast("int").alias("edit_dist"),
         )
+    )
+
+
+def edit_distance_pairs_passjoin(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    name_col: str = "name",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Exact edit-distance similarity self-join via PassJoin segment
+    filtering (Li, Deng, Wang, Feng, ICDE 2011 — public method): the
+    scale path that replaces per-block quadratic comparison.
+
+    Pigeonhole: split every name into ``max_dist + 1`` even segments;
+    ``max_dist`` edits can touch at most ``max_dist`` segments, so a
+    matching pair agrees EXACTLY on at least one segment, shifted by at
+    most ``max_dist`` positions (net indels before it). The index side
+    emits its segments as keys ``(len, seg_idx, seg)``; the probe side
+    emits, for every source length within ``max_dist`` of its own and
+    every segment index, the substrings at the segment's position ± the
+    shift bound. Candidates are the equi-join on
+    ``block_cols + (len, seg_idx, seg)``; Levenshtein verifies them.
+
+    Cost: O(max_dist³) ≈ tens of short probe keys per row — the shuffle
+    is LINEAR in the corpus, and the quadratic term is gone entirely:
+    only rows sharing an aligned segment ever meet. This is what makes
+    fuzzy matching survive fixed-cardinality block keys (a categorical
+    block grows linearly with the corpus, so Σ|block|² grows
+    quadratically — the sf0.1→sf1 run measured blocked comparison at
+    ~15× wall for 10× data; PassJoin holds ~linear). Both orientations
+    of every matching pair are found (the pigeonhole holds symmetric),
+    so ``a_id < b_id`` keeps exactly one.
+
+    Segments of strings shorter than ``max_dist + 1`` can be empty;
+    empty-segment keys are kept (dropping them would break the
+    pigeonhole for short strings) — they only group same-length rows
+    within a block, bounded by the residual Levenshtein check.
+    """
+    tau = max_dist
+    nseg = tau + 1
+
+    def st(l: str, i: str) -> str:
+        # 0-based start of segment i in a length-l string (even split).
+        return f"cast(({l}) * ({i}) / {nseg} as int)"
+
+    base = df.select(
+        F.col(id_col), F.col(name_col).alias("_nm"),
+        F.length(name_col).alias("_ln"), *block_cols,
+    )
+    idx_keys = (
+        f"transform(sequence(0, {tau}), i -> struct(_ln AS l, i AS i, "
+        f"substring(_nm, {st('_ln', 'i')} + 1, "
+        f"{st('_ln', 'i + 1')} - {st('_ln', 'i')}) AS seg))"
+    )
+    probe_keys = (
+        f"array_distinct(flatten(transform(sequence(-{tau}, {tau}), dl -> "
+        f"flatten(transform(sequence(0, {tau}), i -> "
+        f"filter(transform(sequence(-{tau}, {tau}), d -> "
+        f"struct(_ln + dl AS l, i AS i, "
+        f"CASE WHEN _ln + dl >= 1 AND {st('_ln + dl', 'i')} + d >= 0 AND "
+        f"{st('_ln + dl', 'i')} + d + ({st('_ln + dl', 'i + 1')} - "
+        f"{st('_ln + dl', 'i')}) <= _ln "
+        f"THEN substring(_nm, {st('_ln + dl', 'i')} + d + 1, "
+        f"{st('_ln + dl', 'i + 1')} - {st('_ln + dl', 'i')}) "
+        f"ELSE NULL END AS seg)), s_ -> s_.seg IS NOT NULL))))))"
+    )
+    idx = base.select(
+        F.col(id_col).alias("a_id"), F.col("_nm").alias("a_nm"), *block_cols,
+        F.explode(F.expr(idx_keys)).alias("_k"),
+    ).select("a_id", "a_nm", *block_cols,
+             F.col("_k.l").alias("l"), F.col("_k.i").alias("i"),
+             F.col("_k.seg").alias("seg"))
+    probe = base.select(
+        F.col(id_col).alias("b_id"), F.col("_nm").alias("b_nm"), *block_cols,
+        F.explode(F.expr(probe_keys)).alias("_k"),
+    ).select("b_id", "b_nm", *block_cols,
+             F.col("_k.l").alias("l"), F.col("_k.i").alias("i"),
+             F.col("_k.seg").alias("seg"))
+    candidates = (
+        idx.join(probe, [*block_cols, "l", "i", "seg"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_nm", "b_nm")
+        .distinct()  # a pair can agree on several segment keys
+    )
+    return candidates.where(
+        F.levenshtein("a_nm", "b_nm") <= max_dist
+    ).select(
+        "a_id", "b_id",
+        F.levenshtein("a_nm", "b_nm").cast("int").alias("edit_dist"),
     )
 
 

@@ -1,0 +1,163 @@
+"""Amplify the sf0.1 fixture to a larger scale tier for bench scaling runs.
+
+The driver's fixture generator is not in this repo (TESTDATA.md: the
+parquet under /root/testdata is driver-generated, read-only), so the sf1
+tier is derived from sf0.1 by a DETERMINISTIC x``factor`` amplification
+that preserves each table's statistical structure while keeping every
+workload honest at the larger scale:
+
+- TPC-H tables: ``factor`` key-shifted copies; all FK relationships
+  (orders->customer, lineitem->orders/part/supplier) shift consistently,
+  so join selectivities and group cardinalities scale like real TPC-H
+  (region/nation stay fixed, as TPC-H dimensions do at every SF).
+- events: key-shifted copies — 10x users, identical per-user activity
+  shape (sessionization/funnel state per user stays constant-size).
+- documents: copy i>0 suffixes EVERY word with ``_r{i}`` and the source
+  with ``_r{i}``; each copy is an isomorphic corpus over a DISJOINT
+  vocabulary, so dedup/similarity candidate structure scales linearly
+  (cross-copy shingle Jaccard is 0 — no artificial 10x-duplicate blowup)
+  and blocked operators see ``factor``x more bounded-size blocks, which
+  is exactly how a real corpus grows (more sources, not bigger ones).
+  n_chars is recomputed from the rewritten text.
+- embeddings: copy i rotates each vector left by ``7*i mod dim``
+  positions — norms and coordinate distributions are preserved, while
+  cross-copy cosines fall to the natural background level (no planted
+  exact duplicates).
+
+Zero randomness anywhere: re-running the script reproduces the fixture
+byte-for-byte modulo parquet encoding nondeterminism.
+
+Usage:
+    python scripts/gen_scale_fixture.py [--factor 10] \
+        [--src /root/testdata/sf0.1] [--dst .localdata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+TPCH_KEY_SHIFTS = {
+    # table -> {column: key-space stride source table}
+    "customer": {"c_custkey": "c_custkey"},
+    "supplier": {"s_suppkey": "s_suppkey"},
+    "part": {"p_partkey": "p_partkey"},
+    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    "lineitem": {"l_orderkey": "o_orderkey", "l_partkey": "p_partkey",
+                 "l_suppkey": "s_suppkey"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+}
+
+#: Where each stride column lives.
+STRIDE_TABLE = {
+    "c_custkey": "customer", "s_suppkey": "supplier",
+    "p_partkey": "part", "o_orderkey": "orders",
+    "event_id": "events", "user_id": "events",
+    "doc_id": "documents", "vec_id": "embeddings",
+}
+
+
+def _copies(df: DataFrame, factor: int, transform) -> DataFrame:
+    out = None
+    for i in range(factor):
+        c = transform(df, i)
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--factor", type=int, default=10)
+    p.add_argument("--src", default="/root/testdata/sf0.1")
+    p.add_argument("--dst", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata", "sf1"))
+    args = p.parse_args()
+
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gen-scale-fixture")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tables = {t: spark.read.parquet(f"{args.src}/{t}.parquet")
+              for t in ["region", "nation", "customer", "supplier", "part",
+                        "orders", "lineitem", "events", "documents",
+                        "embeddings"]}
+
+    # Key-space strides: one past the max of each shiftable key.
+    strides: dict[str, int] = {}
+    for col, tbl in STRIDE_TABLE.items():
+        strides[col] = tables[tbl].agg(
+            F.max(col).cast("long")).collect()[0][0] + 1
+
+    def write(name: str, df: DataFrame) -> None:
+        path = f"{args.dst}/{name}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
+
+    # Fixed dimensions: pass through unchanged.
+    for name in ["region", "nation"]:
+        write(name, tables[name])
+
+    for name, shifts in TPCH_KEY_SHIFTS.items():
+        def shift(df, i, name=name, shifts=shifts):
+            out = df
+            for col, stride_col in shifts.items():
+                out = out.withColumn(
+                    col, F.col(col) + F.lit(i * strides[stride_col]))
+            if name == "part" and i > 0:
+                # Copies must not clone p_name: fuzzy matching would see
+                # every part 10x duplicated and its OUTPUT would grow
+                # quadratically with the factor. A suffix whose pairwise
+                # edit distance exceeds the fuzzy max_dist (_111 vs _222
+                # = 3 edits > 2) keeps within-copy match structure
+                # identical while cross-copy pairs stay non-matches
+                # (vs the original, the +4 length difference alone fails
+                # the |dlen| <= 2 lower bound).
+                out = out.withColumn(
+                    "p_name", F.concat(F.col("p_name"), F.lit(f"_{i}{i}{i}")))
+            return out
+        write(name, _copies(tables[name], args.factor, shift))
+
+    def doc_copy(df, i):
+        if i == 0:
+            return df
+        text = F.array_join(
+            F.transform(F.split(F.col("text"), " "),
+                        lambda w: F.concat(w, F.lit(f"_r{i}"))), " ")
+        return df.select(
+            (F.col("doc_id") + F.lit(i * strides["doc_id"])).alias("doc_id"),
+            text.alias("text"),
+            F.col("lang"),
+            F.concat(F.col("source"), F.lit(f"_r{i}")).alias("source"),
+            F.length(text).cast("long").alias("n_chars"),
+        )
+    write("documents", _copies(tables["documents"], args.factor, doc_copy))
+
+    dim = len(tables["embeddings"].select("embedding").first()[0])
+
+    def emb_copy(df, i):
+        if i == 0:
+            return df
+        r = (7 * i) % dim
+        rotated = F.concat(
+            F.slice(F.col("embedding"), r + 1, dim - r),
+            F.slice(F.col("embedding"), 1, r),
+        )
+        return df.select(
+            (F.col("vec_id") + F.lit(i * strides["vec_id"])).alias("vec_id"),
+            rotated.alias("embedding"),
+            F.col("label"),
+        )
+    write("embeddings", _copies(tables["embeddings"], args.factor, emb_copy))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

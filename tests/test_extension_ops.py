@@ -539,6 +539,66 @@ class TestBlockedEditDistance:
         assert len(got) == 15  # C(6,2), each once
         assert all(a < b and d == 0 for a, b, d in got)
 
+    def test_pairs_straddling_length_buckets_found_once(self, spark):
+        # Lengths 4,5,6,7 span bucket boundaries at width=max_dist=2;
+        # every qualifying pair must appear exactly once regardless of
+        # which buckets the two lengths land in.
+        rows = [(1, "gear", "x"), (2, "gears", "x"),
+                (3, "gearsx", "x"), (4, "gearsxy", "x")]
+        got = self._pairs(spark, rows)
+        assert got == {(1, 2, 1), (1, 3, 2), (2, 3, 1), (2, 4, 2), (3, 4, 1)}
+
+
+class TestPassJoinEditDistance:
+    """edit_distance_pairs_passjoin must equal the blocked variant on
+    every input — same pairs, same distances (PassJoin's segment
+    pigeonhole is lossless for an exact edit-distance join)."""
+
+    def _both(self, spark, rows, max_dist=2):
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        kw = dict(block_cols=["blk"], id_col="id",
+                  name_col="name", max_dist=max_dist)
+        ref = {(r.a_id, r.b_id, r.edit_dist)
+               for r in D.blocked_edit_distance_pairs(df, **kw).collect()}
+        got = {(r.a_id, r.b_id, r.edit_dist)
+               for r in D.edit_distance_pairs_passjoin(df, **kw).collect()}
+        return ref, got
+
+    def test_equals_blocked_on_mixed_corpus(self, spark):
+        rows = [
+            (1, "red bolt", "x"), (2, "red bolts", "x"),
+            (3, "red bolt", "x"), (4, "blue gear", "x"),
+            (5, "blue gearz", "x"), (6, "red bolt", "y"),
+            (7, "rod bolt", "x"), (8, "red blot", "x"),
+            (9, "completely different", "x"),
+        ]
+        ref, got = self._both(spark, rows)
+        assert got == ref and len(ref) > 0
+
+    def test_short_strings_with_empty_segments(self, spark):
+        # len < nseg => some segments are empty; the pigeonhole must
+        # still hold (deletions down to the empty string included).
+        rows = [(1, "a", "x"), (2, "ab", "x"), (3, "b", "x"),
+                (4, "", "x"), (5, "abc", "x"), (6, "abcd", "x"),
+                (7, "zzzz", "x")]
+        ref, got = self._both(spark, rows)
+        assert got == ref and len(ref) > 0
+
+    def test_indel_shifted_segments(self, spark):
+        # A leading insertion shifts every later segment by one; the
+        # probe-side +/- tau shift window must still align them.
+        rows = [(1, "abcdefghij", "x"), (2, "xabcdefghij", "x"),
+                (3, "abcdefghij!", "x"), (4, "abcdefghi", "x"),
+                (5, "abXdefghij", "x")]
+        for md in (1, 2, 3):
+            ref, got = self._both(spark, rows, max_dist=md)
+            assert got == ref and len(ref) > 0
+
+    def test_cross_block_pairs_never_compared(self, spark):
+        ref, got = self._both(
+            spark, [(1, "red bolt", "x"), (2, "red bolt", "y")])
+        assert got == ref == set()
+
 
 class TestSpreadHelper:
     def test_spreads_compact_input(self, spark):
