@@ -56,6 +56,7 @@ EXTRA = [
     "op_window_frames",
     "ev_scd2_history",
     "ext_fuzzy_match",
+    "ext_fuzzy_passjoin",
     "ext_winnow_fingerprint",
     "ext_multimodal_decode",
     "ext_snapshot_diff",

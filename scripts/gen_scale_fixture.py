@@ -113,14 +113,27 @@ def main() -> None:
             if name == "part" and i > 0:
                 # Copies must not clone p_name: fuzzy matching would see
                 # every part 10x duplicated and its OUTPUT would grow
-                # quadratically with the factor. A suffix whose pairwise
-                # edit distance exceeds the fuzzy max_dist (_111 vs _222
-                # = 3 edits > 2) keeps within-copy match structure
-                # identical while cross-copy pairs stay non-matches
-                # (vs the original, the +4 length difference alone fails
-                # the |dlen| <= 2 lower bound).
+                # quadratically with the factor. Copy i maps letters
+                # through rot-i (a char bijection): within-copy
+                # Levenshtein distances are preserved EXACTLY (a
+                # bijection on the alphabet preserves every unit edit
+                # cost), lengths and word shapes are unchanged, and
+                # cross-copy names share no content — the same
+                # disjoint-vocabulary growth model the documents table
+                # uses, i.e. new entities arrive rather than old ones
+                # mutating. Suffix schemes were tried and rejected:
+                # constant-length suffixes leave every cross-copy
+                # same-base pair a Levenshtein-rejected candidate, and
+                # any shared constant suffix creates degenerate
+                # identical tail SEGMENTS that poison segment-indexed
+                # methods (measured: PassJoin 49s at sf1 from ~7k-row
+                # segment buckets). Note the rotation deliberately does
+                # NOT separate name lengths across copies — fixed
+                # (type, brand) blocks keep filling linearly, which is
+                # the honest scaling behavior of categorical blocking.
+                az = "abcdefghijklmnopqrstuvwxyz"
                 out = out.withColumn(
-                    "p_name", F.concat(F.col("p_name"), F.lit(f"_{i}{i}{i}")))
+                    "p_name", F.translate("p_name", az, az[i:] + az[:i]))
             return out
         write(name, _copies(tables[name], args.factor, shift))
 
