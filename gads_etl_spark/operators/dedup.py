@@ -447,12 +447,25 @@ def edit_distance_pairs_passjoin(
         f"substring(_nm, {st('_ln', 'i')} + 1, "
         f"{st('_ln', 'i + 1')} - {st('_ln', 'i')}) AS seg))"
     )
+    # Length-aware shift pruning (PassJoin §4.2): aligning index segment
+    # i at shift d splits the edit budget into a prefix part (>= |d|
+    # edits) and a suffix part (>= |dl + d| edits, the suffix length
+    # difference), so only shifts with |d| + |dl + d| <= tau can belong
+    # to a pair within tau edits — ~half the probe keys of the naive
+    # |d| <= tau window (e.g. dl=0 admits 3 shifts, not 5, at tau=2).
     probe_keys = (
         f"array_distinct(flatten(transform(sequence(-{tau}, {tau}), dl -> "
         f"flatten(transform(sequence(0, {tau}), i -> "
         f"filter(transform(sequence(-{tau}, {tau}), d -> "
         f"struct(_ln + dl AS l, i AS i, "
-        f"CASE WHEN _ln + dl >= 1 AND {st('_ln + dl', 'i')} + d >= 0 AND "
+        # _ln + dl >= 0 (not 1): an EMPTY index string still emits its
+        # (0, i, '') segment keys, and the probe must reach them — with
+        # a >= 1 guard the pair ('', 'a') is only found in the
+        # orientation the a_id < b_id filter discards when the empty
+        # string has the larger id (caught by the seeded brute-force
+        # equivalence test).
+        f"CASE WHEN abs(d) + abs(dl + d) <= {tau} "
+        f"AND _ln + dl >= 0 AND {st('_ln + dl', 'i')} + d >= 0 AND "
         f"{st('_ln + dl', 'i')} + d + ({st('_ln + dl', 'i + 1')} - "
         f"{st('_ln + dl', 'i')}) <= _ln "
         f"THEN substring(_nm, {st('_ln + dl', 'i')} + d + 1, "

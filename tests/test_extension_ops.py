@@ -599,6 +599,35 @@ class TestPassJoinEditDistance:
             spark, [(1, "red bolt", "x"), (2, "red bolt", "y")])
         assert got == ref == set()
 
+    def test_random_corpus_matches_brute_force(self, spark):
+        # Seeded random strings over a 3-letter alphabet (forced
+        # near-collisions), lengths 0-8, against an O(n^2) driver-side
+        # Levenshtein — catches any lossy probe-window pruning.
+        import itertools
+        import random
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(7)
+        rows = [(i, "".join(rng.choice("abc")
+                            for _ in range(rng.randrange(0, 9))), "x")
+                for i in range(120)]
+        for md in (1, 2):
+            want = {(a[0], b[0], lev(a[1], b[1]))
+                    for a, b in itertools.combinations(rows, 2)
+                    if lev(a[1], b[1]) <= md}
+            ref, got = self._both(spark, rows, max_dist=md)
+            assert got == want, f"passjoin != brute force at max_dist={md}"
+            assert ref == want, f"blocked != brute force at max_dist={md}"
+
 
 class TestSpreadHelper:
     def test_spreads_compact_input(self, spark):

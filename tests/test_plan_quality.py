@@ -313,3 +313,18 @@ class TestRuntimeBloomFilter:
         j = li.join(orders, li.l_orderkey == orders.o_orderkey).select("l_quantity")
         plan = j._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" not in plan
+
+
+class TestPassJoinPlan:
+    def test_passjoin_is_equi_join_only(self, spark):
+        # Candidates must come from the segment-key equi-join — never an
+        # all-pairs path. The shuffle carries exploded segment keys, so
+        # it is linear in the corpus (x the O(tau^2) key constant).
+        plan = _formatted_plan(spark, "ext_fuzzy_passjoin")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    def test_blocked_fuzzy_is_equi_join_only(self, spark):
+        plan = _formatted_plan(spark, "ext_fuzzy_match")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
