@@ -1799,6 +1799,58 @@ def ext_fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey AS id, p_name,
+             row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
+      FROM part
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(b.rk - a.rk AS INT) AS rank_gap,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM r a JOIN r b
+      ON b.rk > a.rk AND b.rk - a.rk < 4
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("extension", "dedup", "fuzzy"),
+)
+def ext_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood fuzzy matching (Hernández & Stolfo 1995):
+    sort all parts by name, compare each row only to the next 3 in sort
+    order, keep pairs within 2 edits. The THIRD candidate-generation
+    family next to key blocking (ext_fuzzy_match) and segment indexing
+    (ext_fuzzy_passjoin) — a name sort puts near-duplicates adjacent
+    even when they disagree on every categorical attribute a blocker
+    would key on, at a fixed 2·window candidate budget per row. The
+    global rank is partition-invariant (range exchange + driver
+    prefix-sum, no single-partition window), so the candidate set —
+    and this result — is deterministic at any parallelism.
+    """
+    from gads_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pid"), "p_name"
+    )
+    cands = sorted_neighborhood_pairs(
+        part, sort_cols=["p_name"], window=4, id_col="pid"
+    )
+    named = part.select(F.col("pid"), F.col("p_name"))
+    return (
+        cands
+        .join(named.select(F.col("pid").alias("a_id"),
+                           F.col("p_name").alias("_an")), "a_id")
+        .join(named.select(F.col("pid").alias("b_id"),
+                           F.col("p_name").alias("_bn")), "b_id")
+        .where(F.levenshtein("_an", "_bn") <= 2)
+        .select(
+            "a_id", "b_id", "rank_gap",
+            F.levenshtein("_an", "_bn").cast("int").alias("edit_dist"),
+        )
+    )
+
+
+@register(
     "ext_dup_spans",
     oracle="""
     WITH toks AS (

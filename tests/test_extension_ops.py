@@ -629,6 +629,51 @@ class TestPassJoinEditDistance:
             assert ref == want, f"blocked != brute force at max_dist={md}"
 
 
+class TestSortedNeighborhood:
+    """sorted_neighborhood_pairs: rank-window candidates, exactly."""
+
+    def _want(self, rows, window):
+        ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+        out = set()
+        for i, a in enumerate(ranked):
+            for j in range(i + 1, min(i + window, len(ranked))):
+                out.add((a[0], ranked[j][0], j - i))
+        return out
+
+    def _got(self, spark, rows, window, n_parts=None):
+        df = spark.createDataFrame(rows, "id long, name string")
+        return {
+            (r.a_id, r.b_id, r.rank_gap)
+            for r in D.sorted_neighborhood_pairs(
+                df, sort_cols=["name"], window=window, id_col="id",
+                n_parts=n_parts,
+            ).collect()
+        }
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, "".join(rng.choice("abcd") for _ in range(4)))
+                for i in range(80)]
+        for w in (2, 3, 5):
+            assert self._got(spark, rows, w) == self._want(rows, w)
+
+    def test_partition_invariant(self, spark):
+        import random
+
+        rng = random.Random(12)
+        rows = [(i, "".join(rng.choice("ab") for _ in range(3)))
+                for i in range(60)]
+        want = self._want(rows, 4)
+        for n_parts in (2, 7, 16):
+            assert self._got(spark, rows, 4, n_parts) == want
+
+    def test_window_one_yields_nothing(self, spark):
+        rows = [(1, "a"), (2, "a"), (3, "b")]
+        assert self._got(spark, rows, 1) == set()
+
+
 class TestSpreadHelper:
     def test_spreads_compact_input(self, spark):
         from gads_etl_spark.operators.util import spread
