@@ -57,6 +57,7 @@ EXTRA = [
     "ev_scd2_history",
     "ext_fuzzy_match",
     "ext_fuzzy_passjoin",
+    "ext_sorted_neighborhood",
     "ext_winnow_fingerprint",
     "ext_multimodal_decode",
     "ext_snapshot_diff",

@@ -528,8 +528,12 @@ def sorted_neighborhood_pairs(
     """
     from gads_etl_spark.operators.vocab import assign_dense_ranks
 
+    # Rank only (id, sort keys): assign_dense_ranks pins its ranged
+    # layout with an eager localCheckpoint, and at corpus scale that
+    # materialization must be narrow, not carry every payload column.
     ranked = assign_dense_ranks(
-        df, [*sort_cols, id_col], id_name="_rank", n_parts=n_parts
+        df.select(id_col, *sort_cols), [*sort_cols, id_col],
+        id_name="_rank", n_parts=n_parts,
     ).select(F.col(id_col), F.col("_rank"),
              (F.col("_rank") / window).cast("long").alias("_bk"))
     a = ranked.select(
