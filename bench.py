@@ -58,6 +58,7 @@ EXTRA = [
     "ext_fuzzy_match",
     "ext_fuzzy_passjoin",
     "ext_sorted_neighborhood",
+    "ext_tfidf_cosine",
     "ext_winnow_fingerprint",
     "ext_multimodal_decode",
     "ext_snapshot_diff",

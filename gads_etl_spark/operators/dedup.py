@@ -498,6 +498,103 @@ def edit_distance_pairs_passjoin(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 50,
+    max_df_frac: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quant: int = 1000,
+) -> DataFrame:
+    """Sparse lexical near-dup pairs by TF-IDF cosine over an inverted
+    index — the bag-of-WEIGHTED-words family between exact bag-of-words
+    fingerprints (order-insensitive but all-or-nothing) and embedding
+    cosine (dense, model-dependent): two documents score high when they
+    share RARE vocabulary, regardless of word order.
+
+    Semantics (mirrored exactly by the oracle): tf = term count per doc,
+    terms with document frequency > max(``max_df``, ``max_df_frac``·N)
+    are dropped (stopword cut), weight = tf · ln(N/df) quantized to
+    ``quant`` integer steps, cosine = integer dot / (‖a‖·‖b‖) over the
+    pruned term space, rounded to 6dp. Integer weights make every sum
+    exact and order-independent, so Spark and the SQL oracle agree
+    bit-for-bit where float summation would diverge by partitioning.
+
+    Scale shape — PREFIX FILTERING (Bayardo et al., WWW 2007), not a
+    bare postings self-join: per document, terms are ordered by
+    (df asc, term asc) and a term is in the document's PREFIX while the
+    normalized squared weight remaining from it onward exceeds the
+    threshold (integer test: suffix_ssq · tq > threshold·tq · ssq with
+    tq = round(threshold·quant)). If two documents share NO term from
+    either prefix, every shared term lies in both ≤-threshold-mass
+    suffixes, so cos ≤ ‖a_suf‖·‖b_suf‖ ≤ threshold — candidate
+    generation over prefix terms alone is LOSSLESS above the threshold
+    (only exact-boundary pairs are at risk, and the oracle mirrors the
+    identical rule either way). The join therefore runs on each doc's
+    RAREST terms — exactly the terms with small postings lists — while
+    frequent terms (the quadratic hot keys of a naive postings join,
+    measured as a timeout at sf1) never generate candidates; the full
+    dot product is then computed only for candidate pairs. A plain
+    df-capped self-join was tried first: Σ df² under a corpus-relative
+    cap grows quadratically with the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    n_docs = df.count()
+    dfreq = (
+        tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") <= max(max_df, int(max_df_frac * n_docs)))
+    )
+    w = tf.join(dfreq, "term").select(
+        "_id", "term", "df",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+                * quant).cast("long").alias("wq"),
+    )
+    # Suffix squared mass from each term onward, in (df asc, term asc)
+    # order — integer-exact, deterministic at any partitioning.
+    sfx = Window.partitionBy("_id").orderBy(
+        F.asc("df"), F.asc("term")
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tot = Window.partitionBy("_id")
+    tq = int(round(threshold * quant))
+    w = (
+        w.withColumn("_sfx", F.sum(F.col("wq") * F.col("wq")).over(sfx))
+        .withColumn("ssq", F.sum(F.col("wq") * F.col("wq")).over(tot))
+        .withColumn("_pfx", F.col("_sfx") * quant > F.lit(tq) * F.col("ssq"))
+    )
+    pfx = w.where("_pfx").select(
+        F.col("_id").alias("p_id"), "term")
+    full = w.select(F.col("_id").alias("q_id"), "term")
+    cand = (
+        pfx.join(full, "term")
+        .where(F.col("p_id") != F.col("q_id"))
+        .select(F.least("p_id", "q_id").alias("a_id"),
+                F.greatest("p_id", "q_id").alias("b_id"))
+        .distinct()
+    )
+    wa = w.select(F.col("_id").alias("a_id"), "term",
+                  F.col("wq").alias("wa"), F.col("ssq").alias("ssq_a"))
+    wb = w.select(F.col("_id").alias("b_id"), "term",
+                  F.col("wq").alias("wb"), F.col("ssq").alias("ssq_b"))
+    return (
+        cand.join(wa, "a_id")
+        .join(wb, ["b_id", "term"])
+        .groupBy("a_id", "b_id", "ssq_a", "ssq_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .select(
+            "a_id", "b_id",
+            F.round(F.col("dot") /
+                    (F.sqrt(F.col("ssq_a")) * F.sqrt(F.col("ssq_b"))),
+                    6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     sort_cols: list[str],

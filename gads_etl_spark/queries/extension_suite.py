@@ -1799,6 +1799,70 @@ def ext_fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_tfidf_cosine",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+      HAVING count(*) <= greatest(
+        50, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT))
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+    ), w0 AS (
+      SELECT tf.doc_id, tf.term, dfq.df,
+             CAST(round(tf.tf * ln(n.n / dfq.df) * 1000) AS BIGINT) AS wq
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    ), w AS (
+      SELECT doc_id, term, wq,
+             sum(wq * wq) OVER (PARTITION BY doc_id ORDER BY df ASC, term ASC
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS sfx,
+             sum(wq * wq) OVER (PARTITION BY doc_id) AS ssq
+      FROM w0
+    ), cand AS (
+      SELECT DISTINCT least(p.doc_id, q.doc_id) AS a_id,
+                      greatest(p.doc_id, q.doc_id) AS b_id
+      FROM w p JOIN w q ON p.term = q.term AND p.doc_id <> q.doc_id
+      WHERE p.sfx * 1000 > 600 * p.ssq
+    ), dots AS (
+      SELECT c.a_id, c.b_id, a.ssq AS ssq_a, b.ssq AS ssq_b,
+             sum(a.wq * b.wq) AS dot
+      FROM cand c
+      JOIN w a ON a.doc_id = c.a_id
+      JOIN w b ON b.doc_id = c.b_id AND b.term = a.term
+      GROUP BY c.a_id, c.b_id, a.ssq, b.ssq
+    )
+    SELECT a_id, b_id,
+           round(dot / (sqrt(ssq_a) * sqrt(ssq_b)), 6) AS cos_sim
+    FROM dots
+    WHERE round(dot / (sqrt(ssq_a) * sqrt(ssq_b)), 6) >= 0.6
+    """,
+    tags=("extension", "dedup", "similarity"),
+)
+def ext_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs (threshold 0.6) via an
+    inverted index with PREFIX FILTERING — the weighted
+    lexical-similarity family between bag-of-words fingerprints and
+    embedding cosine. Candidates come only from each document's rarest
+    terms (the prefix whose remaining normalized mass exceeds the
+    threshold — lossless above it), so frequent terms never form
+    quadratic hot keys; integer-quantized weights make every sum exact,
+    so Spark and DuckDB agree bit-for-bit where float summation order
+    would diverge. The oracle mirrors the identical prefix rule.
+    """
+    from gads_etl_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(
+        docs, threshold=0.6, max_df=50
+    ).select("a_id", "b_id", "cos_sim")
+
+
+@register(
     "ext_sorted_neighborhood",
     oracle="""
     WITH r AS (

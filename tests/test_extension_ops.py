@@ -629,6 +629,67 @@ class TestPassJoinEditDistance:
             assert ref == want, f"blocked != brute force at max_dist={md}"
 
 
+class TestTfidfCosine:
+    """tfidf_cosine_pairs vs a driver-side brute force with the same
+    quantized semantics."""
+
+    def _brute(self, rows, threshold, max_df, quant=1000):
+        import math
+        from collections import Counter
+
+        tf = {i: Counter(t.split()) for i, t in rows}
+        df = Counter(term for c in tf.values() for term in c)
+        n = len(rows)
+        w = {
+            i: {t: round(c * math.log(n / df[t]) * quant)
+                for t, c in cnt.items() if df[t] <= max_df}
+            for i, cnt in tf.items()
+        }
+        out = set()
+        ids = sorted(w)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = w[ids[x]], w[ids[y]]
+                dot = sum(a[t] * b[t] for t in a.keys() & b.keys())
+                na = math.sqrt(sum(v * v for v in a.values()))
+                nb = math.sqrt(sum(v * v for v in b.values()))
+                if na and nb:
+                    cs = round(dot / (na * nb), 6)
+                    if cs >= threshold:
+                        out.add((ids[x], ids[y], cs))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(21)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randrange(5, 25))))
+                for i in range(40)]
+        # plant two exact near-dups
+        rows.append((100, rows[0][1]))
+        rows.append((101, rows[1][1] + " extraword"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.a_id, r.b_id, r.cos_sim)
+            for r in D.tfidf_cosine_pairs(
+                df, threshold=0.5, max_df=30, id_col="doc_id",
+            ).collect()
+        }
+        want = self._brute(rows, 0.5, 30)
+        assert got == want and (0, 100, 1.0) in got
+
+    def test_stopword_cut_drops_high_df_terms(self, spark):
+        # 'the' appears in every doc; with max_df=2 it contributes
+        # nothing, so docs sharing only 'the' never pair.
+        rows = [(1, "the alpha"), (2, "the beta"), (3, "the alpha")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.a_id, r.b_id) for r in D.tfidf_cosine_pairs(
+            df, threshold=0.1, max_df=2, id_col="doc_id").collect()}
+        assert got == {(1, 3)}
+
+
 class TestSortedNeighborhood:
     """sorted_neighborhood_pairs: rank-window candidates, exactly."""
 
