@@ -566,6 +566,14 @@ def tfidf_cosine_pairs(
         w.withColumn("_sfx", F.sum(F.col("wq") * F.col("wq")).over(sfx))
         .withColumn("ssq", F.sum(F.col("wq") * F.col("wq")).over(tot))
         .withColumn("_pfx", F.col("_sfx") * quant > F.lit(tq) * F.col("ssq"))
+        # The weighted index feeds FOUR branches (prefix postings, full
+        # postings, and both dot-product sides); without pinning it the
+        # tokenize→tf→df-join→window pipeline re-executes per branch
+        # (~6s per pass on the 200k-doc Zipf probe; the verify fan-out
+        # dominates total wall either way). At 100 TB this IS the
+        # index-build/probe split — the weighted postings are the
+        # persistable artifact.
+        .localCheckpoint(eager=False)
     )
     pfx = w.where("_pfx").select(
         F.col("_id").alias("p_id"), "term")

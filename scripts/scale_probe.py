@@ -179,6 +179,59 @@ def _synth_docs(spark, n, vocab=1000, doc_len=50):
     )
 
 
+def probe_tfidf_zipf(spark):
+    """TF-IDF cosine prefix join on a ZIPFIAN corpus — the realistic
+    counterpart to the sf1 fixture's tail-less negative result
+    (SCALING.md): with a 1/r vocabulary the prefix terms are rare by
+    construction, so the candidate join stays linear. 100k vs 200k docs
+    measured back-to-back for the scaling ratio."""
+    from gads_etl_spark.operators.dedup import tfidf_cosine_pairs
+
+    def corpus(n, vocab, doc_len=60):
+        # Zipf(1) via inverse CDF: u~U[0,1) -> rank = floor(exp(u*ln V)),
+        # P(rank=r) ~ 1/(r ln V). All JVM-side expressions.
+        m = 1 << 24
+
+        def tok(j):
+            u = (((F.xxhash64(F.col("id"), F.lit(j)) % m) + m) % m
+                 ).cast("double") / m
+            import math
+            rank = F.floor(F.exp(u * math.log(float(vocab)))).cast("long")
+            return F.concat(F.lit("w"), rank.cast("string"))
+
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[tok(j) for j in range(doc_len)]).alias("text"),
+        )
+        copies = docs.where(F.col("doc_id") < 1000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        return docs.unionByName(copies).localCheckpoint(eager=True)
+
+    out = []
+    times = []
+    # vocab grows WITH the corpus (Heaps' law: new documents bring new
+    # words) — holding vocab fixed while doubling docs doubles every
+    # term's df and makes ANY exact similarity join quadratic, which is
+    # the tail-less-fixture result again, not a property of the join.
+    for n in (100_000, 200_000):
+        docs = corpus(n, vocab=n)
+        t0 = time.perf_counter()
+        pairs = tfidf_cosine_pairs(docs, threshold=0.6, id_col="doc_id")
+        got = pairs.count()
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        # every planted copy must pair with its source at cos 1.0
+        planted = pairs.where(
+            (F.col("b_id") - F.col("a_id") == 10_000_000)
+            & (F.col("cos_sim") == 1.0)).count()
+        assert planted == 1000, planted
+        out.append(f"{n // 1000}k docs: {dt:.1f}s, {got} pairs")
+    ratio = times[1] / times[0]
+    assert ratio < 3.0, f"2x data scaled {ratio:.1f}x — not linear"
+    return ("tfidf_cosine on Zipf corpus (Heaps vocab ~ n): "
+            + "; ".join(out) + f"; 2x data -> {ratio:.2f}x wall")
+
+
 def probe_quality(spark):
     """Corpus-quality passes at millions-of-docs scale: redaction (pure
     scan), decontamination (broadcast probe), repetition stats (two-level
@@ -425,6 +478,7 @@ PROBES = {
     "block_pack": probe_block_pack,
     "aqe_skew": probe_aqe_skew,
     "simhash_radius": probe_simhash_radius,
+    "tfidf_zipf": probe_tfidf_zipf,
 }
 
 
