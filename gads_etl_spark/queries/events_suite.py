@@ -829,3 +829,115 @@ def ev_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("gap_s") / 600).cast("long").alias("gap_bucket_10min"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+
+
+@register(
+    "ev_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions, n_users,
+           round(CAST(n_transitions AS DOUBLE) /
+                 sum(n_transitions) OVER (PARTITION BY from_type),
+                 6) AS p_next
+    FROM t
+    """,
+    tags=("events", "paths", "agg"),
+)
+def ev_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path transition matrix: for each consecutive event pair per
+    user (ordered by ts with the event_id tiebreak), count (from_type →
+    to_type) transitions, the distinct users making them, and the
+    row-normalized next-step probability — the first-order Markov view
+    of product flows that funnel queries hard-code and this one derives.
+
+    One ``partitionBy(user_id)`` window (the session-family exchange),
+    then a rollup bounded by |types|² — 25 rows here at any corpus
+    size; the probability normalization is a window over that bounded
+    rollup, not over events. Exact-integer counts divide at the end, so
+    the rounded probabilities agree bit-for-bit with the oracle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    row = Window.partitionBy("from_type")
+    return t.select(
+        "from_type", "to_type", "n_transitions", "n_users",
+        F.round(F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(row), 6).alias("p_next"),
+    )
+
+
+@register(
+    "ev_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE p2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 20
+    """,
+    tags=("events", "paths", "topk"),
+)
+def ev_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user paths (consecutive event-type trigrams
+    per user, ts + event_id ordered) by frequency — the path-mining
+    companion to the transition matrix: where the matrix shows
+    one-step dynamics, this surfaces the actual journeys.
+
+    Same single user-keyed window exchange; the rollup is bounded by
+    |types|³ and the top-k is a TakeOrdered over that bounded set with
+    a deterministic (count desc, path asc) tiebreak.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(" > ", "p2", "p1", "event_type").alias("path"),
+            "user_id",
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(20)
+    )

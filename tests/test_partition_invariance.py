@@ -31,6 +31,11 @@ QUERIES = [
     "ev_rate_anomalies",          # integer z-test over trailing window
     "ext_trigram_typicality",     # broadcast frequent-set join
     "ext_curation_funnel",        # chained prefix aggregates
+    "ext_fuzzy_passjoin",         # segment-key equi-join + distinct
+    "ext_sorted_neighborhood",    # offset-based global rank + bucket join
+    "ext_tfidf_cosine",           # integer-quantized weighted cosine
+    "ev_transition_matrix",       # lag window + bounded rollup + ratio
+    "ev_top_paths",               # trigram rollup + deterministic top-k
 ]
 
 
