@@ -2739,3 +2739,102 @@ def ext_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return guessed.groupBy(
         F.col("lang").alias("true_lang"), "lang_guess"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@register(
+    "ext_bm25_search",
+    oracle="""
+    WITH q(term) AS (VALUES ('hash'), ('join'), ('filter')),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scores AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ), ranked AS (
+      SELECT doc_id, sum(s_micro) AS sm FROM scores GROUP BY doc_id
+      ORDER BY sm DESC, doc_id ASC LIMIT 20
+    )
+    SELECT doc_id, round(CAST(sm AS DOUBLE) / 1000000, 6) AS bm25
+    FROM ranked
+    """,
+    tags=("extension", "text", "search"),
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene formulation, k1=1.2,
+    b=0.75): top-20 documents for the query "hash join filter" — the
+    search capability next to the similarity self-joins: score docs
+    against a QUERY, not against each other.
+
+    Scale shape: the postings scan filters to the query's terms at the
+    source (an IN predicate over a handful of literals — pushdown-able,
+    the inverted-index probe of a search engine), df for those terms is
+    one tiny aggregate, corpus stats (N, avgdl) are two scalars a real
+    deployment precomputes, and the final ranking is a TakeOrdered over
+    per-doc sums. Per-term scores are quantized to micro-integers
+    BEFORE summing, and the top-20 orders by the exact integer sum
+    (doc_id tiebreak), so ranking and scores agree with the oracle
+    bit-for-bit — float summation order never enters.
+    """
+    from gads_etl_spark.operators.dedup import tokens
+
+    q_terms = ["hash", "join", "filter"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
+    n_docs, sum_dl = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = float(sum_dl) / n_docs
+    tf = (
+        docs.select("doc_id",
+                    F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    scores = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                # 2.2 as a literal, not k1 + 1: both engines must parse
+                # the SAME double (float(1.2) + 1 need not equal
+                # float(2.2) bit-for-bit).
+                idf * F.col("tf") * 2.2
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+                * 1_000_000).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        scores.groupBy("doc_id").agg(F.sum("s_micro").alias("sm"))
+        .orderBy(F.desc("sm"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id",
+                F.round(F.col("sm").cast("double") / 1_000_000, 6)
+                .alias("bm25"))
+    )

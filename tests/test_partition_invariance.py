@@ -36,6 +36,7 @@ QUERIES = [
     "ext_tfidf_cosine",           # integer-quantized weighted cosine
     "ev_transition_matrix",       # lag window + bounded rollup + ratio
     "ev_top_paths",               # trigram rollup + deterministic top-k
+    "ext_bm25_search",            # micro-int score sums + integer-ordered top-k
 ]
 
 
