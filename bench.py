@@ -74,6 +74,9 @@ EXTRA = [
     "ev_cohort_retention",
     "ev_gap_histogram",
     "ext_simhash_radius",
+    "ev_transition_matrix",
+    "ev_top_paths",
+    "ext_bm25_search",
 ]
 
 
