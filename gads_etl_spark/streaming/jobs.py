@@ -235,6 +235,73 @@ def stateful_user_counters(events: DataFrame) -> DataFrame:
     )
 
 
+_TRANSITION_STATE = "last_type STRING"
+_TRANSITION_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("from_type", T.StringType()),
+    T.StructField("to_type", T.StringType()),
+])
+
+
+def _update_transitions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful kernel: per-user event-type transition chaining.
+
+    State is ONE value per user — the type of the last event seen — and
+    each micro-batch emits a (from_type, to_type) row per consecutive
+    pair, chaining ACROSS batch boundaries through the state. This is
+    the last-value-carry shape (the streaming twin of a batch lag()
+    window) that windowed aggregation cannot express.
+
+    Ordering contract: rows within a batch are sorted by (ts, event_id)
+    here; across batches the chain is correct when ingestion is
+    event-time ordered per user (the log-shipping case the file source
+    models). Out-of-order arrivals across batches would need a
+    watermark-delayed buffer in state — a deliberate non-goal for this
+    job; the batch ev_transition_matrix is the oracle either way.
+    """
+    last = state.get[0] if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        yield pd.DataFrame({"user_id": [], "from_type": [], "to_type": []})
+        return
+    rows = pd.concat(frames).sort_values(["ts", "event_id"])
+    out_from: list[str] = []
+    out_to: list[str] = []
+    for et in rows["event_type"]:
+        if last is not None:
+            out_from.append(last)
+            out_to.append(et)
+        last = et
+    state.update((last,))
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(out_from),
+        "from_type": out_from,
+        "to_type": out_to,
+    })
+
+
+def stateful_transitions(events: DataFrame) -> DataFrame:
+    """Per-user event-type transitions via ``applyInPandasWithState``
+    (append output mode — each transition is emitted exactly once; the
+    one-row state lives for the run). Feed the result to a grouped count
+    for the streaming transition matrix; the batch
+    ``ev_transition_matrix`` query is the equivalence oracle."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=_TRANSITION_OUT,
+            stateStructType=_TRANSITION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 class _RunningCounters(StatefulProcessor):
     """transformWithState processor: same running (n, total_cents) per
     user as ``_update_counters``, on the Spark 4 stateful API — typed

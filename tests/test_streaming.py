@@ -236,6 +236,35 @@ class TestStreaming:
         assert len(emissions_user1) >= 2  # updated in more than one batch
         assert final[1] == (4, 14.75)
 
+    def test_stateful_transitions_chain_across_batches(self, spark, tmp_path):
+        from gads_etl_spark.streaming.jobs import stateful_transitions
+
+        src, batch_df = _write_event_files(tmp_path, spark)
+        stream = read_events_stream(spark, src)
+        _run_stream(stateful_transitions(stream), "t_transitions", "append")
+
+        got = sorted(
+            (r.user_id, r.from_type, r.to_type)
+            for r in spark.sql("SELECT * FROM t_transitions").collect()
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = sorted(
+            (r.user_id, r.prev, r.event_type)
+            for r in batch_df.select(
+                "user_id", "event_type",
+                F.lag("event_type").over(w).alias("prev"),
+            ).where(F.col("prev").isNotNull()).collect()
+        )
+        assert got == want and len(want) == 4
+        # The fixture's batch boundaries split every user's event run, so
+        # at least one transition per user must CHAIN across micro-batches
+        # (user 1: view@b1 -> click@b2; user 2: click@b1 -> view@b2) —
+        # only carried state can produce those rows in append mode.
+        assert (1, "view", "click") in got
+        assert (2, "click", "view") in got
+
     def test_transform_with_state_matches_legacy_processor(self, spark, tmp_path):
         # The Spark 4 transformWithState processor must produce the same
         # final per-user totals as the applyInPandasWithState kernel (and
