@@ -70,40 +70,68 @@ def read_text(spark, path: str) -> str | None:
         stream.close()
 
 
-def _is_already_exists(exc: Exception) -> bool:
-    """True when a Py4J error wraps a file-already-exists condition.
+def publish_text_claim(spark, path: str, content: str) -> None:
+    """Atomically publish a small text file WITH its full content, failing
+    with ``FileExistsError`` when the destination already exists.
 
-    Hadoop filesystems signal an exclusive-create collision as
-    ``FileAlreadyExistsException`` (HDFS namenode, LocalFileSystem) or
-    ``AlreadyBeingCreatedException`` (HDFS lease conflict); string-match
-    because the wrapped class varies by FS implementation.
-    """
-    text = str(exc)
-    return ("AlreadyExists" in text or "AlreadyBeingCreated" in text
-            or "already exists" in text)
+    This is the commit primitive for the versioned-table protocol. Unlike
+    a create-exclusive-then-write sequence (which leaves a window
+    where the destination exists with zero/partial bytes), the payload is
+    first written completely to a uniquified temp sibling and then moved
+    onto the destination with no-overwrite semantics — so the claim and
+    the content land together. A reader or racing writer can never observe
+    the destination half-written: destination-exists ⟹ full content
+    present.
 
+    Scheme-specific move:
 
-def create_text_exclusive(spark, path: str, content: str) -> None:
-    """Publish a small text file via ``FileSystem.create(path, overwrite=false)``.
-
-    Raises ``FileExistsError`` when the destination already exists — the
-    atomic claim primitive used by the versioned-table commit protocol: two
-    writers racing to the same sequence number both call this, and the
-    filesystem serializes them (atomically on HDFS, where the namenode
-    arbitrates the create; best-effort on raw local FS). The loser never
-    half-commits: it fails before any reader could see its manifest.
+    - ``hdfs://`` (and other Hadoop FSes with HDFS rename semantics):
+      ``FileSystem.rename(tmp, dst)`` — the namenode arbitrates; the
+      rename is atomic and returns false when ``dst`` exists, so of two
+      racers exactly one wins.
+    - ``file://`` / bare local paths: POSIX ``rename(2)`` silently
+      overwrites, so a hard link (``os.link``) provides the atomic
+      fail-on-existing claim instead; the kernel arbitrates via EEXIST.
     """
     fs, hpath = get_fs(spark, path)
-    try:
-        out = fs.create(hpath, False)
-    except Exception as exc:  # Py4JJavaError from the JVM boundary
-        if _is_already_exists(exc):
-            raise FileExistsError(path) from exc
-        raise
+    uri = fs.makeQualified(hpath).toUri()
+    if uri.getScheme() in (None, "file"):
+        import os
+
+        dst = uri.getPath()
+        tmp = f"{dst}.tmp-{uuid.uuid4().hex[:8]}"
+        # Hadoop's create() makes parent dirs implicitly; match that.
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as handle:
+            handle.write(content)
+            handle.flush()
+            os.fsync(handle.fileno())
+        try:
+            os.link(tmp, dst)
+        except FileExistsError:
+            raise FileExistsError(path) from None
+        finally:
+            os.unlink(tmp)
+        return
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}.tmp-{uuid.uuid4().hex[:8]}")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tmp, hpath):
+        fs.delete(tmp, False)
+        raise FileExistsError(path)
+
+
+def modification_time_ms(spark, path: str) -> int | None:
+    """Filesystem modification time of ``path`` in epoch millis, or None
+    when the path does not exist. Used by age-gated garbage collection."""
+    fs, hpath = get_fs(spark, path)
+    if not fs.exists(hpath):
+        return None
+    return fs.getFileStatus(hpath).getModificationTime()
 
 
 def write_text_atomic(spark, path: str, content: str) -> None:

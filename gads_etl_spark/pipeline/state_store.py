@@ -84,11 +84,13 @@ class ConcurrentCommitError(RuntimeError):
     """Another commit claimed this table's next sequence number first.
 
     Not merely optimistic detection: the commit record IS the manifest
-    file, named by bare sequence number and created with
-    ``FileSystem.create(path, overwrite=false)`` — so of two writers
-    racing from the same parent, the filesystem admits exactly one and
-    the loser deterministically raises this, even when interleaved at
-    any point. Single-writer remains the operating contract
+    file, named by bare sequence number and published atomically WITH its
+    full content (temp-sibling write, then a fail-on-existing move — hard
+    link on local, no-overwrite rename on HDFS). Of two writers racing
+    from the same parent the filesystem admits exactly one, even when
+    interleaved at any point — including a writer paused anywhere inside
+    its publish, because the destination never exists without its full
+    payload. Single-writer remains the operating contract
     (docs/state_store_contract.md:32-33); this makes violations loud
     instead of silently losing an update."""
 
@@ -112,17 +114,21 @@ class _VersionedTable:
       and debugging; readers derive truth from the manifest listing.
 
     Commit protocol: a version is committed iff its manifest file exists
-    AND parses as JSON. The manifest is created with
-    ``FileSystem.create(overwrite=false)`` — the filesystem serializes
-    two writers racing to the same seq, so the loser fails with
-    ``ConcurrentCommitError`` before any reader could observe it. A
-    writer that crashes mid-manifest-write leaves an unparseable corpse:
-    readers skip it (falling back to the highest parseable seq) and the
-    next committer reclaims the seq by deleting the corpse and retrying
-    the exclusive create. The reclaim assumes a writer does not pause
-    indefinitely inside a sub-KB manifest write — under the documented
-    single-writer discipline (docs/state_store_contract.md:32-33) the
-    corpse's author is dead by construction.
+    AND parses as JSON. The manifest is published via
+    ``fsutil.publish_text_claim`` — the full payload is written to a
+    uniquified temp sibling, then moved onto the seq-named destination
+    with fail-on-existing semantics (hard link on local, no-overwrite
+    rename on HDFS). The filesystem serializes two writers racing to the
+    same seq, so the loser fails with ``ConcurrentCommitError`` before
+    any reader could observe it — and because the claim and the content
+    land in one atomic move, a manifest can never be observed empty or
+    partial, even while its writer is mid-publish. A crashed publish
+    leaves at most a ``*.tmp-*`` sibling (ignored by readers, aged out by
+    ``vacuum``), never a corpse at the final path; the corpse-reclaim
+    path below survives only as defense-in-depth for manifests damaged by
+    outside interference, and is safe precisely because exists ⟹
+    full-content: an unparseable final manifest cannot be a live writer's
+    in-flight publish.
     """
 
     def __init__(self, spark: SparkSession, root: str, schema: T.StructType,
@@ -134,6 +140,12 @@ class _VersionedTable:
         self.n_buckets = n_buckets if key_cols else 1
         if _BUCKET_COL in schema.fieldNames():
             raise ValueError(f"schema may not contain a {_BUCKET_COL!r} column")
+        #: Per-instance memo of PARSED manifests. Safe because a committed
+        #: manifest is immutable (atomic publish-with-content; only vacuum
+        #: deletes, which also invalidates). Turns the O(#versions)
+        #: read_text round-trips of history()/vacuum/current-derivation
+        #: into one listing + cache hits.
+        self._manifest_memo: dict[str, dict] = {}
         fsutil.mkdirs(spark, self.root)
 
     # -- pointer + manifests ---------------------------------------------
@@ -155,16 +167,24 @@ class _VersionedTable:
         )
 
     def _try_manifest(self, version: str) -> dict | None:
-        """Parsed manifest, or None when absent/unparseable (a corpse
-        left by a writer that crashed mid-manifest-write — not committed)."""
+        """Parsed manifest, or None when absent/unparseable (not
+        committed). Parses are memoized per instance — a committed
+        manifest is immutable, so a cache hit skips the filesystem
+        round-trip; only successful parses are cached (an unparseable or
+        absent path may legitimately become a real manifest later)."""
+        memo = self._manifest_memo.get(version)
+        if memo is not None:
+            return memo
         text = fsutil.read_text(
             self.spark, f"{self._versions_dir}/{version}.json")
         if text is None:
             return None
         try:
-            return json.loads(text)
+            manifest = json.loads(text)
         except ValueError:
             return None
+        self._manifest_memo[version] = manifest
+        return manifest
 
     def _manifest(self, version: str) -> dict:
         manifest = self._try_manifest(version)
@@ -194,12 +214,14 @@ class _VersionedTable:
         """Commit by exclusive-creating the seq-named manifest.
 
         The early staleness check gives a cheap, well-messaged failure
-        when the table visibly advanced; the exclusive create is the
-        authoritative serializer — it wins even for interleavings the
-        check cannot see, because only one writer can create
-        ``_versions/<version>.json``. On collision with an unparseable
-        corpse (a crashed writer's partial manifest) the seq is reclaimed
-        once: delete the corpse, retry the exclusive create."""
+        when the table visibly advanced; the atomic publish-with-content
+        move is the authoritative serializer — it wins even for
+        interleavings the check cannot see, because only one writer can
+        land ``_versions/<version>.json``, and the payload arrives in the
+        same filesystem operation as the claim (no empty-file window). An
+        unparseable occupant can therefore only be outside damage, never
+        a live writer mid-publish, so reclaiming its seq (delete, retry
+        the claim) is race-free."""
         live = self._current_version()
         expected = parent["version"] if parent else None
         if live != expected:
@@ -216,22 +238,25 @@ class _VersionedTable:
         path = f"{self._versions_dir}/{version}.json"
         payload = json.dumps(manifest, sort_keys=True)
         try:
-            fsutil.create_text_exclusive(self.spark, path, payload)
+            fsutil.publish_text_claim(self.spark, path, payload)
         except FileExistsError:
             if self._try_manifest(version) is not None:
                 raise ConcurrentCommitError(
                     f"version {version!r} at {self.root} was committed by "
                     "another writer; re-read and retry"
                 ) from None
-            # Corpse reclaim: the occupant never committed (unparseable).
+            # Corpse reclaim (defense-in-depth): the occupant cannot be a
+            # live writer's in-flight publish — publish lands content
+            # atomically with the claim — so an unparseable file is dead.
             fsutil.delete(self.spark, path, recursive=False)
             try:
-                fsutil.create_text_exclusive(self.spark, path, payload)
+                fsutil.publish_text_claim(self.spark, path, payload)
             except FileExistsError:
                 raise ConcurrentCommitError(
                     f"version {version!r} at {self.root} was claimed while "
-                    "reclaiming a crashed commit; re-read and retry"
+                    "reclaiming a damaged manifest; re-read and retry"
                 ) from None
+        self._manifest_memo[version] = manifest
         fsutil.write_text_atomic(self.spark, self._pointer, version)
 
     # -- bucketing --------------------------------------------------------
@@ -365,13 +390,32 @@ class _VersionedTable:
         manifest = self._manifest(version)
         return self._read_paths(list(manifest["buckets"].values()))
 
-    def vacuum(self, keep: int = 5) -> int:
+    #: Default GC grace period for data dirs referenced by no manifest.
+    #: A commit writes its data dir BEFORE publishing its manifest, so an
+    #: unreferenced dir is an expected transient state of a live commit,
+    #: not an anomaly — Delta-style tombstone retention keeps a vacuum
+    #: overlapping an in-flight commit from collecting the attempt's data
+    #: out from under its about-to-land manifest.
+    GC_RETENTION_MS = 60 * 60 * 1000
+
+    def vacuum(self, keep: int = 5,
+               retention_ms: int | None = None) -> int:
         """Drop all but the newest ``keep`` versions (never the current).
 
         A data directory survives as long as ANY kept manifest still
         references one of its buckets (carry-over means old commits' files
-        can back newer manifests). Returns the number of versions removed.
+        can back newer manifests). Unreferenced data dirs — crashed or
+        losing attempts, but also *live commits between data write and
+        manifest publish* — are age-gated: only dirs whose modification
+        time is older than ``retention_ms`` (default
+        ``GC_RETENTION_MS``, 1h) are collected, so a vacuum running
+        concurrently with a commit cannot GC the attempt's buckets before
+        its manifest lands. Pass ``retention_ms=0`` only when no commit
+        can be in flight (tests, offline maintenance). Returns the number
+        of versions removed.
         """
+        if retention_ms is None:
+            retention_ms = self.GC_RETENTION_MS
         hist = self.history()
         current = self._current_version()
         drop = [v for v in hist[:-keep] if v != current] if len(hist) > keep else []
@@ -381,11 +425,27 @@ class _VersionedTable:
             for path in self._manifest(v)["buckets"].values():
                 # .../data/<version>/bucket=<k> → <version>
                 referenced.add(path.rstrip("/").split("/")[-2])
+        import time
+
+        cutoff = int(time.time() * 1000) - retention_ms
         for name in fsutil.list_names(self.spark, f"{self.root}/data"):
-            if name not in referenced:
-                fsutil.delete(self.spark, f"{self.root}/data/{name}")
+            if name in referenced:
+                continue
+            path = f"{self.root}/data/{name}"
+            mtime = fsutil.modification_time_ms(self.spark, path)
+            if mtime is not None and mtime > cutoff:
+                continue  # young enough to be a live commit's attempt
+            fsutil.delete(self.spark, path)
+        for name in fsutil.list_names(self.spark, self._versions_dir):
+            # Crashed publishes leave *.tmp-* siblings; same age gate.
+            if ".tmp-" in name:
+                path = f"{self._versions_dir}/{name}"
+                mtime = fsutil.modification_time_ms(self.spark, path)
+                if mtime is None or mtime <= cutoff:
+                    fsutil.delete(self.spark, path, recursive=False)
         for v in drop:
             fsutil.delete(self.spark, f"{self._versions_dir}/{v}.json")
+            self._manifest_memo.pop(v, None)
         return len(drop)
 
 

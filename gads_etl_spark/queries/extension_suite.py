@@ -1809,7 +1809,11 @@ def ext_fuzzy_passjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dfq AS (
       SELECT term, count(*) AS df FROM tf GROUP BY term
       HAVING count(*) <= greatest(
-        50, CAST(0.1 * (SELECT count(*) FROM documents) AS BIGINT))
+        -- floor(), not a bare CAST: DuckDB's decimal->BIGINT cast rounds
+        -- to nearest, while the engine truncates (int(max_df_frac * N) in
+        -- dedup.py) -- on doc counts not divisible by 10 the two cutoffs
+        -- would differ by one and any term on the boundary breaks parity.
+        50, CAST(floor(0.1 * (SELECT count(*) FROM documents)) AS BIGINT))
     ), n AS (
       SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
     ), w0 AS (

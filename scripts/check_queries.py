@@ -22,6 +22,42 @@ def canon(pdf):
     return sorted(tuple(repr(v) for v in r) for r in pdf[cols].itertuples(index=False))
 
 
+def ulp_match(a_pdf, e_pdf) -> bool:
+    """Secondary check when exact repr-match fails: cell-wise equality
+    with floats allowed a ~1-ulp relative slack (rel_tol=1e-12).
+
+    Exists for one measured phenomenon (SCALING.md, sf1 q01): decimal
+    sums past ~2.8e10 with 6 decimals exceed double's 2^53 exact range in
+    micro-units, and DuckDB's decimal->double cast rounds one ulp
+    differently than Java BigDecimal while the un-cast decimals are
+    bit-identical. 1e-12 is ~4500 ulps yet five orders of magnitude
+    below the smallest real defect (one dropped row in a 6M-row sum
+    shifts the result by ~3e-7 relative), so this cannot mask a bug —
+    only a cast-rounding artifact. Non-float cells stay exact.
+    """
+    import math
+
+    if sorted(a_pdf.columns) != sorted(e_pdf.columns):
+        return False
+    if len(a_pdf) != len(e_pdf):
+        return False
+    cols = sorted(a_pdf.columns)
+    a_rows = sorted(a_pdf[cols].itertuples(index=False),
+                    key=lambda r: tuple(repr(v) for v in r))
+    e_rows = sorted(e_pdf[cols].itertuples(index=False),
+                    key=lambda r: tuple(repr(v) for v in r))
+    for ra, re_ in zip(a_rows, e_rows):
+        for va, ve in zip(ra, re_):
+            if isinstance(va, float) and isinstance(ve, float):
+                if va != ve and not (
+                    math.isnan(va) and math.isnan(ve)
+                ) and not math.isclose(va, ve, rel_tol=1e-12, abs_tol=1e-12):
+                    return False
+            elif repr(va) != repr(ve):
+                return False
+    return True
+
+
 def main() -> int:
     from gads_etl_spark.session import get_session
     from gads_etl_spark.queries import REGISTRY
@@ -57,7 +93,11 @@ def main() -> int:
         a, e = canon(a_pdf), canon(e_pdf)
         schema_ok = sorted(a_pdf.columns) == sorted(e_pdf.columns)
         ok = a == e and schema_ok
-        print(f"{name:34s} {'MATCH' if ok else 'MISMATCH'} "
+        label = "MATCH"
+        if not ok and schema_ok and ulp_match(a_pdf, e_pdf):
+            ok = True
+            label = "MATCH~ulp"  # exact but for float cast rounding
+        print(f"{name:34s} {label if ok else 'MISMATCH'} "
               f"spark={len(a)} oracle={len(e)} ({time.perf_counter()-t0:.1f}s)")
         if not ok:
             failures += 1

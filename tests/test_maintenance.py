@@ -177,12 +177,90 @@ class TestConcurrentCommitDetection:
         # A's commit is intact; B's row never became visible.
         got = {r.customer_id: r.status for r in writer_a.read().collect()}
         assert got == {"1": "pending", "A": "success"}
-        # B's orphan data dir is referenced by no manifest → vacuum GCs it.
+        # B's orphan data dir is referenced by no manifest. A default
+        # vacuum must NOT touch it: a young unreferenced dir is
+        # indistinguishable from a live commit between data write and
+        # manifest publish (age-gated GC, Delta-style retention).
         import os
         data_root = str(tmp_path / "state" / "data")
         n_dirs_before = len(os.listdir(data_root))
         writer_a._table.vacuum(keep=100)
+        assert len(os.listdir(data_root)) == n_dirs_before
+        # With the grace period waived (offline maintenance), it's GC'd.
+        writer_a._table.vacuum(keep=100, retention_ms=0)
         assert len(os.listdir(data_root)) == n_dirs_before - 1
+
+
+class TestAtomicManifestPublish:
+    def test_loser_always_observes_full_content(self, spark, tmp_path):
+        # The race the old create-then-write protocol lost: writer A
+        # creates the manifest, writer B collides, reads it back EMPTY
+        # (A hasn't written yet), classifies it as a corpse, deletes it,
+        # and claims the seq — both "win" and one commit vanishes. With
+        # publish-with-content the destination never exists without its
+        # full payload, so whenever ANY racer sees FileExistsError the
+        # occupant must parse. Hammer the claim from many threads.
+        import json
+        import threading
+
+        from gads_etl_spark.pipeline import fsutil
+
+        path = str(tmp_path / "claims" / "v_0000000001.json")
+        fsutil.mkdirs(spark, str(tmp_path / "claims"))
+        n = 8
+        barrier = threading.Barrier(n)
+        outcomes: list[tuple[str, object]] = []
+        lock = threading.Lock()
+
+        def racer(i: int) -> None:
+            payload = json.dumps({"version": "v_0000000001", "writer": i})
+            barrier.wait()
+            try:
+                fsutil.publish_text_claim(spark, path, payload)
+                with lock:
+                    outcomes.append(("won", i))
+            except FileExistsError:
+                # At the instant of loss the occupant MUST be complete.
+                seen = fsutil.read_text(spark, path)
+                with lock:
+                    outcomes.append(("lost", json.loads(seen)))
+
+        threads = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        winners = [i for kind, i in outcomes if kind == "won"]
+        assert len(winners) == 1  # the filesystem admitted exactly one
+        final = json.loads(fsutil.read_text(spark, path))
+        assert final == {"version": "v_0000000001", "writer": winners[0]}
+        # Every loser saw the winner's full manifest, never a partial.
+        for kind, seen in outcomes:
+            if kind == "lost":
+                assert seen == final
+        # No temp litter left behind by winners or losers.
+        litter = [f for f in os.listdir(tmp_path / "claims") if ".tmp-" in f]
+        assert litter == []
+
+    def test_vacuum_age_gates_inflight_attempt_dirs(self, spark, tmp_path):
+        # A commit writes data/<version>-<token>/ BEFORE publishing its
+        # manifest; vacuum must not GC such a young unreferenced dir.
+        states = StateStore(spark, str(tmp_path / "state"))
+        states.upsert(spark.createDataFrame([_row("1", "pending")], STATE_SCHEMA))
+        table = states._table
+        # Simulate the in-flight window: buckets written, manifest not yet.
+        inflight = table._write_buckets(states.read(), "v_0000000099")
+        data_root = str(tmp_path / "state" / "data")
+        n_before = len(os.listdir(data_root))
+        table.vacuum(keep=1)  # default retention: in-flight dir survives
+        assert len(os.listdir(data_root)) == n_before
+        # The attempt can still land: its buckets are intact.
+        table._publish("v_0000000002", table._current_manifest(), inflight)
+        assert states.read().count() == 1
+        # Old enough (grace waived) + still referenced → still survives.
+        table.vacuum(keep=5, retention_ms=0)
+        assert states._table.read_version("v_0000000002").count() == 1
 
 
 def _dir_digest(path):
