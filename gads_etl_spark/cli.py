@@ -3,6 +3,7 @@
 Mirrors the reference Typer app (src/gads_etl/cli.py) command-for-command
 with argparse (no extra dependency):
 
+    daily | catch-up
     state inspect | retry | mark-terminal | backfill
     observe state | freshness | retries
     warehouse load
@@ -301,8 +302,10 @@ def cmd_state_vacuum(args) -> int:
 
     spark = get_session("gads-etl-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    dropped_s = StateStore(spark, args.state_root)._table.vacuum(keep=args.keep)
-    dropped_p = PointerStore(spark, args.pointer_root)._table.vacuum(keep=args.keep)
+    dropped_s = StateStore(spark, args.state_root)._table.vacuum(
+        keep=args.keep, retention_ms=args.retention_ms)
+    dropped_p = PointerStore(spark, args.pointer_root)._table.vacuum(
+        keep=args.keep, retention_ms=args.retention_ms)
     print(f"vacuumed {dropped_s} state version(s), {dropped_p} pointer version(s); "
           f"kept newest {args.keep}")
     return 0
@@ -375,6 +378,82 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def _run_sync(args, lookback_days: int | None, target: date) -> int:
+    """Shared body of ``daily`` and ``catch-up`` (reference cli.py:40-57:
+    catch-up IS a daily sync with the lookback widened to the window)."""
+    from gads_etl_spark.pipeline import PointerStore, StateStore
+    from gads_etl_spark.pipeline.config import load_config_file
+    from gads_etl_spark.pipeline.curated_sink import CuratedZone
+    from gads_etl_spark.pipeline.raw_sink import RawZone
+    from gads_etl_spark.pipeline.runner import run_daily
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("gads-etl-spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    config = load_config_file(args.config)
+
+    # One source DataFrame per entity the config's queries extract from,
+    # read from --sources-root/<entity>.<format> (the connector stand-in;
+    # a live deployment plugs the ads DataSource here). Missing entities
+    # stay absent: run_daily's partial-failure accounting marks their
+    # partitions failed and the rest proceed — the reference's
+    # connector-down behavior, not a crash.
+    reader = (spark.read if args.sources_format == "parquet"
+              else spark.read.format("json"))
+    sources = {}
+    for entity in {q.entity for q in config.queries}:
+        path = f"{args.sources_root}/{entity}.{args.sources_format}"
+        try:
+            sources[entity] = (reader.parquet(path)
+                               if args.sources_format == "parquet"
+                               else reader.load(path))
+        except Exception:  # noqa: BLE001 — absent source ≠ CLI crash
+            pass
+
+    report = run_daily(
+        spark=spark, config=config, sources=sources,
+        raw=RawZone(spark, args.raw_root),
+        states=StateStore(spark, args.state_root),
+        pointers=PointerStore(spark, args.pointer_root),
+        target_date=target,
+        curated=(CuratedZone(spark, args.curated_root)
+                 if args.curated_root else None),
+        run_id=args.run_id,
+        lookback_days=lookback_days,
+    )
+    out = {
+        "run_id": report.run_id,
+        "extracted": len(report.extracted),
+        "extract_errors": {str(k): v for k, v in report.extract_errors.items()},
+        "validated_success": report.validated_success,
+        "validated_failed": report.validated_failed,
+        "staged": report.staged,
+        "published": report.published,
+        "ok": report.ok,
+    }
+    if args.json:
+        print(json.dumps(out, default=str))
+    else:
+        for k, v in out.items():
+            print(f"{k}={v}")
+    return 0 if report.ok else 1
+
+
+def cmd_daily(args) -> int:
+    """The reference's primary entry point (`gads-etl daily`): one daily
+    incremental sync for --date (default: today)."""
+    target = _date(args.date) or date.today()
+    return _run_sync(args, lookback_days=None, target=target)
+
+
+def cmd_catch_up(args) -> int:
+    """`gads-etl catch-up [--days N]`: backfill a date window — a daily
+    sync whose lookback covers the whole window (reference
+    pipeline.py:179-185)."""
+    target = _date(args.end) or date.today()
+    return _run_sync(args, lookback_days=args.days, target=target)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="gads-etl-spark")
     p.add_argument("--state-root", default="data/state")
@@ -415,6 +494,29 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--force", action="store_true")
     sp.set_defaults(fn=cmd_state_backfill)
 
+    def sync_args(sp):
+        sp.add_argument("--config", required=True,
+                        help="pipeline YAML (source, customer_ids, queries)")
+        sp.add_argument("--sources-root", required=True,
+                        help="dir of <entity>.<format> connector stand-ins")
+        sp.add_argument("--sources-format", default="parquet",
+                        choices=("parquet", "json"))
+        sp.add_argument("--curated-root",
+                        help="also stage+publish curated copies here")
+        sp.add_argument("--run-id", help="override the generated run_id")
+
+    sp = sub.add_parser("daily", help="one daily incremental sync")
+    sync_args(sp)
+    sp.add_argument("--date", help="target logical date (default: today)")
+    sp.set_defaults(fn=cmd_daily)
+
+    sp = sub.add_parser("catch-up", help="backfill a date window")
+    sync_args(sp)
+    sp.add_argument("--end", help="window end date (default: today)")
+    sp.add_argument("--days", type=int, required=True,
+                    help="catch-up window length in days")
+    sp.set_defaults(fn=cmd_catch_up)
+
     sub.add_parser("warehouse-load").set_defaults(fn=cmd_warehouse_load)
     sub.add_parser("observe-state").set_defaults(fn=cmd_observe_state)
     sub.add_parser("observe-freshness").set_defaults(fn=cmd_observe_freshness)
@@ -445,6 +547,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("state-vacuum")
     sp.add_argument("--keep", type=int, default=5)
+    sp.add_argument("--retention-ms", type=int, default=None,
+                    help="GC grace for unreferenced data dirs (default 1h; "
+                         "0 only when no commit can be in flight)")
     sp.set_defaults(fn=cmd_state_vacuum)
 
     sp = sub.add_parser("corpus-diff")

@@ -58,6 +58,7 @@ def run_daily(
     curated: CuratedZone | None = None,
     run_id: str | None = None,
     dq_checks: list | None = None,
+    lookback_days: int | None = None,
 ) -> RunReport:
     """One daily sync: extract → validate (one batch) → load → publish.
 
@@ -65,9 +66,13 @@ def run_daily(
     for the live connector; a real deployment plugs a DataSource here).
     ``dq_checks`` (operators/dq.py constraints) gate each curated staging
     copy — a violating partition stages nothing and fails the run loudly.
+    ``lookback_days`` overrides the config's daily lookback — the
+    reference's catch-up mode is exactly a daily sync with the lookback
+    widened to the catch-up window (pipeline.py:179-185), so
+    ``run_daily(..., lookback_days=window)`` IS historical_catch_up.
     """
     report = RunReport(run_id=run_id or new_run_id())
-    runs = plan_daily_runs(config, target_date)
+    runs = plan_daily_runs(config, target_date, lookback_days=lookback_days)
 
     for r in runs:
         qdef = config.query(r.query_name)

@@ -215,3 +215,59 @@ class TestParseCheckValidation:
         for spec in ["not_null:id", "unique:a+b", "in_set:lang:en|es",
                      "in_range:n:1:10", "matches:name:^x"]:
             assert _parse_check(spec) is not None
+
+
+class TestDailyAndCatchUp:
+    """`daily` / `catch-up` — the reference's primary entry points
+    (reference src/gads_etl/cli.py:40-57) bound to the CLI."""
+
+    YAML = """
+source: google_ads
+customer_ids: "123"
+queries:
+  - name: campaign_stats
+    entity: campaign
+    date_column: segments.date
+    fields: [campaign.id, segments.date, metrics.clicks]
+"""
+
+    @pytest.fixture
+    def sync_env(self, spark, tmp_path):
+        from pyspark.sql import Row
+
+        (tmp_path / "cfg.yaml").write_text(self.YAML)
+        rows = [Row(campaign=Row(id=c), segments=Row(date=d),
+                    metrics=Row(clicks=c * 10))
+                for d in ("2024-01-01", "2024-01-02") for c in (1, 2)]
+        spark.createDataFrame(rows).write.parquet(
+            str(tmp_path / "srcs" / "campaign.parquet"))
+        return ["--state-root", str(tmp_path / "state"),
+                "--pointer-root", str(tmp_path / "ptr"),
+                "--raw-root", str(tmp_path / "raw"),
+                "--json",
+                ], ["--config", str(tmp_path / "cfg.yaml"),
+                    "--sources-root", str(tmp_path / "srcs")]
+
+    def test_daily_end_to_end(self, sync_env, capsys):
+        roots, sync = sync_env
+        assert main([*roots, "daily", *sync, "--date", "2024-01-02"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["ok"] and out["extracted"] == 1
+        assert out["validated_success"] == 1 and out["published"]["load"] == 1
+
+    def test_catch_up_widens_the_window(self, sync_env, capsys):
+        roots, sync = sync_env
+        assert main([*roots, "catch-up", *sync, "--end", "2024-01-02",
+                     "--days", "30"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["ok"] and out["extracted"] == 1
+
+    def test_connector_down_is_partial_failure_not_crash(
+            self, sync_env, capsys, tmp_path):
+        roots, _ = sync_env
+        assert main([*roots, "daily",
+                     "--config", str(tmp_path / "cfg.yaml"),
+                     "--sources-root", str(tmp_path / "nonexistent"),
+                     "--date", "2024-01-02"]) == 1
+        out = json.loads(capsys.readouterr().out)
+        assert not out["ok"] and out["extract_errors"]
