@@ -77,6 +77,7 @@ EXTRA = [
     "ev_transition_matrix",
     "ev_top_paths",
     "ext_bm25_search",
+    "ev_heavy_hitters",
 ]
 
 

@@ -416,15 +416,25 @@ def edit_distance_pairs_passjoin(
     shift bound. Candidates are the equi-join on
     ``block_cols + (len, seg_idx, seg)``; Levenshtein verifies them.
 
-    Cost: O(max_dist³) ≈ tens of short probe keys per row — the shuffle
-    is LINEAR in the corpus, and the quadratic term is gone entirely:
-    only rows sharing an aligned segment ever meet. This is what makes
-    fuzzy matching survive fixed-cardinality block keys (a categorical
-    block grows linearly with the corpus, so Σ|block|² grows
-    quadratically — the sf0.1→sf1 run measured blocked comparison at
-    ~15× wall for 10× data; PassJoin holds ~linear). Both orientations
-    of every matching pair are found (the pigeonhole holds symmetric),
-    so ``a_id < b_id`` keeps exactly one.
+    Cost: O(max_dist³) short probe keys per row — the shuffle is LINEAR
+    in the corpus, and the quadratic term is gone entirely: only rows
+    sharing an aligned segment ever meet. This is what makes fuzzy
+    matching survive fixed-cardinality block keys (a categorical block
+    grows linearly with the corpus, so Σ|block|² grows quadratically —
+    the sf0.1→sf1 run measured blocked comparison at ~15× wall for 10×
+    data; PassJoin holds ~linear).
+
+    ONE-SIDED convention (the paper's): every row indexes its segments,
+    but a row probes only index lengths ≤ its own (``dl ∈ [-tau, 0]``),
+    and equal-length pairs orient by id — so each matching pair meets in
+    exactly one orientation instead of two. This halves the probe keys
+    (at tau=2: 8 shift-pruned keys per segment index vs 17 two-sided)
+    and halves the candidate stream feeding the dedup. Empty strings are
+    always on the INDEX side of their pairs (length 0 ≤ everything), so
+    the orientation never discards a pair's only surviving direction —
+    the failure mode the seeded brute-force equivalence test caught in
+    the symmetric variant's id-filter. Output ids are normalized to
+    ``a_id < b_id`` regardless of which side was shorter.
 
     Segments of strings shorter than ``max_dist + 1`` can be empty;
     empty-segment keys are kept (dropping them would break the
@@ -454,16 +464,13 @@ def edit_distance_pairs_passjoin(
     # to a pair within tau edits — ~half the probe keys of the naive
     # |d| <= tau window (e.g. dl=0 admits 3 shifts, not 5, at tau=2).
     probe_keys = (
-        f"array_distinct(flatten(transform(sequence(-{tau}, {tau}), dl -> "
+        # dl <= 0: one-sided — probe only index lengths <= own length.
+        f"array_distinct(flatten(transform(sequence(-{tau}, 0), dl -> "
         f"flatten(transform(sequence(0, {tau}), i -> "
         f"filter(transform(sequence(-{tau}, {tau}), d -> "
         f"struct(_ln + dl AS l, i AS i, "
         # _ln + dl >= 0 (not 1): an EMPTY index string still emits its
-        # (0, i, '') segment keys, and the probe must reach them — with
-        # a >= 1 guard the pair ('', 'a') is only found in the
-        # orientation the a_id < b_id filter discards when the empty
-        # string has the larger id (caught by the seeded brute-force
-        # equivalence test).
+        # (0, i, '') segment keys, and the probe must reach them.
         f"CASE WHEN abs(d) + abs(dl + d) <= {tau} "
         f"AND _ln + dl >= 0 AND {st('_ln + dl', 'i')} + d >= 0 AND "
         f"{st('_ln + dl', 'i')} + d + ({st('_ln + dl', 'i + 1')} - "
@@ -479,22 +486,33 @@ def edit_distance_pairs_passjoin(
              F.col("_k.l").alias("l"), F.col("_k.i").alias("i"),
              F.col("_k.seg").alias("seg"))
     probe = base.select(
-        F.col(id_col).alias("b_id"), F.col("_nm").alias("b_nm"), *block_cols,
+        F.col(id_col).alias("b_id"), F.col("_nm").alias("b_nm"),
+        F.col("_ln").alias("b_ln"), *block_cols,
         F.explode(F.expr(probe_keys)).alias("_k"),
-    ).select("b_id", "b_nm", *block_cols,
+    ).select("b_id", "b_nm", "b_ln", *block_cols,
              F.col("_k.l").alias("l"), F.col("_k.i").alias("i"),
              F.col("_k.seg").alias("seg"))
-    candidates = (
+    # Verify BEFORE deduplicating: a pair can agree on several segment
+    # keys, so the candidate stream carries duplicates — but Levenshtein
+    # on a duplicate is cheap map-side work (≤ nseg·shifts ≈ 8 repeats,
+    # short strings), while a pre-verify distinct would shuffle the FULL
+    # candidate stream with both name strings attached. Verifying first
+    # shrinks the dedup shuffle to the matched id-pairs (three narrow
+    # columns), orders of magnitude smaller than the candidate stream.
+    return (
         idx.join(probe, [*block_cols, "l", "i", "seg"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_nm", "b_nm")
-        .distinct()  # a pair can agree on several segment keys
-    )
-    return candidates.where(
-        F.levenshtein("a_nm", "b_nm") <= max_dist
-    ).select(
-        "a_id", "b_id",
-        F.levenshtein("a_nm", "b_nm").cast("int").alias("edit_dist"),
+        # Orientation: strictly-shorter index rows pair unconditionally
+        # (the probe never looks upward, so the pair meets only here);
+        # equal-length pairs orient by id. Also excludes self-pairs.
+        .where((F.col("l") < F.col("b_ln"))
+               | (F.col("a_id") < F.col("b_id")))
+        .where(F.levenshtein("a_nm", "b_nm") <= max_dist)
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            F.levenshtein("a_nm", "b_nm").cast("int").alias("edit_dist"),
+        )
+        .distinct()
     )
 
 

@@ -93,14 +93,19 @@ def ev_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionization",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, {_CENTS} AS cents,
+        SELECT user_id, ts, event_id, {_CENTS} AS cents,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_start
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        -- event_id tiebreak: without it, tied timestamps crossing a
+        -- session boundary are split across the two sessions by
+        -- whatever order the engine visits ties in (session_window
+        -- groups by ts VALUE, so all tied events land together)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-        SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )
@@ -136,14 +141,19 @@ def ev_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ev_sessionization_twophase",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, {_CENTS} AS cents,
+        SELECT user_id, ts, event_id, {_CENTS} AS cents,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS is_start
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        -- event_id tiebreak: without it, tied timestamps crossing a
+        -- session boundary are split across the two sessions by
+        -- whatever order the engine visits ties in (session_window
+        -- groups by ts VALUE, so all tied events land together)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
-        SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        SELECT *, sum(is_start) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM flagged
     )

@@ -11,14 +11,40 @@ workload honest at the larger scale:
   so join selectivities and group cardinalities scale like real TPC-H
   (region/nation stay fixed, as TPC-H dimensions do at every SF).
 - events: key-shifted copies — 10x users, identical per-user activity
-  shape (sessionization/funnel state per user stays constant-size).
-- documents: copy i>0 suffixes EVERY word with ``_r{i}`` and the source
-  with ``_r{i}``; each copy is an isomorphic corpus over a DISJOINT
-  vocabulary, so dedup/similarity candidate structure scales linearly
-  (cross-copy shingle Jaccard is 0 — no artificial 10x-duplicate blowup)
-  and blocked operators see ``factor``x more bounded-size blocks, which
-  is exactly how a real corpus grows (more sources, not bigger ones).
-  n_chars is recomputed from the rewritten text.
+  shape (sessionization/funnel state per user stays constant-size) —
+  PLUS two planted heavy users shared by every copy: a fixed ~0.3% and
+  ~0.1% of each copy's events (selected by ``event_id mod 1000``, so
+  the same logical events in every copy) are reassigned to two user ids
+  outside all copies' key ranges. Uniform 10x user dilution would
+  otherwise push every user below `ev_heavy_hitters`' 0.0008 support
+  (the r7 tier answered 0 rows — correct but evidentially empty); the
+  plants keep one solidly-heavy and one just-above-support key at EVERY
+  factor, and give sessionization/window paths a genuinely hot key.
+- documents: every copy (including copy 0) is rewritten token-wise into
+  a Heaps-law-shaped vocabulary. Each token's class is a deterministic
+  hash of its TRIGRAM CONTEXT (the two preceding words + itself), so
+  identical base texts rewrite identically (the 8 planted exact-dup
+  groups survive verbatim) and shared regions of near-dup texts rewrite
+  identically except at edit boundaries (near-dup structure survives):
+  * head (~35% of occurrences): the base word, UNsuffixed — shared
+    across all copies; its df grows with the corpus and stays above the
+    10% max-df stopword cut at every tier, like real stopwords.
+  * mid (~35%): ``w_r{i}_m{k}``, k in 0..9 — copy-local mid-frequency
+    vocabulary (df ~ hundreds), the Zipf middle.
+  * tail (~30%): ``w_r{i}_h{t}``, t = trigram hash — copy-local RARE
+    vocabulary (thousands of types per copy, df ~ 1-10), the Heaps tail
+    the r7 tier lacked. The tail is what makes prefix-filtered
+    similarity joins behave like real text: the rarest terms carry
+    short postings, so candidates stay corpus-linear instead of the
+    tail-less 1.9B-row candidate join SCALING.md documents.
+  Cross-copy similarity stays at background level (a shared word
+  trigram needs 3 consecutive head-class tokens, ~4% of positions), so
+  there is still no artificial factor²-duplicate blowup; the source
+  column keeps its ``_r{i}`` suffix so blocked operators still see
+  ``factor``x more bounded-size blocks. n_chars is recomputed. Run with
+  ``--factor 1`` to emit the same-distribution baseline tier
+  (``.localdata/sf0.1h``) that sf1 scaling ratios for document/event
+  queries should be measured against.
 - embeddings: copy i rotates each vector left by ``7*i mod dim``
   positions — norms and coordinate distributions are preserved, while
   cross-copy cosines fall to the natural background level (no planted
@@ -104,12 +130,31 @@ def main() -> None:
     for name in ["region", "nation"]:
         write(name, tables[name])
 
+    # Heavy-hitter plants: constant user ids beyond every copy's range.
+    heavy_solid = args.factor * strides["user_id"] + 1   # ~0.3% share
+    heavy_marginal = args.factor * strides["user_id"] + 2  # ~0.1% share
+
     for name, shifts in TPCH_KEY_SHIFTS.items():
         def shift(df, i, name=name, shifts=shifts):
             out = df
+            if name == "events":
+                # Mark by the ORIGINAL event_id (pre-shift) so every
+                # copy reassigns the same logical events; mod 1000 keys
+                # 1,2,3 -> solid hitter (0.3%), key 0 -> marginal (0.1%,
+                # just above ev_heavy_hitters' 0.0008 support).
+                out = out.withColumn(
+                    "_hh", F.pmod(F.col("event_id"), F.lit(1000)))
             for col, stride_col in shifts.items():
                 out = out.withColumn(
                     col, F.col(col) + F.lit(i * strides[stride_col]))
+            if name == "events":
+                # Reassign AFTER the key shift: planted ids are fixed
+                # points shared by every copy, outside all shifted ranges.
+                out = out.withColumn(
+                    "user_id",
+                    F.when(F.col("_hh").isin(1, 2, 3), F.lit(heavy_solid))
+                    .when(F.col("_hh") == 0, F.lit(heavy_marginal))
+                    .otherwise(F.col("user_id"))).drop("_hh")
             if name == "part" and i > 0:
                 # Copies must not clone p_name: fuzzy matching would see
                 # every part 10x duplicated and its OUTPUT would grow
@@ -138,11 +183,27 @@ def main() -> None:
         write(name, _copies(tables[name], args.factor, shift))
 
     def doc_copy(df, i):
-        if i == 0:
-            return df
-        text = F.array_join(
-            F.transform(F.split(F.col("text"), " "),
-                        lambda w: F.concat(w, F.lit(f"_r{i}"))), " ")
+        toks = F.split(F.col("text"), " ")
+
+        def rewrite(w, p):
+            # Class + rare id derive from the TRIGRAM ending at p, never
+            # from doc_id: identical base texts rewrite identically
+            # (exact dups survive) and shared regions of near-dup texts
+            # rewrite identically except at edit boundaries. F.get is
+            # 0-based and null-safe out of range (F.hash accepts nulls).
+            prev2, prev1 = F.get(toks, p - 2), F.get(toks, p - 1)
+            cls = F.pmod(F.hash(prev2, prev1, w, F.lit(11)), F.lit(100))
+            mid = F.pmod(F.hash(prev2, prev1, w, F.lit(17)), F.lit(10))
+            rare = F.pmod(F.hash(prev2, prev1, w, F.lit(13)), F.lit(100000))
+            return (
+                F.when(cls < 35, w)  # shared stopword-like head
+                .when(cls < 70, F.concat(  # copy-local mid-frequency zone
+                    w, F.lit(f"_r{i}_m"), mid.cast("string")))
+                .otherwise(F.concat(  # copy-local Heaps tail, df ~ 1-10
+                    w, F.lit(f"_r{i}_h"), rare.cast("string")))
+            )
+
+        text = F.array_join(F.transform(toks, rewrite), " ")
         return df.select(
             (F.col("doc_id") + F.lit(i * strides["doc_id"])).alias("doc_id"),
             text.alias("text"),
