@@ -78,6 +78,7 @@ EXTRA = [
     "ev_top_paths",
     "ext_bm25_search",
     "ev_heavy_hitters",
+    "ext_hybrid_search",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Ranked retrieval: BM25 scoring, deterministic top-k ranking, and
+reciprocal-rank fusion of heterogeneous rankings.
+
+The reference has no search surface (its queries are exact composites,
+reference src/gads_etl/keys.py); these operators are the engine
+extensions a training-data pipeline uses to mine corpora by QUERY —
+lexical (BM25 over an inverted-postings shape), dense (cosine over an
+embedding column), and the standard way to combine them, RRF
+(Cormack, Clarke & Buettcher, SIGIR 2009: reciprocal rank fusion
+outperforms Condorcet and individual rank learning methods) — public
+method, public constant k=60.
+
+Exactness discipline (the repo convention): every score that crosses an
+engine boundary is quantized to integers BEFORE summing — BM25 to
+micro-ints, RRF contributions to nano-ints — so ranking and scores are
+bit-identical between Spark and any SQL oracle; float summation order
+never enters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BM25 score (micro-int column ``sm``) for ``terms``.
+
+    Robertson/Lucene formulation. Scale shape: the postings scan filters
+    to the query's terms at the source (an IN over a handful of literals
+    — pushdown-able, the inverted-index probe of a search engine), df is
+    one tiny aggregate, corpus stats (N, avgdl) are two driver scalars a
+    real deployment precomputes, per-term scores quantize to micro-ints
+    before the per-doc sum.
+    """
+    from gads_etl_spark.operators.dedup import tokens
+
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
+    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = float(sum_dl) / n_docs
+    tf = (
+        docs.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    scores = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col),
+            F.round(
+                # (k1 + 1) as the literal 2.2, not computed: both engines
+                # must parse the SAME double (float(1.2) + 1 need not
+                # equal float(2.2) bit-for-bit).
+                idf * F.col("tf") * 2.2
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+                * 1_000_000).cast("long").alias("s_micro"),
+        )
+    )
+    return scores.groupBy(id_col).agg(F.sum("s_micro").alias("sm"))
+
+
+def ranked_topk(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    k: int = 50,
+    descending: bool = True,
+) -> DataFrame:
+    """Deterministic (id, rank) for the top-``k`` rows by score.
+
+    Two stages so no stage is a scale hazard: a distributed
+    TakeOrdered (orderBy + limit — never a single-partition window over
+    the corpus) cuts to k rows, then row_number over those k assigns
+    ranks. Ties break by ascending id, so the ranking is engine-exact.
+    """
+    order = [F.desc(score_col) if descending else F.asc(score_col),
+             F.asc(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long")) \
+              .select(id_col, "rank")
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal Rank Fusion over named (id, rank) lists.
+
+    Each list contributes ``round(1e9 / (k + rank))`` nano-int points
+    for the ids it ranks; absent ids contribute 0 (and surface rank 0 in
+    the per-list ``rank_<name>`` column — an explicit sentinel rather
+    than NULL, so the fused row says which signals fired). The fused
+    score is the exact integer sum, so cross-engine ordering is
+    bit-stable; no divisor ≤ k + corpus can make 1e9/d land exactly on
+    .5 (that needs 2e9/d odd, i.e. d ≥ 2^10), so rounding mode never
+    differs between engines either.
+    """
+    fused = None
+    for name, ranked in rankings.items():
+        contrib = ranked.select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias(f"rank_{name}"),
+            F.round(F.lit(1e9) / (F.lit(k) + F.col("rank")))
+            .cast("long").alias(f"_c_{name}"),
+        )
+        fused = contrib if fused is None else fused.join(
+            contrib, id_col, "full_outer")
+    rank_cols = [f"rank_{n}" for n in rankings]
+    score = sum((F.coalesce(F.col(f"_c_{n}"), F.lit(0)) for n in rankings),
+                F.lit(0))
+    return fused.select(
+        id_col,
+        score.cast("long").alias("rrf_nano"),
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in rank_cols],
+    )

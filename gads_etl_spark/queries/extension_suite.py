@@ -2800,45 +2800,118 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id tiebreak), so ranking and scores agree with the oracle
     bit-for-bit — float summation order never enters.
     """
-    from gads_etl_spark.operators.dedup import tokens
+    from gads_etl_spark.operators.retrieval import bm25_scores
 
-    q_terms = ["hash", "join", "filter"]
-    k1, b = 1.2, 0.75
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl"))
-    n_docs, sum_dl = dl.agg(
-        F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    avgdl = float(sum_dl) / n_docs
-    tf = (
-        docs.select("doc_id",
-                    F.explode(tokens(F.col("text"))).alias("term"))
-        .where(F.col("term").isin(q_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1)
-    scores = (
-        tf.join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
-        .select(
-            "doc_id",
-            F.round(
-                # 2.2 as a literal, not k1 + 1: both engines must parse
-                # the SAME double (float(1.2) + 1 need not equal
-                # float(2.2) bit-for-bit).
-                idf * F.col("tf") * 2.2
-                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
-                * 1_000_000).cast("long").alias("s_micro"),
-        )
-    )
     return (
-        scores.groupBy("doc_id").agg(F.sum("s_micro").alias("sm"))
+        bm25_scores(docs, ["hash", "join", "filter"])
         .orderBy(F.desc("sm"), F.asc("doc_id"))
         .limit(20)
         .select("doc_id",
                 F.round(F.col("sm").cast("double") / 1_000_000, 6)
                 .alias("bm25"))
+    )
+
+
+@register(
+    "ext_hybrid_search",
+    oracle="""
+    WITH q(term) AS (VALUES ('hash'), ('join'), ('filter')),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN (SELECT term FROM q)
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), bmscore AS (
+      SELECT tf.doc_id,
+             sum(CAST(round(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT)) AS sm
+      FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY sm DESC, doc_id)
+                          AS BIGINT) AS rank
+      FROM bmscore ORDER BY sm DESC, doc_id LIMIT 50
+    ), qvec AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT c.vec_id AS doc_id,
+             round(
+               list_reduce(list_transform(generate_series(1, 64),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                 (acc, x) -> acc + x)
+               / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                    (acc, x) -> acc + x))
+                  * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                      (acc, x) -> acc + x))), 6) AS cs
+      FROM embeddings c CROSS JOIN qvec q
+    ), vec AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+                          AS BIGINT) AS rank
+      FROM cos ORDER BY cs DESC, doc_id LIMIT 50
+    ), fused AS (
+      SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(CAST(round(1e9 / (60 + lex.rank)) AS BIGINT), 0)
+             + COALESCE(CAST(round(1e9 / (60 + vec.rank)) AS BIGINT), 0)
+               AS rrf_nano,
+             COALESCE(lex.rank, 0) AS rank_lex,
+             COALESCE(vec.rank, 0) AS rank_vec
+      FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id
+    )
+    SELECT doc_id, rrf_nano, rank_lex, rank_vec
+    FROM fused ORDER BY rrf_nano DESC, doc_id LIMIT 20
+    """,
+    tags=("extension", "search", "fusion"),
+)
+def ext_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 and dense cosine top-50
+    (query vector = embedding 0) fused by Reciprocal Rank Fusion
+    (operators/retrieval.py::rrf_fuse, k=60) — the standard way a
+    training-data pipeline mines a corpus with both signals, surfacing
+    documents either signal alone would miss. rank 0 = absent from that
+    list (explicit sentinel, not NULL). Scores are nano-int sums, so
+    ordering is engine-exact.
+
+    Scale shape: each leg is the already-audited retrieval shape (BM25's
+    term-filtered postings; a broadcast query vector against a corpus
+    that never shuffles) cut to k rows by a distributed TakeOrdered —
+    the fusion join then touches ≤ 2k rows total, nothing corpus-sized.
+    """
+    from gads_etl_spark.operators.retrieval import (
+        bm25_scores, ranked_topk, rrf_fuse)
+    from gads_etl_spark.operators.similarity import cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ranked_topk(
+        bm25_scores(docs, ["hash", "join", "filter"]), "sm", k=50)
+    qvec = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_vec"))
+    scored = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    ).crossJoin(F.broadcast(qvec)).select(
+        "doc_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cs"),
+    )
+    vec = ranked_topk(scored, "cs", k=50)
+    return (
+        rrf_fuse({"lex": lex, "vec": vec}, k=60)
+        .orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -824,3 +824,48 @@ class TestSimhashRadiusPairs:
         got = {(r["a_id"], r["b_id"]) for r in
                simhash_radius_pairs(docs, radius=0).collect()}
         assert got == {(1, 2)}
+
+
+class TestRetrievalFusion:
+    """operators/retrieval.py: ranked_topk determinism and rrf_fuse
+    semantics (exact nano-int scores, rank-0 absence sentinel)."""
+
+    def test_ranked_topk_orders_and_tiebreaks(self, spark):
+        from gads_etl_spark.operators import retrieval as R
+
+        scored = spark.createDataFrame(
+            [(1, 30), (2, 50), (3, 50), (4, 10), (5, 40)],
+            "doc_id long, s long")
+        got = [(r.doc_id, r.rank)
+               for r in R.ranked_topk(scored, "s", k=3).collect()]
+        # score desc, id asc on ties; only k rows survive
+        assert sorted(got, key=lambda t: t[1]) == [(2, 1), (3, 2), (5, 3)]
+
+    def test_rrf_fuse_exact_scores_and_sentinels(self, spark):
+        from gads_etl_spark.operators import retrieval as R
+
+        lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+        vec = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+        rows = {r.doc_id: r for r in
+                R.rrf_fuse({"lex": lex, "vec": vec}, k=60).collect()}
+        c = lambda rank: round(1e9 / (60 + rank))
+        assert rows[1].rrf_nano == c(1) and rows[1].rank_vec == 0
+        assert rows[2].rrf_nano == c(2) + c(1)  # both signals fired
+        assert rows[3].rrf_nano == c(2) and rows[3].rank_lex == 0
+        # doc in both lists outranks either single-signal doc
+        assert rows[2].rrf_nano > max(rows[1].rrf_nano, rows[3].rrf_nano)
+
+    def test_bm25_scores_match_registered_query_head(self, spark):
+        # The factored operator must preserve ext_bm25_search's math:
+        # compare the operator's integer sums against the registered
+        # query's rounded output at sf0.001.
+        from gads_etl_spark.operators import retrieval as R
+        from gads_etl_spark.queries import REGISTRY
+
+        docs = load_table(spark, SF, "documents")
+        sm = {r.doc_id: r.sm for r in
+              R.bm25_scores(docs, ["hash", "join", "filter"]).collect()}
+        reg = REGISTRY["ext_bm25_search"].fn(spark, SF).collect()
+        assert len(reg) > 0
+        for r in reg:
+            assert round(sm[r.doc_id] / 1_000_000, 6) == r.bm25
