@@ -47,6 +47,61 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: list[str],
     return left.join(right, [*on, SALT_COL], how).drop(SALT_COL)
 
 
+def selective_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    hot_keys: DataFrame,
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join that replicates the build side ONLY for hot keys.
+
+    ``salted_join`` replicates the whole build side n_salts× — fine for
+    a small dimension, waste at 100 TB when 99.99% of keys are cold and
+    only a handful are pathological. Here ``hot_keys`` (one column
+    ``on`` — typically the exact output of ``heavy_hitters``, the
+    sketch-then-confirm hot-key detector) drives a two-regime plan:
+
+    - probe side: rows whose key is hot get a content-derived salt in
+      ``[0, n_salts)``; cold rows get salt 0. The hot tag comes from a
+      broadcast LEFT join against the (tiny by construction) hot set —
+      the probe side never shuffles for tagging.
+    - build side: hot rows explode into all ``n_salts`` salts; cold rows
+      carry the single salt 0. Replication cost is n_salts × |hot| rows,
+      not n_salts × |build|.
+
+    The join key becomes ``(on, salt)``: a hot key's probe rows spread
+    over ``n_salts`` reducers while every cold key pays nothing. Result
+    equals ``skewed.join(other, [on], how)`` for inner/left joins on
+    unique build keys — asserted against the plain join in tests, on
+    data with planted hot keys.
+    """
+    hot = F.broadcast(
+        hot_keys.select(F.col(on)).distinct().withColumn("__hot", F.lit(1)))
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    left = (
+        skewed.join(hot, on, "left")
+        .withColumn(SALT_COL,
+                    F.when(F.col("__hot").isNotNull(), salt)
+                    .otherwise(F.lit(0)).cast("int"))
+        .drop("__hot")
+    )
+    right = (
+        other.join(hot, on, "left")
+        .withColumn(
+            SALT_COL,
+            F.explode(
+                F.when(F.col("__hot").isNotNull(),
+                       F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                .otherwise(F.array(F.lit(0)))))
+        .withColumn(SALT_COL, F.col(SALT_COL).cast("int"))
+        .drop("__hot")
+    )
+    return left.join(right, [on, SALT_COL], how).drop(SALT_COL)
+
+
 def two_phase_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -234,6 +234,46 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_hot_user_enrichment",
+    oracle=f"""
+    WITH p AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+        FROM events GROUP BY user_id
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(p.n_user_events) AS BIGINT) AS weight_sum,
+           CAST(sum({_CENTS}) AS DOUBLE) / 100 AS value_sum
+    FROM events e JOIN p USING (user_id)
+    GROUP BY event_type
+    """,
+    tags=("events", "skew", "join"),
+)
+def ev_hot_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side enrichment join under key skew, the composed skew
+    pipeline: ``heavy_hitters`` (sketch-then-confirm, bounded state)
+    detects the hot users, then ``selective_salted_join`` spreads ONLY
+    those keys over salts — build-side replication is n_salts × |hot|
+    rows, not n_salts × |build| as blanket salting would pay. The
+    oracle is the plain join: salting must be invisible in the result.
+    At 100 TB this is the standard events⋈profile enrichment where one
+    bot user would otherwise pin a reducer."""
+    from gads_etl_spark.operators.skew import (
+        heavy_hitters, selective_salted_join)
+
+    ev = load_table(spark, sf_dir, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_events"))
+    hot = heavy_hitters(ev, "user_id", support=0.0008).select("user_id")
+    joined = selective_salted_join(
+        ev.select("user_id", "event_type", "value"), profile, "user_id", hot)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("n_user_events").cast("long").alias("weight_sum"),
+        (F.sum(_cents()).cast("double") / 100).alias("value_sum"),
+    )
+
+
+@register(
     "ev_dedup_latest",
     oracle="""
     SELECT user_id, event_type, event_id, ts FROM (
