@@ -230,3 +230,63 @@ def balanced_sample(df: DataFrame, group_col: str, n_per_group: int,
         .where(F.col("_rn") <= n_per_group)
         .drop("_rn")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target_frac_pct: int = 25,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-balanced mixture sampling across sources (α = 0.5).
+
+    The standard data-mixing move for multi-source training corpora
+    (multilingual sampling à la XLM-R/mT5, public method): draw source
+    ``s`` with probability ∝ n_s^α instead of ∝ n_s, so giant sources
+    stop drowning small ones while tiny sources aren't flattened to
+    uniform. α = 0.5 is realized EXACTLY in integers — the source
+    weight is ``floor(sqrt(n_s))`` (sqrt is IEEE-correctly-rounded, so
+    the floor is engine-identical; no pow(), whose rounding is not
+    portable) — and the within-source keep-rate for a target of
+    ``target_frac_pct``% of the corpus is the integer division
+
+        T_s = (B · target_frac_pct · N · w_s) DIV (100 · W · n_s)
+
+    hex-bucket threshold (B = 16⁴ buckets, W = Σ w_s, N = Σ n_s; capped
+    at B−1), compared against the md5 hash-prefix of the id — the same
+    deterministic-membership discipline as ``deterministic_sample``:
+    pure function of content, stable under re-runs, partition layout,
+    and corpus growth.
+
+    Fully relational — per-source stats are one tiny aggregate joined
+    back (broadcast), corpus totals one single-row cross join; the keep
+    predicate evaluates on the scan. No driver-side collect, so the
+    same plan runs at 100 TB.
+
+    Returns the sampled rows with the per-source ``threshold`` attached
+    (useful for auditing the realized mixture).
+    """
+    stats = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_s"))
+    stats = stats.withColumn(
+        "_w_s", F.floor(F.sqrt(F.col("_n_s").cast("double"))).cast("long"))
+    totals = stats.agg(
+        F.sum("_n_s").alias("_n"), F.sum("_w_s").alias("_w"))
+    thresholds = (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.expr(
+                    f"({_BUCKETS}L * {int(target_frac_pct)} * _n * _w_s) "
+                    f"div (100 * _w * _n_s)"),
+                F.lit(_BUCKETS - 1),
+            ).cast("long"))
+        .select(source_col, "threshold")
+    )
+    return (
+        df.join(F.broadcast(thresholds), source_col)
+        .where(_hash_prefix(id_col, salt)
+               < F.format_string(f"%0{_WIDTH}x", F.col("threshold")))
+    )

@@ -915,6 +915,54 @@ def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_temperature_mix",
+    oracle="""
+    WITH stats AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS w_s
+      FROM documents GROUP BY lang
+    ), totals AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n, CAST(sum(w_s) AS BIGINT) AS w
+      FROM stats
+    ), th AS (
+      SELECT lang, n_s,
+             least((65536 * 25 * n * w_s) // (100 * w * n_s),
+                   CAST(65535 AS BIGINT)) AS threshold
+      FROM stats CROSS JOIN totals
+    )
+    SELECT d.lang, th.n_s AS n_docs, th.threshold,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM documents d JOIN th USING (lang)
+    WHERE substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', th.threshold)
+    GROUP BY d.lang, th.n_s, th.threshold
+    """,
+    tags=("extension", "sampling", "mixture"),
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced (α=0.5) mixture sampling across languages —
+    the multilingual data-mixing rebalance (operators/sampling.py::
+    temperature_mixture_sample): the dominant language is down-sampled
+    and the small ones up-weighted relative to proportional sampling,
+    with every threshold an exact integer both engines derive
+    identically (isqrt weights, integer division, md5-prefix
+    membership). Output is the per-language audit row: corpus count,
+    realized hex-bucket threshold, sampled count."""
+    from gads_etl_spark.operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"))
+    sampled = SA.temperature_mixture_sample(docs, source_col="lang")
+    return (
+        sampled.groupBy("lang", "threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+        .join(F.broadcast(counts), "lang")
+        .select("lang", "n_docs", "threshold", "n_sampled")
+    )
+
+
+@register(
     "ext_split_assign",
     oracle="""
     SELECT split, lang, count(*) AS n FROM (

@@ -266,3 +266,56 @@ class TestBalancedSample:
             [(i, "x") for i in range(200)], "id long, cls string")
         kept = sorted(r["id"] for r in balanced_sample(df, "cls", 30, "id").collect())
         assert kept != list(range(30))  # an unbiased draw, not the head
+
+
+class TestTemperatureMixture:
+    def _corpus(self, spark):
+        # Pathologically imbalanced: 9000 'big' vs 90 'small' docs.
+        rows = [(i, "big") for i in range(9000)] + \
+               [(i + 9000, "small") for i in range(90)]
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_thresholds_are_exact_integers(self, spark):
+        from gads_etl_spark.operators.sampling import (
+            temperature_mixture_sample)
+
+        df = self._corpus(spark)
+        th = {r.source: r.threshold for r in
+              temperature_mixture_sample(df, target_frac_pct=25)
+              .select("source", "threshold").distinct().collect()}
+        # Hand-derived: w_big=isqrt(9000)=94, w_small=isqrt(90)=9,
+        # N=9090, W=103; T_s = (65536*25*N*w_s) // (100*W*n_s).
+        assert th["big"] == (65536 * 25 * 9090 * 94) // (100 * 103 * 9000)
+        # The small source's raw rate exceeds 1 (α=0.5 wants MORE of it
+        # than it has) → clamped to the max expressible bucket.
+        assert (65536 * 25 * 9090 * 9) // (100 * 103 * 90) > 65535
+        assert th["small"] == 65535
+
+    def test_alpha_half_rebalances_toward_small_sources(self, spark):
+        from gads_etl_spark.operators.sampling import (
+            temperature_mixture_sample)
+
+        df = self._corpus(spark)
+        got = {r.source: r.n for r in
+               temperature_mixture_sample(df, target_frac_pct=25)
+               .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        # Proportional sampling would keep 25% of each (2250 / 22.5);
+        # α=0.5 keeps the small source at a ~10× higher RATE than the
+        # big one (sqrt compression: rate ∝ w_s/n_s ∝ 1/sqrt(n_s)).
+        rate_big, rate_small = got["big"] / 9000, got["small"] / 90
+        assert rate_small > 4 * rate_big
+        # ... while total stays near the 25% target.
+        total = got["big"] + got["small"]
+        assert abs(total - 0.25 * 9090) < 0.05 * 9090
+
+    def test_membership_is_deterministic_and_layout_invariant(self, spark):
+        from gads_etl_spark.operators.sampling import (
+            temperature_mixture_sample)
+
+        df = self._corpus(spark)
+        a = sorted(r.doc_id for r in
+                   temperature_mixture_sample(df).select("doc_id").collect())
+        b = sorted(r.doc_id for r in
+                   temperature_mixture_sample(df.repartition(13))
+                   .select("doc_id").collect())
+        assert a == b and len(a) > 0
