@@ -123,6 +123,19 @@ def publish_text_claim(spark, path: str, content: str) -> None:
     if not fs.rename(tmp, hpath):
         fs.delete(tmp, False)
         raise FileExistsError(path)
+    # Defense-in-depth for filesystems whose rename OVERWRITES an
+    # existing destination (raw local FS under a viewfs mount; HDFS
+    # returns false instead, arbitrated by the namenode, and needs no
+    # check): read back and require our own payload, so a writer whose
+    # manifest was clobbered before its read-back raises instead of
+    # reporting a commit that is not on disk. This narrows the
+    # lost-update window on such filesystems to the rename→read-back
+    # gap — it cannot close it (an overwriting rename admits no true
+    # exclusive claim) — at the cost of one sub-KB read per commit.
+    # Production deployments should put control roots on a filesystem
+    # with non-overwriting rename (HDFS) or hard links (file://).
+    if read_text(spark, path) != content:
+        raise FileExistsError(path)
 
 
 def modification_time_ms(spark, path: str) -> int | None:
