@@ -31,9 +31,19 @@ EXPECTED = {
     "ev_sessionization": (1, 0, 0),   # one user_id exchange
     "ext_decontaminate": (3, 1, 0),   # broadcast eval grams; agg exchanges
     "ext_encode_docs": (1, 1, 0),     # broadcast vocab, one re-assembly
+    "ev_hot_user_enrichment": (4, 3, 0),  # hot set broadcast both sides
+    "ext_hybrid_search": (4, 2, 1),   # 2×TakeOrdered legs; 2k-row fusion
+    "ext_temperature_mix": (4, 2, 0),  # stats broadcast; scan predicate
 }
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+#: Queries whose plan legitimately carries ONE BroadcastNestedLoopJoin:
+#: a crossJoin against an explicitly broadcast SINGLE-ROW side (the
+#: query vector / the corpus-totals row) — a deliberate scalar fan-out,
+#: not an accidental cross product. CartesianProduct stays forbidden
+#: everywhere.
+ALLOWED_BNLJ = {"ext_hybrid_search", "ext_temperature_mix"}
 
 
 def _shape(spark, name):
@@ -50,6 +60,8 @@ def _shape(spark, name):
 @pytest.mark.parametrize("name", sorted(EXPECTED))
 def test_plan_shape_pinned(spark, name):
     ex, bhj, smj, bad = _shape(spark, name)
+    if name in ALLOWED_BNLJ:
+        bad = [f for f in bad if f != "BroadcastNestedLoopJoin"]
     assert not bad, f"{name} plans a {bad[0]}"
     assert (ex, bhj, smj) == EXPECTED[name], (
         f"{name} plan shape changed: exchanges={ex} broadcast={bhj} "
