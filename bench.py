@@ -79,6 +79,8 @@ EXTRA = [
     "ext_bm25_search",
     "ev_heavy_hitters",
     "ext_hybrid_search",
+    "ev_hot_user_enrichment",
+    "ext_temperature_mix",
 ]
 
 

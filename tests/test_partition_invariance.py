@@ -37,6 +37,9 @@ QUERIES = [
     "ev_transition_matrix",       # lag window + bounded rollup + ratio
     "ev_top_paths",               # trigram rollup + deterministic top-k
     "ext_bm25_search",            # micro-int score sums + integer-ordered top-k
+    "ext_hybrid_search",          # nano-int RRF over two TakeOrdered legs
+    "ev_hot_user_enrichment",     # selective salting must be invisible
+    "ext_temperature_mix",        # integer thresholds + hash membership
 ]
 
 
