@@ -1,6 +1,10 @@
 """Dev harness: compare registered Spark queries against their DuckDB oracles.
 
 Usage: python scripts/check_queries.py [name ...]   (default: all with oracles)
+       python scripts/check_queries.py --sf1-sweep  (the 51-query cross-family
+           sweep against the 10x tier; generate it first with
+           scripts/gen_scale_fixture.py, and point SPARK_GRAFT_TEST_SF at it —
+           defaults to .localdata/sf1 in this mode)
 Env:   SPARK_GRAFT_TEST_SF (default /root/testdata/sf0.01)
 """
 
@@ -58,12 +62,51 @@ def ulp_match(a_pdf, e_pdf) -> bool:
     return True
 
 
+#: The cross-family sweep run against the amplified 10× tier each round
+#: (SCALING.md "sf1 parity"): all TPC-H headline + the largest multi-join,
+#: every event-analytics query, the full dedup/similarity ladder,
+#: sampling/packing/vocab, retrieval, observability, window frames. Kept
+#: to oracles that stay tractable in DuckDB at 10× (the quadratic-in-
+#: DuckDB recursive-CTE component oracles are exercised at sf0.01).
+SF1_SWEEP = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
+    "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
+    "ev_sessionization", "ev_sessionization_twophase", "ev_scd2_history",
+    "ev_cohort_retention", "ev_top_paths", "ev_transition_matrix",
+    "ev_rate_anomalies", "ev_gap_histogram", "ev_funnel_cohorts",
+    "ev_funnel_cohorts_stagewise", "ev_heavy_hitters", "ev_tumbling_hourly",
+    "ev_asof_attribution", "ev_dedup_latest", "ev_json_props",
+    "ev_error_bursts", "ev_hot_user_enrichment",
+    "ext_exact_dedup", "ext_bow_dedup", "ext_fuzzy_match",
+    "ext_fuzzy_passjoin", "ext_sorted_neighborhood", "ext_minhash_candidates",
+    "ext_tfidf_cosine", "ext_shingle_jaccard", "ext_simhash",
+    "ext_dup_spans", "ext_hash_sample", "ext_pps_sample",
+    "ext_temperature_mix", "ext_block_pack", "ext_build_vocab",
+    "ext_encode_docs", "ext_decontaminate", "ext_domain_mix",
+    "ext_bm25_search", "ext_hybrid_search", "ext_knn_bruteforce",
+    "ext_embedding_quantize", "ext_chunk_docs", "ext_token_stats",
+    "ext_text_normalize", "ext_quality_score", "ext_split_assign",
+    "obs_status_counts", "obs_date_gaps", "obs_top_failed",
+    "op_window_frames",
+]
+
+
 def main() -> int:
     from gads_etl_spark.session import get_session
     from gads_etl_spark.queries import REGISTRY
 
-    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
-    names = sys.argv[1:] or [n for n, q in sorted(REGISTRY.items()) if q.oracle]
+    args = sys.argv[1:]
+    sf1_mode = "--sf1-sweep" in args
+    args = [a for a in args if a != "--sf1-sweep"]
+    default_sf = "/root/testdata/sf0.01"
+    if sf1_mode:
+        default_sf = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".localdata", "sf1")
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", default_sf)
+    names = args or (
+        SF1_SWEEP if sf1_mode
+        else [n for n, q in sorted(REGISTRY.items()) if q.oracle])
 
     spark = get_session("check-queries", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
