@@ -120,6 +120,14 @@ def publish_text_claim(spark, path: str, content: str) -> None:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    # Existence precheck: on HDFS it is merely a fast-fail (the rename
+    # below is the arbitrated claim), but on filesystems whose rename
+    # OVERWRITES an existing destination (raw local under a viewfs
+    # mount) it is what makes the SEQUENTIAL collision case exact — a
+    # stale writer must raise, never clobber a committed manifest.
+    if fs.exists(hpath):
+        fs.delete(tmp, False)
+        raise FileExistsError(path)
     if not fs.rename(tmp, hpath):
         fs.delete(tmp, False)
         raise FileExistsError(path)

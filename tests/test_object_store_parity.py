@@ -153,6 +153,40 @@ class TestControlPlaneObjectStore:
         assert len(states._table.history()) == 2
         assert states.read().collect()[0].attempt_count == 4
 
+    def test_publish_claim_refuses_existing_on_rename_branch(
+            self, spark, object_root):
+        # viewfs takes publish_text_claim's RENAME branch, and the
+        # underlying local rename OVERWRITES — the existence precheck is
+        # what keeps the sequential collision exact there: a second
+        # publish to an occupied path must raise, never clobber a
+        # committed manifest, and the loser's temp must not linger.
+        from gads_etl_spark.pipeline import fsutil
+
+        path = f"{object_root}/claims/v_0000000001.json"
+        fsutil.publish_text_claim(spark, path, '{"w": "first"}')
+        with pytest.raises(FileExistsError):
+            fsutil.publish_text_claim(spark, path, '{"w": "second"}')
+        assert fsutil.read_text(spark, path) == '{"w": "first"}'
+        litter = [n for n in fsutil.list_names(
+            spark, f"{object_root}/claims") if ".tmp-" in n]
+        assert litter == []
+
+    def test_stale_writer_raises_on_rename_branch(self, spark, object_root):
+        # The full protocol consequence: a writer holding a stale parent
+        # must get ConcurrentCommitError on viewfs exactly as on local.
+        from gads_etl_spark.pipeline.state_store import ConcurrentCommitError
+
+        writer_a = StateStore(spark, f"{object_root}/state2")
+        writer_b = StateStore(spark, f"{object_root}/state2")
+        writer_a.upsert(spark.createDataFrame(
+            [_state_row("1", "pending")], STATE_SCHEMA))
+        stale_parent = writer_a._table._current_manifest()
+        writer_b.upsert(spark.createDataFrame(
+            [_state_row("2", "pending")], STATE_SCHEMA))
+        with pytest.raises(ConcurrentCommitError):
+            writer_a._table._publish("v_dead", stale_parent, {})
+        assert writer_a.read().count() == 2
+
     def test_pointer_upsert_delete(self, spark, object_root):
         pointers = PointerStore(spark, f"{object_root}/pointers")
         pointers.upsert(spark.createDataFrame(
