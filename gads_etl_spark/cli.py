@@ -401,14 +401,20 @@ def _run_sync(args, lookback_days: int | None, target: date) -> int:
     reader = (spark.read if args.sources_format == "parquet"
               else spark.read.format("json"))
     sources = {}
+    source_read_errors: dict[str, str] = {}
     for entity in {q.entity for q in config.queries}:
         path = f"{args.sources_root}/{entity}.{args.sources_format}"
         try:
             sources[entity] = (reader.parquet(path)
                                if args.sources_format == "parquet"
                                else reader.load(path))
-        except Exception:  # noqa: BLE001 — absent source ≠ CLI crash
-            pass
+        except Exception as exc:  # noqa: BLE001 — absent source ≠ CLI crash
+            # Keep the CAUSE: a corrupt file or permission error must be
+            # distinguishable from an absent source in the report, not
+            # collapse into the downstream "no source" failure.
+            source_read_errors[entity] = f"{type(exc).__name__}: {exc}"
+            print(f"warning: failed to read source {path}: {exc}",
+                  file=sys.stderr)
 
     report = run_daily(
         spark=spark, config=config, sources=sources,
@@ -424,7 +430,10 @@ def _run_sync(args, lookback_days: int | None, target: date) -> int:
     out = {
         "run_id": report.run_id,
         "extracted": len(report.extracted),
-        "extract_errors": {str(k): v for k, v in report.extract_errors.items()},
+        "extract_errors": {
+            **{str(k): v for k, v in report.extract_errors.items()},
+            **{f"source:{k}": v for k, v in source_read_errors.items()},
+        },
         "validated_success": report.validated_success,
         "validated_failed": report.validated_failed,
         "staged": report.staged,
@@ -449,9 +458,14 @@ def cmd_daily(args) -> int:
 def cmd_catch_up(args) -> int:
     """`gads-etl catch-up [--days N]`: backfill a date window — a daily
     sync whose lookback covers the whole window (reference
-    pipeline.py:179-185)."""
+    pipeline.py:179-185). --days omitted → the config's
+    catch_up_window_days, the reference's `window = days or
+    config.metadata.catch_up_window_days` default."""
+    from gads_etl_spark.pipeline.config import load_config_file
+
     target = _date(args.end) or date.today()
-    return _run_sync(args, lookback_days=args.days, target=target)
+    days = args.days or load_config_file(args.config).catch_up_window_days
+    return _run_sync(args, lookback_days=days, target=target)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -513,8 +527,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("catch-up", help="backfill a date window")
     sync_args(sp)
     sp.add_argument("--end", help="window end date (default: today)")
-    sp.add_argument("--days", type=int, required=True,
-                    help="catch-up window length in days")
+    sp.add_argument("--days", type=int, default=None,
+                    help="catch-up window length in days "
+                         "(default: config catch_up_window_days)")
     sp.set_defaults(fn=cmd_catch_up)
 
     sub.add_parser("warehouse-load").set_defaults(fn=cmd_warehouse_load)

@@ -46,6 +46,12 @@ def bm25_scores(
     dl = docs.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
     n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    if not n_docs:
+        # Empty corpus: nothing can score. Short-circuit (avgdl is
+        # undefined — sum_dl comes back NULL and n_docs 0) with an empty
+        # (id, sm) frame of the contracted schema.
+        return (docs.select(F.col(id_col))
+                .withColumn("sm", F.lit(0).cast("long")).limit(0))
     avgdl = float(sum_dl) / n_docs
     tf = (
         docs.select(F.col(id_col),

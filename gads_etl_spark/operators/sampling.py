@@ -232,6 +232,37 @@ def balanced_sample(df: DataFrame, group_col: str, n_per_group: int,
     )
 
 
+def _mixture_thresholds(stats: DataFrame, source_col: str,
+                        target_frac_pct: int) -> DataFrame:
+    """Per-source hex-bucket thresholds from per-source counts ``_n_s``.
+
+    The numerator B·pct·N·w_s reaches ≈5e19 already at one 1e9-row
+    source (and ≈6.5e30 at N=1e16 rows), past int64's 9.2e18 — under
+    non-ANSI bigint arithmetic it would wrap silently and the largest
+    source would get a negative/garbage threshold, i.e. be dropped from
+    the sample. Both sides therefore compute in decimal(38,0) (exact to
+    1e38; max realistic magnitude ≈6.5e30) before the integral ``div``,
+    which returns bigint. Split out of ``temperature_mixture_sample`` so
+    the overflow regime is unit-testable with synthetic counts.
+    """
+    stats = stats.withColumn(
+        "_w_s", F.floor(F.sqrt(F.col("_n_s").cast("double"))).cast("long"))
+    totals = stats.agg(
+        F.sum("_n_s").alias("_n"), F.sum("_w_s").alias("_w"))
+    return (
+        stats.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.expr(
+                    f"(cast({_BUCKETS * int(target_frac_pct)} as decimal(38,0))"
+                    " * _n * _w_s) div "
+                    "(cast(100 as decimal(38,0)) * _w * _n_s)"),
+                F.lit(_BUCKETS - 1).cast("long"),
+            ))
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     source_col: str = "source",
@@ -269,22 +300,8 @@ def temperature_mixture_sample(
     """
     stats = df.groupBy(source_col).agg(
         F.count(F.lit(1)).cast("long").alias("_n_s"))
-    stats = stats.withColumn(
-        "_w_s", F.floor(F.sqrt(F.col("_n_s").cast("double"))).cast("long"))
-    totals = stats.agg(
-        F.sum("_n_s").alias("_n"), F.sum("_w_s").alias("_w"))
-    thresholds = (
-        stats.crossJoin(F.broadcast(totals))
-        .withColumn(
-            "threshold",
-            F.least(
-                F.expr(
-                    f"({_BUCKETS}L * {int(target_frac_pct)} * _n * _w_s) "
-                    f"div (100 * _w * _n_s)"),
-                F.lit(_BUCKETS - 1),
-            ).cast("long"))
+    thresholds = _mixture_thresholds(stats, source_col, target_frac_pct) \
         .select(source_col, "threshold")
-    )
     return (
         df.join(F.broadcast(thresholds), source_col)
         .where(_hash_prefix(id_col, salt)

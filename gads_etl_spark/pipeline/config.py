@@ -62,6 +62,7 @@ class PipelineConfig:
     customer_ids: tuple[str, ...]
     queries: tuple[QueryDefinition, ...]
     lookback_days_daily: int = 2
+    catch_up_window_days: int = 30
 
     def query(self, name: str) -> QueryDefinition:
         for q in self.queries:
@@ -99,6 +100,7 @@ def load_config(text: str) -> PipelineConfig:
             customer_ids=parse_customer_ids(doc["customer_ids"]),
             queries=queries,
             lookback_days_daily=int(doc.get("lookback_days_daily", 2)),
+            catch_up_window_days=int(doc.get("catch_up_window_days", 30)),
         )
     except KeyError as exc:
         raise ValueError(f"config missing required key: {exc}") from exc
@@ -139,7 +141,11 @@ def plan_daily_runs(
     ]
 
 
-def plan_catch_up_runs(config: PipelineConfig, end: date, days: int) -> list[ExtractionRun]:
+def plan_catch_up_runs(config: PipelineConfig, end: date,
+                       days: int | None = None) -> list[ExtractionRun]:
     """historical_catch_up (reference pipeline.py:180-185): a daily plan
-    whose lookback covers the whole catch-up window."""
-    return plan_daily_runs(config, end, lookback_days=days)
+    whose lookback covers the whole catch-up window; ``days`` omitted →
+    config ``catch_up_window_days`` (reference defaults the same way,
+    `window = days or config.metadata.catch_up_window_days`)."""
+    return plan_daily_runs(
+        config, end, lookback_days=days or config.catch_up_window_days)

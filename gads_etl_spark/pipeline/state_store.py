@@ -25,6 +25,19 @@ parallel tasks — not the whole table through one task.
 Every filesystem touch goes through the Hadoop FS API (``fsutil``), so a
 ``viewfs://``, ``hdfs://`` or ``s3a://`` root works exactly like a local
 path — the control plane can live on the same shared storage as the data.
+
+Operator note — control-root filesystem choice: commit exclusivity comes
+from ``fsutil.publish_text_claim``, which is truly arbitrated only on
+filesystems with a fail-on-existing claim primitive: HDFS (rename returns
+false when the destination exists) or ``file://`` (hard-link EEXIST). On
+filesystems whose rename OVERWRITES the destination (raw local under a
+viewfs mount; rename-emulating object stores), two CONCURRENT publishers
+can both believe they committed — the loser's manifest is silently
+replaced in the rename→read-back gap, and the read-back defense only
+narrows that window (fsutil.py:133-147). Run concurrent control-plane
+writers only against HDFS-like or file:// control roots; elsewhere the
+documented single-writer discipline (docs/state_store_contract.md:32-33)
+is load-bearing, not advisory.
 """
 
 from __future__ import annotations

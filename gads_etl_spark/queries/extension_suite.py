@@ -926,8 +926,9 @@ def ext_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM stats
     ), th AS (
       SELECT lang, n_s,
-             least((65536 * 25 * n * w_s) // (100 * w * n_s),
-                   CAST(65535 AS BIGINT)) AS threshold
+             CAST(least((CAST(65536 AS HUGEINT) * 25 * n * w_s)
+                        // (CAST(100 AS HUGEINT) * w * n_s),
+                        CAST(65535 AS HUGEINT)) AS BIGINT) AS threshold
       FROM stats CROSS JOIN totals
     )
     SELECT d.lang, th.n_s AS n_docs, th.threshold,

@@ -271,3 +271,19 @@ queries:
                      "--date", "2024-01-02"]) == 1
         out = json.loads(capsys.readouterr().out)
         assert not out["ok"] and out["extract_errors"]
+        # The read failure's CAUSE is surfaced alongside the downstream
+        # partition failures, not swallowed (a corrupt parquet must be
+        # distinguishable from an absent source).
+        assert any(k == "source:campaign" and v
+                   for k, v in out["extract_errors"].items())
+
+    def test_catch_up_days_defaults_to_config_window(
+            self, sync_env, capsys, tmp_path):
+        # Reference parity: omitting --days falls back to the config's
+        # catch_up_window_days (reference pipeline.py:181).
+        (tmp_path / "cfg.yaml").write_text(
+            self.YAML + "catch_up_window_days: 30\n")
+        roots, sync = sync_env
+        assert main([*roots, "catch-up", *sync, "--end", "2024-01-02"]) == 0
+        out = json.loads(capsys.readouterr().out)
+        assert out["ok"] and out["extracted"] == 1

@@ -69,3 +69,14 @@ class TestRunPlanning:
         runs = plan_catch_up_runs(cfg, end=date(2024, 5, 10), days=30)
         assert all(r.window_start == date(2024, 4, 10) for r in runs)
         assert all(r.logical_date == date(2024, 5, 10) for r in runs)
+
+    def test_catch_up_days_defaults_to_config_window(self):
+        # Reference parity: `window = days or config.catch_up_window_days`
+        # (reference pipeline.py:181, config.py:69 default 30).
+        cfg = load_config(YAML)
+        assert cfg.catch_up_window_days == 30
+        runs = plan_catch_up_runs(cfg, end=date(2024, 5, 10))
+        assert all(r.window_start == date(2024, 4, 10) for r in runs)
+        cfg2 = load_config(YAML + "catch_up_window_days: 7\n")
+        runs2 = plan_catch_up_runs(cfg2, end=date(2024, 5, 10))
+        assert all(r.window_start == date(2024, 5, 3) for r in runs2)

@@ -855,6 +855,16 @@ class TestRetrievalFusion:
         # doc in both lists outranks either single-signal doc
         assert rows[2].rrf_nano > max(rows[1].rrf_nano, rows[3].rrf_nano)
 
+    def test_bm25_scores_empty_corpus_returns_empty(self, spark):
+        # Regression: n_docs=0 used to hit ZeroDivisionError (and
+        # float(None) for sum_dl) before any plan was built.
+        from gads_etl_spark.operators import retrieval as R
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        out = R.bm25_scores(empty, ["hash", "join"])
+        assert out.columns == ["doc_id", "sm"]
+        assert out.count() == 0
+
     def test_bm25_scores_match_registered_query_head(self, spark):
         # The factored operator must preserve ext_bm25_search's math:
         # compare the operator's integer sums against the registered

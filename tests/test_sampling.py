@@ -308,6 +308,33 @@ class TestTemperatureMixture:
         total = got["big"] + got["small"]
         assert abs(total - 0.25 * 9090) < 0.05 * 9090
 
+    def test_thresholds_survive_planet_scale_counts(self, spark):
+        # Regression: the threshold numerator B·pct·N·w_s is ≈5.2e19 for
+        # a single 1e9-row source — past int64 — and ≈2e33 at a 1e15-row
+        # corpus. The old bigint expression wrapped silently (non-ANSI),
+        # handing the LARGEST source a negative threshold, i.e. dropping
+        # it from the mixture. decimal(38,0) arithmetic must reproduce
+        # Python's exact big-int result at any realistic magnitude.
+        import math
+
+        from gads_etl_spark.operators.sampling import _mixture_thresholds
+
+        counts = {"web": 10**15, "code": 3 * 10**9, "books": 5 * 10**6,
+                  "wiki": 70_000}
+        stats = spark.createDataFrame(
+            [(s, n) for s, n in counts.items()], "source string, _n_s long")
+        got = {r.source: r.threshold for r in
+               _mixture_thresholds(stats, "source", 25).collect()}
+        w = {s: math.isqrt(n) for s, n in counts.items()}
+        n_tot, w_tot = sum(counts.values()), sum(w.values())
+        for s, n_s in counts.items():
+            expect = min((65536 * 25 * n_tot * w[s]) // (100 * w_tot * n_s),
+                         65535)
+            assert got[s] == expect, s
+        # The giant source's threshold is small but POSITIVE (sampled,
+        # not wrapped away), and smaller sources get larger thresholds.
+        assert 0 < got["web"] < got["code"] <= got["books"] <= 65535
+
     def test_membership_is_deterministic_and_layout_invariant(self, spark):
         from gads_etl_spark.operators.sampling import (
             temperature_mixture_sample)
