@@ -80,6 +80,74 @@ def bm25_scores(
     return scores.groupBy(id_col).agg(F.sum("s_micro").alias("sm"))
 
 
+def bm25_scores_multi(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 over a QUERY RELATION — ``(query_id, term)`` rows — in one
+    corpus pass: the batch shape a retrieval pipeline actually runs
+    (mine a corpus for hundreds of topics at once), not one job per
+    query string.
+
+    Returns ``(query_id, doc_id, sm)`` micro-int scores. Scale shape:
+    per-(doc, term) scores are computed ONCE for the union of all query
+    terms (the postings scan filters to that union at the source — an
+    IN over the distinct terms, still pushdown-able), then fan out to
+    queries via a broadcast join with the tiny query relation; df/idf
+    are per-term and shared across queries. Adding a query adds only
+    broadcast-join fan-out, never another corpus scan. The query
+    relation is collected to the driver for the IN literal — it is
+    control-plane-sized (terms a human or a topic model wrote), same
+    discipline as the corpus stats.
+    """
+    from gads_etl_spark.operators.dedup import tokens
+
+    q = queries.select(F.col(query_id_col), F.col(term_col).alias("term"))
+    terms = sorted({r[0] for r in q.select("term").distinct().collect()})
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
+    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    if not n_docs or not terms:
+        return (docs.select(F.col(id_col)).limit(0)
+                .crossJoin(q.select(query_id_col).limit(0))
+                .withColumn("sm", F.lit(0).cast("long"))
+                .select(query_id_col, id_col, "sm"))
+    avgdl = float(sum_dl) / n_docs
+    tf = (
+        docs.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    per_term = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, id_col)
+        .select(
+            F.col(id_col), F.col("term"),
+            F.round(
+                # literal 2.2 for (k1 + 1) — see bm25_scores
+                idf * F.col("tf") * 2.2
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+                * 1_000_000).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        per_term.join(F.broadcast(q), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("s_micro").alias("sm"))
+    )
+
+
 def ranked_topk(
     scored: DataFrame,
     score_col: str,

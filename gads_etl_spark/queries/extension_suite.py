@@ -2863,6 +2863,93 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ext_bm25_multi",
+    oracle="""
+    WITH q(query_id, term) AS (
+      VALUES ('q_hash','hash'), ('q_hash','join'), ('q_hash','filter'),
+             ('q_sort','sort'), ('q_sort','merge'), ('q_sort','order'),
+             ('q_stream','stream'), ('q_stream','window'),
+             ('q_stream','batch'), ('q_stream','spark')
+    ), dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      WHERE term IN (SELECT DISTINCT term FROM q)
+      GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(
+               ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT) AS s_micro
+      FROM tf
+      JOIN dfq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ), persum AS (
+      SELECT q.query_id, p.doc_id, sum(p.s_micro) AS sm
+      FROM per_term p JOIN q USING (term)
+      GROUP BY q.query_id, p.doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sm DESC, doc_id) AS BIGINT)
+               AS rank,
+             sm
+      FROM persum
+    )
+    SELECT query_id, doc_id, rank,
+           round(CAST(sm AS DOUBLE) / 1000000, 6) AS bm25
+    FROM ranked WHERE rank <= 10
+    """,
+    tags=("extension", "text", "search"),
+)
+def ext_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-driven BM25: a query RELATION (query_id, term) scored
+    against the corpus in one pass, per-query top-10 — the batch
+    retrieval shape a data-mining pipeline runs (N topics at once),
+    generalizing ext_bm25_search's single hardcoded query.
+
+    Scale shape: one postings scan filtered to the union of all query
+    terms at the source; per-(doc, term) scores computed once and
+    fanned out to queries by a broadcast join with the tiny query
+    relation; per-query ranking is ONE window partitioned by query_id
+    (WindowGroupLimit pushes the rank≤10 cutoff below the sort). Adding
+    a query adds broadcast fan-out, never another corpus scan. Micro-int
+    quantization before summing keeps both engines bit-identical.
+    """
+    from pyspark.sql.window import Window
+
+    from gads_etl_spark.operators.retrieval import bm25_scores_multi
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_rel = spark.createDataFrame(
+        [("q_hash", t) for t in ("hash", "join", "filter")]
+        + [("q_sort", t) for t in ("sort", "merge", "order")]
+        + [("q_stream", t) for t in ("stream", "window", "batch", "spark")],
+        "query_id string, term string")
+    sm = bm25_scores_multi(docs, queries_rel)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sm"), F.asc("doc_id"))
+    return (
+        sm.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank",
+                F.round(F.col("sm").cast("double") / 1_000_000, 6)
+                .alias("bm25"))
+    )
+
+
+@register(
     "ext_hybrid_search",
     oracle="""
     WITH q(term) AS (VALUES ('hash'), ('join'), ('filter')),

@@ -855,6 +855,38 @@ class TestRetrievalFusion:
         # doc in both lists outranks either single-signal doc
         assert rows[2].rrf_nano > max(rows[1].rrf_nano, rows[3].rrf_nano)
 
+    def test_bm25_multi_slices_equal_single_query_runs(self, spark):
+        # The batched operator must be exactly the per-query operator
+        # run N times: each query_id slice of bm25_scores_multi equals
+        # bm25_scores for that query's term list.
+        from gads_etl_spark.operators import retrieval as R
+
+        docs = load_table(spark, SF, "documents")
+        qrel = {"q_hash": ["hash", "join", "filter"],
+                "q_sort": ["sort", "merge", "order"]}
+        q = spark.createDataFrame(
+            [(qid, t) for qid, ts in qrel.items() for t in ts],
+            "query_id string, term string")
+        multi = R.bm25_scores_multi(docs, q).collect()
+        for qid, terms in qrel.items():
+            got = {(r.doc_id, r.sm) for r in multi if r.query_id == qid}
+            want = {(r.doc_id, r.sm)
+                    for r in R.bm25_scores(docs, terms).collect()}
+            assert got == want, qid
+        assert len(multi) > 0
+
+    def test_bm25_multi_empty_inputs(self, spark):
+        from gads_etl_spark.operators import retrieval as R
+
+        docs = load_table(spark, SF, "documents")
+        no_q = spark.createDataFrame([], "query_id string, term string")
+        out = R.bm25_scores_multi(docs, no_q)
+        assert out.columns == ["query_id", "doc_id", "sm"]
+        assert out.count() == 0
+        empty_docs = spark.createDataFrame([], "doc_id long, text string")
+        q = spark.createDataFrame([("q", "hash")], "query_id string, term string")
+        assert R.bm25_scores_multi(empty_docs, q).count() == 0
+
     def test_bm25_scores_empty_corpus_returns_empty(self, spark):
         # Regression: n_docs=0 used to hit ZeroDivisionError (and
         # float(None) for sum_dl) before any plan was built.
