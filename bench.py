@@ -40,6 +40,7 @@ EXTRA = [
     "ext_knn_ivf",
     "ext_knn_pq",
     "ext_knn_ivfpq",
+    "ext_knn_ivfpq_res",
     "ext_dup_spans",
     "ev_tumbling_hourly",
     "ev_sessionization",
@@ -77,6 +78,7 @@ EXTRA = [
     "ev_transition_matrix",
     "ev_top_paths",
     "ext_bm25_search",
+    "ext_bm25_multi",
     "ev_heavy_hitters",
     "ext_hybrid_search",
     "ev_hot_user_enrichment",

@@ -487,6 +487,29 @@ def ext_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=5).where(F.col("rank") == 1)
 
 
+@register("ext_knn_ivfpq_res", oracle=_ANN_EXACT_HIT_SQL,
+          tags=("extension", "similarity", "ivf", "pq"))
+def ext_knn_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-5 via RESIDUAL IVF-PQ (IVFADC, Jégou et
+    al. 2011 §V): PQ codes the residual x − centroid(cell(x)) instead of
+    the raw vector, spending the same 8×16 code budget on a tighter
+    distribution for better ADC fidelity at identical index size; each
+    probed (query, cell) pair gets its own lookup table from the query's
+    residual w.r.t. that cell. Runs over the corpus plus an injected
+    exact copy of each query vector; the verified projection is the
+    rank-1 row per query, which must be the planted copy under ANY
+    clustering and ANY codebooks — the copy shares the query's nearest
+    (always-probed) cell, its residual there EQUALS the query's, so it
+    attains the minimum ADC within that (query, cell) group, and the
+    pool's per-cell min-ADC tie clause (ADC values aren't comparable
+    across cells' different LUTs) makes eviction impossible. Recall ≥
+    the raw-vector ivfpq on the fixture is asserted in
+    tests/test_extension_ops.py."""
+    corpus, queries = _ann_corpus_with_planted_hits(spark, sf_dir)
+    return S.ivfpq_residual_topk(corpus=corpus, queries=queries,
+                                 k=5).where(F.col("rank") == 1)
+
+
 @register(
     "ext_regex_tokens",
     oracle="""

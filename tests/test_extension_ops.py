@@ -189,6 +189,40 @@ class TestHyperplaneANN:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.5, f"IVF-PQ recall {hits}/{total} too low"
 
+    def test_ivfpq_residual_recall_at_least_raw(self, emb):
+        # IVFADC's whole point: residual coding must not LOSE recall vs
+        # raw-vector coding at the same index budget (same cells, same
+        # m × pq_k) — on this fixture it must be >= the raw variant.
+        corpus = emb.where(F.col("vec_id") >= 10)
+        queries = emb.where(F.col("vec_id") < 10)
+        exact = S.cosine_topk_bruteforce(corpus, queries, k=5).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        total = sum(len(v) for v in exact_sets.values())
+
+        def recall(fn):
+            approx_sets = {}
+            for r in fn(corpus, queries, k=5, n_clusters=8,
+                        n_probe=3).collect():
+                approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+            return sum(len(exact_sets[q] & approx_sets.get(q, set()))
+                       for q in exact_sets) / total
+
+        raw, res = recall(S.ivfpq_topk), recall(S.ivfpq_residual_topk)
+        assert res >= raw, f"residual recall {res} < raw {raw}"
+        assert res >= 0.5
+
+    def test_ivfpq_residual_planted_copy_is_rank1(self, emb):
+        # The per-cell min-ADC argument exercised directly: planted
+        # copies must return at rank 1 / cosine 1.0 under IVFADC.
+        queries = emb.where(F.col("vec_id") < 5)
+        corpus = emb.where(F.col("vec_id") >= 5).unionByName(
+            queries.withColumn("vec_id", F.col("vec_id") + 100000))
+        top1 = S.ivfpq_residual_topk(corpus, queries, k=1).collect()
+        assert {r.query_id: (r.neighbor_id, r.cos_sim) for r in top1} == {
+            q: (q + 100000, 1.0) for q in range(5)}
+
     def test_ivfpq_planted_copy_is_rank1(self, emb):
         # The derived-oracle argument, exercised directly: copies of the
         # queries planted in the corpus must come back at rank 1 with
