@@ -259,9 +259,9 @@ def _update_transitions(
     Ordering contract: rows within a batch are sorted by (ts, event_id)
     here; across batches the chain is correct when ingestion is
     event-time ordered per user (the log-shipping case the file source
-    models). Out-of-order arrivals across batches would need a
-    watermark-delayed buffer in state — a deliberate non-goal for this
-    job; the batch ev_transition_matrix is the oracle either way.
+    models). For feeds that interleave out of order ACROSS batches, use
+    ``stateful_transitions_ooo`` — the watermark-buffered variant; the
+    batch ev_transition_matrix is the oracle either way.
     """
     last = state.get[0] if state.exists else None
     frames = [pdf for pdf in pdfs if len(pdf)]
@@ -298,6 +298,103 @@ def stateful_transitions(events: DataFrame) -> DataFrame:
             stateStructType=_TRANSITION_STATE,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_TRANSITION_OOO_STATE = T.StructType([
+    T.StructField("last_type", T.StringType()),
+    T.StructField("buf_ts_ms", T.ArrayType(T.LongType())),
+    T.StructField("buf_eid", T.ArrayType(T.LongType())),
+    T.StructField("buf_type", T.ArrayType(T.StringType())),
+])
+
+
+def _update_transitions_ooo(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Out-of-order-tolerant transition kernel: buffer above the
+    watermark, chain below it.
+
+    Arriving events land in a per-user state buffer; each invocation
+    drains the prefix with ``ts < watermark`` in (ts, event_id) order
+    and chains transitions through ``last_type`` exactly like the
+    in-order kernel. Correctness leans on Spark's watermark contract:
+    a row with event time below the watermark is dropped before it
+    reaches the operator, so once the watermark passes an event's
+    timestamp no EARLIER event can still arrive — the drained prefix is
+    final. Events within the allowed delay may arrive in any order
+    across micro-batches and still chain in event-time order; state per
+    user is one string plus the bounded still-immature buffer (≤ the
+    delay window's events, the same bound every watermarked stateful op
+    carries).
+    """
+    wm = state.getCurrentWatermarkMs()
+    if state.exists:
+        last, ts_b, eid_b, ety_b = state.get
+        ts_b, eid_b, ety_b = list(ts_b), list(eid_b), list(ety_b)
+    else:
+        last, ts_b, eid_b, ety_b = None, [], [], []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        rows = pd.concat(frames)
+        # → epoch millis, the watermark's unit. Explicit datetime64[ms]
+        # cast: the Arrow bridge may hand back [us] or [ns] resolution
+        # depending on the pandas version, so int64-then-divide is wrong.
+        ts_b += [int(v) for v in
+                 rows["ts"].to_numpy().astype("datetime64[ms]").astype("int64")]
+        eid_b += [int(v) for v in rows["event_id"]]
+        ety_b += [str(v) for v in rows["event_type"]]
+    out_from: list[str] = []
+    out_to: list[str] = []
+    keep: list[int] = []
+    for i in sorted(range(len(ts_b)), key=lambda j: (ts_b[j], eid_b[j])):
+        if ts_b[i] < wm:
+            if last is not None:
+                out_from.append(last)
+                out_to.append(ety_b[i])
+            last = ety_b[i]
+        else:
+            keep.append(i)
+    state.update((last,
+                  [ts_b[i] for i in keep],
+                  [eid_b[i] for i in keep],
+                  [ety_b[i] for i in keep]))
+    if keep:
+        # Re-arm an event-time timeout at the earliest immature event:
+        # a group is only re-invoked on new input OR a fired timeout, so
+        # without this the final watermark advance (the no-data batch)
+        # would never drain the buffer. Must be strictly above the
+        # current watermark.
+        state.setTimeoutTimestamp(max(min(ts_b[i] for i in keep), wm + 1))
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(out_from),
+        "from_type": out_from,
+        "to_type": out_to,
+    })
+
+
+def stateful_transitions_ooo(events: DataFrame,
+                             delay: str = "30 minutes") -> DataFrame:
+    """Per-user transitions tolerant of cross-batch out-of-order arrival
+    within ``delay``: ``withWatermark`` bounds the reorder window (and
+    drops later-than-that stragglers at the source), the kernel buffers
+    immature events in state and emits each transition exactly once when
+    its destination event's timestamp falls below the advancing
+    watermark. Matches the batch lag() oracle (``ev_transition_matrix``)
+    over the matured prefix wherever the in-order kernel would chain in
+    arrival order and diverge."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions_ooo,
+            outputStructType=_TRANSITION_OUT,
+            stateStructType=_TRANSITION_OOO_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -265,6 +265,78 @@ class TestStreaming:
         assert (1, "view", "click") in got
         assert (2, "click", "view") in got
 
+    def test_out_of_order_transitions_match_batch_oracle(self, spark, tmp_path):
+        # A feed that interleaves out of event-time order ACROSS batches
+        # (the 00:30 view arrives a micro-batch after the 01:00 buy).
+        # The watermark-buffered kernel must chain in EVENT-TIME order —
+        # the batch lag() oracle — where the in-order kernel provably
+        # chains in arrival order and diverges.
+        from gads_etl_spark.streaming.jobs import (
+            stateful_transitions,
+            stateful_transitions_ooo,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 01:00:00", 1, "buy", 1.0),
+            (3, "2024-01-01 00:30:00", 1, "view", 1.0),   # late, in-window
+            (4, "2024-01-01 05:00:00", 2, "click", 1.0),  # advances watermark
+        ]
+        import os
+        import time
+
+        src = tmp_path / "ooo-src"
+        src.mkdir()
+        now = time.time()
+        for i, batch in enumerate([rows[:2], rows[2:3], rows[3:]]):
+            p = src / f"batch-{i}.json"
+            with open(p, "w") as f:
+                for e in batch:
+                    f.write(json.dumps({
+                        "event_id": e[0], "ts": e[1], "user_id": e[2],
+                        "event_type": e[3], "value": e[4], "props": "{}",
+                    }) + "\n")
+            # Distinct mtimes pin the file source's batch ORDER — the
+            # whole point is that batch-1 (the late view) is read before
+            # batch-2 advances the watermark.
+            os.utime(p, (now + i * 10, now + i * 10))
+
+        _run_stream(stateful_transitions_ooo(
+            read_events_stream(spark, str(src)), delay="1 hour"),
+            "t_ooo", "append")
+        got = sorted((r.user_id, r.from_type, r.to_type)
+                     for r in spark.table("t_ooo").collect())
+        # Final watermark = 05:00 − 1h = 04:00 > every user-1 event, so
+        # the full event-time chain emits; user 2's 05:00 event is still
+        # immature (buffered, no transition).
+        assert got == [(1, "click", "view"), (1, "view", "buy")]
+
+        # Cross-check against the batch lag() oracle over the matured
+        # prefix (ts < final watermark).
+        from pyspark.sql.window import Window
+
+        mature = spark.createDataFrame(
+            [r for r in rows if r[1] < "2024-01-01 04:00:00"],
+            "event_id long, ts string, user_id long, event_type string, value double")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        want = sorted(
+            (r.user_id, r.prev, r.event_type)
+            for r in mature.select(
+                "user_id", "event_type",
+                F.lag("event_type").over(w).alias("prev"))
+            .where(F.col("prev").isNotNull()).collect())
+        assert got == want
+
+        # The in-order kernel on the same feed chains in ARRIVAL order —
+        # demonstrably NOT the oracle (this is the case the ooo variant
+        # exists for).
+        _run_stream(stateful_transitions(read_events_stream(spark, str(src))),
+                    "t_inorder", "append")
+        got_inorder = sorted((r.user_id, r.from_type, r.to_type)
+                             for r in spark.table("t_inorder").collect())
+        assert (1, "click", "buy") in got_inorder
+        assert got_inorder != want
+
     def test_transform_with_state_matches_legacy_processor(self, spark, tmp_path):
         # The Spark 4 transformWithState processor must produce the same
         # final per-user totals as the applyInPandasWithState kernel (and
