@@ -86,12 +86,62 @@ EXTRA = [
 ]
 
 
+def _bench_tier(spark, sf_dir: str) -> dict:
+    """Measure HEADLINE + EXTRA against one sf directory; returns the
+    same shape as the single-tier JSON body."""
+    global SF_DIR
+    prev, SF_DIR = SF_DIR, sf_dir
+    try:
+        return _measure(spark)
+    finally:
+        SF_DIR = prev
+
+
+def run_tiers(spark) -> None:
+    """--tiers: the two-tier scaling artifact — measure sf0.1 and the
+    amplified .localdata/sf1 fixture in one process and emit BOTH plus
+    the per-query wall ratio, so scaling drift is captured as data
+    round-over-round instead of SCALING.md prose. Generate the sf1 tier
+    first: ``python scripts/gen_scale_fixture.py``."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1_dir = os.path.join(here, ".localdata", "sf1")
+    if not os.path.isdir(sf1_dir):
+        print(json.dumps({"error": f"{sf1_dir} missing — run "
+                          "scripts/gen_scale_fixture.py first"}))
+        return
+    low = _bench_tier(spark, SF_DIR)
+    high = _bench_tier(spark, sf1_dir)
+
+    def _all(t):
+        return {**t["queries"], **t["extra"]}
+
+    lo_q, hi_q = _all(low), _all(high)
+    ratios = {n: round(hi_q[n] / lo_q[n], 2)
+              for n in lo_q if n in hi_q and lo_q[n] > 0}
+    print(json.dumps({
+        "metric": "two_tier_scaling",
+        "unit": "sec",
+        "tiers": {"sf0.1": low, "sf1": high},
+        "wall_ratio_sf1_over_sf0.1": ratios,
+        "data_factor": 10,
+    }))
+
+
 def main() -> None:
     from gads_etl_spark.session import get_session
-    from gads_etl_spark.queries import REGISTRY
 
     spark = get_session("gads-etl-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    if "--tiers" in sys.argv[1:]:
+        run_tiers(spark)
+        spark.stop()
+        return
+    print(json.dumps(_measure(spark)))
+    spark.stop()
+
+
+def _measure(spark) -> dict:
+    from gads_etl_spark.queries import REGISTRY
 
     names = [n for n in HEADLINE if n in REGISTRY]
     env_extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
@@ -148,8 +198,7 @@ def main() -> None:
         "runs": {"warmup": 1, "measured": measured_runs, "stat": "median"},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
-    spark.stop()
+    return out
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ QUERIES = [
     "ext_hybrid_search",          # nano-int RRF over two TakeOrdered legs
     "ev_hot_user_enrichment",     # selective salting must be invisible
     "ext_temperature_mix",        # integer thresholds + hash membership
+    "ext_bm25_multi",             # broadcast query-relation fan-out + window
 ]
 
 

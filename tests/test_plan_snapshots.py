@@ -34,6 +34,8 @@ EXPECTED = {
     "ev_hot_user_enrichment": (4, 3, 0),  # hot set broadcast both sides
     "ext_hybrid_search": (4, 2, 1),   # 2×TakeOrdered legs; 2k-row fusion
     "ext_temperature_mix": (4, 2, 0),  # stats broadcast; scan predicate
+    "ext_bm25_multi": (5, 3, 0),      # broadcast dfq/queries; one window
+    "ext_knn_ivfpq_res": (2, 3, 0),   # cell equi-join; corpus never shuffles wide
 }
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
