@@ -83,6 +83,10 @@ EXTRA = [
     "ext_hybrid_search",
     "ev_hot_user_enrichment",
     "ext_temperature_mix",
+    "ext_pagerank",
+    "op_trend_fit",
+    "op_resample_interpolate",
+    "ext_epoch_shuffle",
 ]
 
 

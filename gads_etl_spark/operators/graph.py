@@ -172,3 +172,80 @@ def cluster_survivors_by(
         .where(F.col("_rn") == 1)
         .drop("_rn", "component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted PageRank by fixed-iteration power method, computed
+    entirely in scaled integers so the result is exact and engine- and
+    partitioning-independent.
+
+    Returns (node, pr_scaled): integer ranks that sum to ≈ ``scale``
+    (floor-division dust aside). Rank mass at iteration k+1:
+
+        pr'(v) = (100-d)·S div (100·N)  +  d · Σ_{u→v} c(u,v) div 100
+        c(u,v) = pr(u)·w(u,v) div outw(u)
+
+    with S = ``scale``, d = ``damping_pct``, N = |nodes|, all divisions
+    integral. Both engines of the correctness harness floor the same
+    way on positives, so 8 iterations stay bit-identical — no float
+    summation-order drift, the classic reason iterative graph oracles
+    "almost" match.
+
+    **Contract:** callers pass a symmetrized graph (every node appears
+    as both src and dst — true for co-occurrence graphs by
+    construction). Nodes outside the edge set never enter; dangling
+    mass therefore cannot exist, which is what makes the integer
+    formulation closed.
+
+    Scale design (the CC notes above apply too):
+    - Per-edge contribution multiplies in decimal(38,0): pr ≤ S and w
+      is a co-occurrence count, so pr·w can pass int64 on a hot edge
+      at planet scale; the division result is back under S and is
+      stored as BIGINT.
+    - Σ contributions into a node is ≤ S *by mass conservation*
+      (Σ_v in(v) ≤ Σ_u pr(u) ≈ S regardless of graph size), so the
+      aggregation side never needs widening — the overflow analysis
+      is data-size-independent, not fixture luck.
+    - One shuffle per iteration (join on src is co-partitioned with
+      the cached degree-annotated edges; the groupBy(dst) is the
+      iteration's real exchange). ``localCheckpoint`` truncates
+      lineage each round.
+    """
+    w = (F.col(weight) if weight else F.lit(1)).cast("long")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     w.alias("w"))
+    if checkpoint:
+        e = e.localCheckpoint()
+    deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    ed = e.join(deg, "src").select("src", "dst", "w", "outw")
+    if checkpoint:
+        ed = ed.localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(F.col("src").alias("node"),
+                          F.lit(0).cast("long").alias("pr_scaled"))
+    teleport = ((100 - damping_pct) * scale) // (100 * n)
+    r = deg.select(F.col("src").alias("node"),
+                   F.lit(scale // n).cast("long").alias("pr_scaled"))
+    for _ in range(iterations):
+        contrib = (
+            ed.join(r, ed.src == r.node)
+            .select(F.col("dst").alias("node"),
+                    F.expr("CAST((CAST(pr_scaled AS DECIMAL(38,0)) * w)"
+                           " div outw AS BIGINT)").alias("c"))
+        )
+        r = contrib.groupBy("node").agg(
+            F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div 100"
+                   " AS BIGINT)").alias("pr_scaled"))
+        if checkpoint:
+            r = r.localCheckpoint()
+    return r

@@ -307,3 +307,57 @@ def temperature_mixture_sample(
         .where(_hash_prefix(id_col, salt)
                < F.format_string(f"%0{_WIDTH}x", F.col("threshold")))
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Seeded pseudo-random shard + position assignment for a training
+    epoch — the "global shuffle" a trainer wants, without a global sort.
+
+    Every row gets, as a pure function of (epoch, id):
+
+    - ``shard`` ∈ [0, n_shards): the first hex digit(s) of
+      md5('epoch<k>:' || id) — scan-local, no shuffle to decide;
+    - ``pos``: the row's rank *within its shard*, ordering by the
+      longer hash prefix with the id as final tiebreak.
+
+    Reading shards in index order, each shard in ``pos`` order, yields
+    a deterministic permutation of the corpus that is
+    indistinguishable-from-random w.r.t. any content attribute, and
+    re-deriving it is reproducible across runs, partition layouts, and
+    cluster sizes. Changing ``epoch`` re-permutes everything.
+
+    Scale design: the only exchange is hashpartitioning on ``shard``
+    and the only sort is *within* a shard (``pos`` is a window
+    row_number per shard) — n_shards-way parallel, never a single
+    global ordering. Writers then emit one file per shard,
+    ``partitionBy("shard")``-style; at 100 TB pick n_shards ≈ the
+    write parallelism you want (a power of 16 keeps the digit-prefix
+    mapping exactly uniform; other values are rejected rather than
+    silently skewed).
+
+    ``n_shards`` must be 16^k for k ≤ 4 so shards map to whole hex
+    prefixes (exact equal-probability cells, portable to any engine
+    with md5 — no hex→int conversion needed).
+    """
+    import math
+
+    k = round(math.log(n_shards, 16))
+    if 16 ** k != n_shards or not 1 <= k <= _WIDTH:
+        raise ValueError(
+            f"n_shards must be 16^k for 1 <= k <= {_WIDTH}, got {n_shards}")
+    h = F.md5(F.concat(F.lit(f"epoch{epoch}:"),
+                       F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    shard = F.substring(h, 1, k)
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", F.substring(h, 1, 8))
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

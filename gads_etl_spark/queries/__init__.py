@@ -19,3 +19,4 @@ from gads_etl_spark.queries import observe_suite  # noqa: F401,E402
 from gads_etl_spark.queries import extension_suite  # noqa: F401,E402
 from gads_etl_spark.queries import events_suite  # noqa: F401,E402
 from gads_etl_spark.queries import pipeline_suite  # noqa: F401,E402
+from gads_etl_spark.queries import analytics_suite  # noqa: F401,E402

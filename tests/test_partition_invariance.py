@@ -41,6 +41,10 @@ QUERIES = [
     "ev_hot_user_enrichment",     # selective salting must be invisible
     "ext_temperature_mix",        # integer thresholds + hash membership
     "ext_bm25_multi",             # broadcast query-relation fan-out + window
+    "ext_pagerank",               # integer power iteration, 8 rounds
+    "op_trend_fit",               # OLS from exact decimal Gram sums
+    "op_resample_interpolate",    # per-key calendar + integer anchors
+    "ext_epoch_shuffle",          # hash-digit shards + in-shard ranks
 ]
 
 

@@ -154,6 +154,30 @@ class TestRound3Plans:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan
 
+    def test_pagerank_iterations_are_equi_joins(self, spark):
+        # Two un-checkpointed power iterations: every join is hash/merge
+        # (rank redistribute = equi-join on src), each iteration's real
+        # exchange is the groupBy(node); no nested loop anywhere, and no
+        # plan blowup beyond the expected per-iteration node exchanges.
+        from pyspark.sql import functions as F
+
+        from gads_etl_spark.operators.graph import pagerank
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        lp = li.select("l_orderkey", "l_partkey").distinct()
+        pairs = (
+            lp.alias("a").join(lp.alias("b"), "l_orderkey")
+            .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .groupBy(F.col("a.l_partkey").alias("src"),
+                     F.col("b.l_partkey").alias("dst"))
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+        pr = pagerank(pairs, weight="w", iterations=2, checkpoint=False)
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning\(node", plan)) == 2, plan
+
     def test_hash_sample_filter_reaches_scan_stage(self, spark):
         # The sampling predicate sits directly on the scan (no shuffle
         # below it); the only Exchange is the final presentation sort.

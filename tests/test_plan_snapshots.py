@@ -36,6 +36,9 @@ EXPECTED = {
     "ext_temperature_mix": (4, 2, 0),  # stats broadcast; scan predicate
     "ext_bm25_multi": (5, 3, 0),      # broadcast dfq/queries; one window
     "ext_knn_ivfpq_res": (2, 3, 0),   # cell equi-join; corpus never shuffles wide
+    "op_trend_fit": (2, 2, 0),        # monthly rollup + nation fit; dims broadcast
+    "op_resample_interpolate": (2, 1, 0),  # daily rollup + key window; grid join broadcast
+    "ext_epoch_shuffle": (1, 0, 0),   # one shard exchange, in-shard sort only
 }
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")

@@ -346,3 +346,58 @@ class TestTemperatureMixture:
                    temperature_mixture_sample(df.repartition(13))
                    .select("doc_id").collect())
         assert a == b and len(a) > 0
+
+
+class TestEpochShuffle:
+    def _docs(self, spark, n=300):
+        return spark.range(n).withColumnRenamed("id", "doc_id")
+
+    def test_every_row_assigned_positions_contiguous(self, spark):
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark), "doc_id", epoch=1).collect()
+        assert len(out) == 300
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_epoch_changes_permutation_membership_not(self, spark):
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        docs = self._docs(spark)
+        e1 = {r["doc_id"]: (r["shard"], r["pos"])
+              for r in epoch_shuffle(docs, "doc_id", epoch=1).collect()}
+        e2 = {r["doc_id"]: (r["shard"], r["pos"])
+              for r in epoch_shuffle(docs, "doc_id", epoch=2).collect()}
+        assert set(e1) == set(e2)
+        assert sum(e1[d] != e2[d] for d in e1) > 250  # nearly all move
+
+    def test_deterministic_under_repartition(self, spark):
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, epoch_shuffle(docs.coalesce(1), "doc_id", 3)
+                       .drop("h").collect()))
+        b = sorted(map(tuple, epoch_shuffle(docs.repartition(11), "doc_id", 3)
+                       .drop("h").collect()))
+        assert a == b
+
+    def test_shards_reasonably_balanced(self, spark):
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark, 1600), "doc_id", 5,
+                            n_shards=16).groupBy("shard").count().collect()
+        sizes = [r["count"] for r in out]
+        assert len(sizes) == 16
+        assert max(sizes) < 3 * min(sizes)
+
+    def test_rejects_non_power_of_16(self, spark):
+        import pytest as _pytest
+
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        for bad in (0, 8, 24, 16 ** 5):
+            with _pytest.raises(ValueError):
+                epoch_shuffle(self._docs(spark, 1), "doc_id", 1, n_shards=bad)

@@ -288,3 +288,66 @@ class TestClusterSurvivorsBy:
         out = cluster_survivors_by(
             docs, comps, [F.desc("quality"), F.asc("doc_id")])
         assert out.count() == 20  # nothing clustered → nothing dropped
+
+
+class TestPagerank:
+    def _pr(self, spark, edges, **kw):
+        from gads_etl_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(edges, "src INT, dst INT, w LONG")
+        return {r["node"]: r["pr_scaled"]
+                for r in pagerank(e, weight="w", **kw).collect()}
+
+    def test_symmetric_pair_splits_mass_evenly(self, spark):
+        pr = self._pr(spark, [(1, 2, 1), (2, 1, 1)])
+        assert pr[1] == pr[2]
+        assert abs(pr[1] + pr[2] - 1_000_000_000_000) < 100
+
+    def test_cycle_is_uniform(self, spark):
+        n = 6
+        edges = [(i, (i + 1) % n, 1) for i in range(n)] + \
+                [((i + 1) % n, i, 1) for i in range(n)]
+        pr = self._pr(spark, edges)
+        assert len(set(pr.values())) == 1
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: hub 0 <-> leaves 1..5 (symmetrized)
+        edges = [(0, i, 1) for i in range(1, 6)] + \
+                [(i, 0, 1) for i in range(1, 6)]
+        pr = self._pr(spark, edges)
+        assert all(pr[0] > pr[i] for i in range(1, 6))
+        assert len({pr[i] for i in range(1, 6)}) == 1  # leaves tie exactly
+
+    def test_edge_weight_steers_rank(self, spark):
+        # triangle, but 1<->2 carries 10x the weight of edges touching 3
+        edges = [(1, 2, 10), (2, 1, 10), (1, 3, 1), (3, 1, 1),
+                 (2, 3, 1), (3, 2, 1)]
+        pr = self._pr(spark, edges)
+        assert pr[1] == pr[2] > pr[3]
+
+    def test_mass_conserved_within_rounding(self, spark):
+        edges = [(a, b, (a * 7 + b) % 5 + 1)
+                 for a in range(20) for b in range(20) if a != b and (a + b) % 3 == 0]
+        edges += [(b, a, w) for a, b, w in edges]
+        pr = self._pr(spark, list(set(edges)))
+        total = sum(pr.values())
+        # floor-division dust only: <= ~2 units per node per step
+        assert 0 < 1_000_000_000_000 - total < 40 * len(pr)
+
+    def test_partitioning_invariant(self, spark):
+        from gads_etl_spark.operators.graph import pagerank
+
+        edges = [(a, (a * 13) % 50, 1 + a % 3) for a in range(50)]
+        edges += [(b, a, w) for a, b, w in edges]
+        e = spark.createDataFrame(sorted(set(edges)), "src INT, dst INT, w LONG")
+        one = {r["node"]: r["pr_scaled"]
+               for r in pagerank(e.coalesce(1), weight="w").collect()}
+        many = {r["node"]: r["pr_scaled"]
+                for r in pagerank(e.repartition(17), weight="w").collect()}
+        assert one == many
+
+    def test_empty_graph(self, spark):
+        from gads_etl_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([], "src INT, dst INT, w LONG")
+        assert pagerank(e, weight="w").count() == 0
