@@ -207,41 +207,49 @@ def pagerank(
     formulation closed.
 
     Scale design (the CC notes above apply too):
-    - Per-edge contribution multiplies in decimal(38,0): pr ≤ S and w
-      is a co-occurrence count, so pr·w can pass int64 on a hot edge
-      at planet scale; the division result is back under S and is
-      stored as BIGINT.
+    - Out-weights attach via a window over the one src-partitioned
+      exchange (no separate degree aggregate + join + second
+      materialization of the edge list).
+    - Per-edge contribution pr·w can pass int64 on a hot edge at
+      planet scale (pr ≤ S, w a co-occurrence count). The multiply
+      runs in plain longs — inside whole-stage codegen, ~2× cheaper
+      than decimal — whenever the OBSERVED max(w)·S < 2^62, falling
+      back to decimal(38,0) above that. Both paths are exact integer
+      math, so the choice cannot change a single output bit.
     - Σ contributions into a node is ≤ S *by mass conservation*
       (Σ_v in(v) ≤ Σ_u pr(u) ≈ S regardless of graph size), so the
       aggregation side never needs widening — the overflow analysis
       is data-size-independent, not fixture luck.
-    - One shuffle per iteration (join on src is co-partitioned with
-      the cached degree-annotated edges; the groupBy(dst) is the
-      iteration's real exchange). ``localCheckpoint`` truncates
-      lineage each round.
+    - One shuffle per iteration (the rank side is |V| rows, which AQE
+      broadcasts while it fits; the groupBy(dst) is the iteration's
+      real exchange). ``localCheckpoint`` truncates lineage each
+      round.
     """
+    from pyspark.sql.window import Window
+
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
-    if checkpoint:
-        e = e.localCheckpoint()
-    deg = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    ed = e.join(deg, "src").select("src", "dst", "w", "outw")
+    ed = e.withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
     if checkpoint:
         ed = ed.localCheckpoint()
-    n = deg.count()
+    stats = ed.agg(F.max("w").alias("wm"),
+                   F.countDistinct("src").alias("n")).collect()[0]
+    n, wmax = stats["n"], stats["wm"]
     if n == 0:
-        return deg.select(F.col("src").alias("node"),
-                          F.lit(0).cast("long").alias("pr_scaled"))
+        return ed.select(F.col("src").alias("node"),
+                         F.lit(0).cast("long").alias("pr_scaled"))
+    mul = ("(pr_scaled * w) div outw" if wmax * scale < (1 << 62)
+           else "(CAST(pr_scaled AS DECIMAL(38,0)) * w) div outw")
     teleport = ((100 - damping_pct) * scale) // (100 * n)
-    r = deg.select(F.col("src").alias("node"),
-                   F.lit(scale // n).cast("long").alias("pr_scaled"))
+    r = ed.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(scale // n).cast("long").alias("pr_scaled"))
     for _ in range(iterations):
         contrib = (
             ed.join(r, ed.src == r.node)
             .select(F.col("dst").alias("node"),
-                    F.expr("CAST((CAST(pr_scaled AS DECIMAL(38,0)) * w)"
-                           " div outw AS BIGINT)").alias("c"))
+                    F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
         )
         r = contrib.groupBy("node").agg(
             F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div 100"

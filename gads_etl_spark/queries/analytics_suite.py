@@ -81,22 +81,23 @@ def ext_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/graph.py:pagerank — see there for why integer ranks make
     an iterative algorithm oracle-exact).
 
-    Scale shape: the pair generator is an equi-join on l_orderkey whose
-    fan-out is bounded by items-per-order (a dozen pairs per order, so
-    edges grow linearly with orders, never |parts|²); each iteration is
-    one bounded shuffle on the node key. Per-iteration cost is
-    O(edges), independent of iteration count's history — lineage is
-    truncated by localCheckpoint each round.
+    Scale shape: pairs expand from one collect_set per order (a single
+    l_orderkey exchange; the per-order part set is bounded by
+    items-per-order, so the exploded pair count grows linearly with
+    orders, never |parts|²); each iteration is one bounded shuffle on
+    the node key. Per-iteration cost is O(edges), independent of
+    iteration count's history — lineage is truncated by
+    localCheckpoint each round.
     """
     from gads_etl_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select("l_orderkey", "l_partkey").distinct()
     pairs = (
-        lp.alias("a").join(lp.alias("b"), "l_orderkey")
-        .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .groupBy(F.col("a.l_partkey").alias("src"),
-                 F.col("b.l_partkey").alias("dst"))
+        li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
     pr = pagerank(pairs, weight="w", iterations=_PR_ITERS,

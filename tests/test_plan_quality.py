@@ -164,12 +164,12 @@ class TestRound3Plans:
         from gads_etl_spark.operators.graph import pagerank
 
         li = spark.read.parquet(f"{SF}/lineitem.parquet")
-        lp = li.select("l_orderkey", "l_partkey").distinct()
         pairs = (
-            lp.alias("a").join(lp.alias("b"), "l_orderkey")
-            .where(F.col("a.l_partkey") != F.col("b.l_partkey"))
-            .groupBy(F.col("a.l_partkey").alias("src"),
-                     F.col("b.l_partkey").alias("dst"))
+            li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+            .select(F.explode("ps").alias("src"), "ps")
+            .select("src", F.explode("ps").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
             .agg(F.count(F.lit(1)).cast("long").alias("w"))
         )
         pr = pagerank(pairs, weight="w", iterations=2, checkpoint=False)
