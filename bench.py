@@ -1,7 +1,12 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints the full detail object (headline + "extra" breadth set) on one
+JSON line, then the COMPACT headline metric on the FINAL line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The compact line is last and short (~400 bytes) so any tail-capture of
+stdout always ends with one complete, parseable metric line no matter
+how large the breadth set grows (round 9's single giant line overran
+the driver's tail buffer and recorded parsed: null).
 """
 
 from __future__ import annotations
@@ -122,13 +127,20 @@ def run_tiers(spark) -> None:
     lo_q, hi_q = _all(low), _all(high)
     ratios = {n: round(hi_q[n] / lo_q[n], 2)
               for n in lo_q if n in hi_q and lo_q[n] > 0}
-    print(json.dumps({
+    body = json.dumps({
         "metric": "two_tier_scaling",
         "unit": "sec",
         "tiers": {"sf0.1": low, "sf1": high},
         "wall_ratio_sf1_over_sf0.1": ratios,
         "data_factor": 10,
-    }))
+    })
+    # The tiers artifact is the round's scaling evidence — persist it in
+    # the repo (committed as BENCH_tiers.json) as well as printing it.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_tiers.json")
+    with open(out_path, "w") as fh:
+        fh.write(body + "\n")
+    print(body)
 
 
 def main() -> None:
@@ -140,7 +152,15 @@ def main() -> None:
         run_tiers(spark)
         spark.stop()
         return
-    print(json.dumps(_measure(spark)))
+    out = _measure(spark)
+    # Detail first, compact headline LAST: a bounded tail-capture of
+    # stdout must always end with one complete parseable metric line.
+    print(json.dumps({**out, "detail": True}))
+    compact = {k: out[k] for k in
+               ("metric", "value", "incomplete", "unit", "queries", "sf")}
+    compact["extra_total"] = out["extra_total"]
+    compact["errors_n"] = len(out["errors"])
+    print(json.dumps(compact))
     spark.stop()
 
 

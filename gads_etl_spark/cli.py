@@ -430,10 +430,12 @@ def _run_sync(args, lookback_days: int | None, target: date) -> int:
     out = {
         "run_id": report.run_id,
         "extracted": len(report.extracted),
-        "extract_errors": {
-            **{str(k): v for k, v in report.extract_errors.items()},
-            **{f"source:{k}": v for k, v in source_read_errors.items()},
-        },
+        # Two distinct key namespaces, two fields: extract_errors keys
+        # are run/partition identifiers, source_read_errors keys are
+        # entity names — consumers parsing keys structurally must never
+        # have to sniff a "source:" prefix.
+        "extract_errors": {str(k): v for k, v in report.extract_errors.items()},
+        "source_read_errors": source_read_errors,
         "validated_success": report.validated_success,
         "validated_failed": report.validated_failed,
         "staged": report.staged,

@@ -183,6 +183,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000_000_000,
     checkpoint: bool = True,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Weighted PageRank by fixed-iteration power method, computed
     entirely in scaled integers so the result is exact and engine- and
@@ -222,8 +223,12 @@ def pagerank(
       is data-size-independent, not fixture luck.
     - One shuffle per iteration (the rank side is |V| rows, which AQE
       broadcasts while it fits; the groupBy(dst) is the iteration's
-      real exchange). ``localCheckpoint`` truncates lineage each
-      round.
+      real exchange). ``localCheckpoint`` truncates lineage every
+      ``checkpoint_every`` iterations rather than every round: a
+      checkpoint is an eager materialization (a full action + cache
+      write), so per-round checkpointing pays iterations× scheduling
+      round-trips while the lineage it guards against is only ~3 joins
+      deep at cadence 3 — bounded either way, ~2.5× fewer actions.
     """
     from pyspark.sql.window import Window
 
@@ -245,7 +250,7 @@ def pagerank(
     r = ed.select("src").distinct().select(
         F.col("src").alias("node"),
         F.lit(scale // n).cast("long").alias("pr_scaled"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             ed.join(r, ed.src == r.node)
             .select(F.col("dst").alias("node"),
@@ -254,6 +259,7 @@ def pagerank(
         r = contrib.groupBy("node").agg(
             F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div 100"
                    " AS BIGINT)").alias("pr_scaled"))
-        if checkpoint:
+        if checkpoint and (i + 1) % max(1, checkpoint_every) == 0 \
+                and i + 1 < iterations:
             r = r.localCheckpoint()
     return r

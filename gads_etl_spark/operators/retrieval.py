@@ -69,10 +69,13 @@ def bm25_scores(
         .select(
             F.col(id_col),
             F.round(
-                # (k1 + 1) as the literal 2.2, not computed: both engines
-                # must parse the SAME double (float(1.2) + 1 need not
-                # equal float(2.2) bit-for-bit).
-                idf * F.col("tf") * 2.2
+                # (k1 + 1) computed driver-side as one Python double and
+                # injected as a literal: for the default k1=1.2 this is
+                # bit-identical to parsing "2.2" (1.2 + 1 == 2.2 exactly
+                # in IEEE doubles — both are the nearest double to their
+                # decimal), so oracle parity is unchanged, and any other
+                # k1 now actually reaches the numerator.
+                idf * F.col("tf") * (k1 + 1.0)
                 / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
                 * 1_000_000).cast("long").alias("s_micro"),
         )
@@ -97,23 +100,25 @@ def bm25_scores_multi(
 
     Returns ``(query_id, doc_id, sm)`` micro-int scores. Scale shape:
     per-(doc, term) scores are computed ONCE for the union of all query
-    terms (the postings scan filters to that union at the source — an
-    IN over the distinct terms, still pushdown-able), then fan out to
-    queries via a broadcast join with the tiny query relation; df/idf
-    are per-term and shared across queries. Adding a query adds only
-    broadcast-join fan-out, never another corpus scan. The query
-    relation is collected to the driver for the IN literal — it is
-    control-plane-sized (terms a human or a topic model wrote), same
-    discipline as the corpus stats.
+    terms (the exploded postings are cut to that union by a broadcast
+    LEFT SEMI join against the distinct query terms — no driver
+    round-trip, and the broadcast keeps the filter map-side), then fan
+    out to queries via a broadcast join with the tiny query relation;
+    df/idf are per-term and shared across queries. Adding a query adds
+    only broadcast-join fan-out, never another corpus scan. The only
+    collect left is the two corpus stats scalars a real deployment
+    precomputes.
     """
     from gads_etl_spark.operators.dedup import tokens
 
     q = queries.select(F.col(query_id_col), F.col(term_col).alias("term"))
-    terms = sorted({r[0] for r in q.select("term").distinct().collect()})
     dl = docs.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl"))
     n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    if not n_docs or not terms:
+    if not n_docs:
+        # Empty corpus: avgdl is undefined (sum_dl NULL). An empty query
+        # relation needs no guard — the semi-join below yields an empty
+        # result of the contracted schema naturally.
         return (docs.select(F.col(id_col)).limit(0)
                 .crossJoin(q.select(query_id_col).limit(0))
                 .withColumn("sm", F.lit(0).cast("long"))
@@ -122,7 +127,7 @@ def bm25_scores_multi(
     tf = (
         docs.select(F.col(id_col),
                     F.explode(tokens(F.col(text_col))).alias("term"))
-        .where(F.col("term").isin(terms))
+        .join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -135,8 +140,8 @@ def bm25_scores_multi(
         .select(
             F.col(id_col), F.col("term"),
             F.round(
-                # literal 2.2 for (k1 + 1) — see bm25_scores
-                idf * F.col("tf") * 2.2
+                # driver-computed (k1 + 1) literal — see bm25_scores
+                idf * F.col("tf") * (k1 + 1.0)
                 / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
                 * 1_000_000).cast("long").alias("s_micro"),
         )

@@ -360,4 +360,8 @@ def epoch_shuffle(
         df.withColumn("h", F.substring(h, 1, 8))
         .withColumn("shard", shard)
         .withColumn("pos", F.row_number().over(w).cast("long"))
+        # The 8-hex tiebreak prefix is internal — the contract is the
+        # input columns plus (shard, pos) only; a caller's
+        # partitionBy("shard") write must not persist it.
+        .drop("h")
     )

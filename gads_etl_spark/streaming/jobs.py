@@ -385,7 +385,20 @@ def stateful_transitions_ooo(events: DataFrame,
     its destination event's timestamp falls below the advancing
     watermark. Matches the batch lag() oracle (``ev_transition_matrix``)
     over the matured prefix wherever the in-order kernel would chain in
-    arrival order and diverge."""
+    arrival order and diverge.
+
+    **State retention:** per-key state is never removed. The buffer
+    arrays drain to empty once the watermark passes (bounded by the
+    delay window at all times), but ``last_type`` + three empty arrays
+    persist per user forever — chaining across arbitrarily long gaps
+    REQUIRES remembering the last event, so this is inherent to the
+    semantics, not a leak: total state is O(distinct users ever seen),
+    the same bound as the in-order kernel and as any keyed
+    running-aggregate. Deployments with high-cardinality transient keys
+    (e.g. anonymous session ids) should key by a durable id, or accept
+    losing gap-spanning transitions and wrap this with an idle-TTL
+    eviction; we deliberately don't evict silently, because a dropped
+    ``last_type`` changes answers."""
     return (
         events.withWatermark("ts", delay)
         .groupBy("user_id")

@@ -271,11 +271,11 @@ queries:
                      "--date", "2024-01-02"]) == 1
         out = json.loads(capsys.readouterr().out)
         assert not out["ok"] and out["extract_errors"]
-        # The read failure's CAUSE is surfaced alongside the downstream
-        # partition failures, not swallowed (a corrupt parquet must be
+        # The read failure's CAUSE is surfaced in its own field, keyed
+        # by entity name — separate from the run/partition-keyed
+        # extract_errors namespace (a corrupt parquet must be
         # distinguishable from an absent source).
-        assert any(k == "source:campaign" and v
-                   for k, v in out["extract_errors"].items())
+        assert out["source_read_errors"].get("campaign")
 
     def test_catch_up_days_defaults_to_config_window(
             self, sync_env, capsys, tmp_path):

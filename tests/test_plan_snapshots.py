@@ -34,7 +34,13 @@ EXPECTED = {
     "ev_hot_user_enrichment": (4, 3, 0),  # hot set broadcast both sides
     "ext_hybrid_search": (4, 2, 1),   # 2×TakeOrdered legs; 2k-row fusion
     "ext_temperature_mix": (4, 2, 0),  # stats broadcast; scan predicate
-    "ext_bm25_multi": (5, 3, 0),      # broadcast dfq/queries; one window
+    # r10: +2 ex / +2 bhj over r9's (5, 3, 0) — the term semi-join that
+    # replaced the driver-collected IN literal: q.distinct() is one tiny
+    # exchange + LeftSemi broadcast, duplicated because the tf subtree
+    # feeds both the score and the df branch (identical exchanges, AQE
+    # reuses at runtime). All new operators are on the query side; the
+    # corpus still shuffles only for the two aggregations.
+    "ext_bm25_multi": (7, 5, 0),
     "ext_knn_ivfpq_res": (2, 3, 0),   # cell equi-join; corpus never shuffles wide
     "op_trend_fit": (2, 2, 0),        # monthly rollup + nation fit; dims broadcast
     "op_resample_interpolate": (2, 1, 0),  # daily rollup + key window; grid join broadcast

@@ -379,10 +379,18 @@ class TestEpochShuffle:
 
         docs = self._docs(spark)
         a = sorted(map(tuple, epoch_shuffle(docs.coalesce(1), "doc_id", 3)
-                       .drop("h").collect()))
+                       .collect()))
         b = sorted(map(tuple, epoch_shuffle(docs.repartition(11), "doc_id", 3)
-                       .drop("h").collect()))
+                       .collect()))
         assert a == b
+
+    def test_output_schema_is_input_plus_shard_pos(self, spark):
+        # Contract: no internal columns leak (the 8-hex tiebreak
+        # prefix stays inside the operator).
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._docs(spark, 10), "doc_id", epoch=1)
+        assert out.columns == ["doc_id", "shard", "pos"]
 
     def test_shards_reasonably_balanced(self, spark):
         from gads_etl_spark.operators.sampling import epoch_shuffle
