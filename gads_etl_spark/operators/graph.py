@@ -77,7 +77,13 @@ def connected_components(
     prev_fp = ()  # sentinel unequal to any fingerprint (incl. None)
     for i in range(max_iter):
         neighbor = (
-            e.join(labels, e.b == labels.node)
+            # shuffle_hash pin: same rationale as pagerank below — both
+            # sides are localCheckpoint-ed relations whose size ESTIMATE
+            # is inherited from the plan they replaced, so the static
+            # planner must never be allowed to pick the edge list as a
+            # broadcast build side. Build on the |V|-row label side,
+            # per-partition — scale-safe at any |V|.
+            e.join(labels.hint("shuffle_hash"), e.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
         labels = (
@@ -99,7 +105,8 @@ def connected_components(
             parent = labels.select(F.col("node").alias("p_node"),
                                    F.col("component").alias("p_comp"))
             labels = (
-                labels.join(parent, labels.component == parent.p_node, "left")
+                labels.join(parent.hint("shuffle_hash"),
+                            labels.component == parent.p_node, "left")
                 .select("node",
                         F.least("component", F.coalesce("p_comp", "component"))
                         .alias("component"))
@@ -221,9 +228,17 @@ def pagerank(
       (Σ_v in(v) ≤ Σ_u pr(u) ≈ S regardless of graph size), so the
       aggregation side never needs widening — the overflow analysis
       is data-size-independent, not fixture luck.
-    - One shuffle per iteration (the rank side is |V| rows, which AQE
-      broadcasts while it fits; the groupBy(dst) is the iteration's
-      real exchange). ``localCheckpoint`` truncates lineage every
+    - One shuffle per iteration: the rank side (|V| rows) is pinned to
+      the BUILD side of a shuffle-hash join — per-partition build is
+      |V|/partitions rows, scale-safe at any |V|, and the edge side can
+      never be picked for a broadcast build. The pin matters because a
+      ``localCheckpoint``-ed relation keeps the SIZE ESTIMATE of the
+      plan it replaced (measured: 24M materialized edge rows reporting
+      24 MB), so from iteration ~2 — once the rank subtree's estimate
+      outgrows that figure — the static planner would otherwise build
+      a broadcast hash table out of the EDGE LIST and OOM the driver
+      (observed at the 10× tier). The groupBy(dst) is the iteration's
+      real exchange. ``localCheckpoint`` truncates lineage every
       ``checkpoint_every`` iterations rather than every round: a
       checkpoint is an eager materialization (a full action + cache
       write), so per-round checkpointing pays iterations× scheduling
@@ -252,7 +267,7 @@ def pagerank(
         F.lit(scale // n).cast("long").alias("pr_scaled"))
     for i in range(iterations):
         contrib = (
-            ed.join(r, ed.src == r.node)
+            ed.join(r.hint("shuffle_hash"), ed.src == r.node)
             .select(F.col("dst").alias("node"),
                     F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
         )

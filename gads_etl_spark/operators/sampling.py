@@ -365,3 +365,44 @@ def epoch_shuffle(
         # partitionBy("shard") write must not persist it.
         .drop("h")
     )
+
+
+def write_epoch_shards(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    out_dir: str,
+    n_shards: int = 16,
+    mode: str = "error",
+) -> None:
+    """Materialize one training epoch as shard-partitioned parquet —
+    the consumer half of :func:`epoch_shuffle`'s contract: a trainer
+    reads ``shard=<s>/`` directories in index order and streams each
+    file start-to-end to see the epoch's global pseudo-random
+    permutation in ``pos`` order, with no sort at read time.
+
+    Layout guarantee (tested against the parquet files themselves, not
+    the plan): every shard directory holds rows strictly increasing in
+    ``pos``. This costs NO exchange beyond epoch_shuffle's own single
+    hashpartitioning(shard): the rank window already leaves each Spark
+    partition sorted by (shard, tiebreak-hash, id) — which IS
+    (shard, pos) order — and a whole shard lands in exactly one task
+    (same key, same partition), so the partitionBy writer streams each
+    shard's rows into its file already ordered. The explicit
+    sortWithinPartitions below just pins that invariant in the plan
+    (Catalyst drops the SortExec when child ordering already satisfies
+    it) so a future epoch_shuffle refactor cannot silently break the
+    on-disk contract.
+
+    At 100 TB: n_shards ≈ desired write/read parallelism (16^k cells
+    stay exactly uniform), each shard one task's sequential write —
+    no global sort, no driver involvement, and re-running the same
+    (epoch, corpus) overwrites to an identical layout.
+    """
+    (
+        epoch_shuffle(df, id_col, epoch, n_shards)
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )

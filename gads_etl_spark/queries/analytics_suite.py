@@ -36,6 +36,12 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
     Mirrors operators/graph.py:pagerank step for step: HUGEINT holds the
     per-edge product exactly (Spark side: decimal(38,0)); `//` and `div`
     both truncate on positives, so every iteration is bit-identical.
+
+    ``ed`` is referenced once per unrolled iteration; AS MATERIALIZED
+    pins DuckDB to compute the edge list ONCE instead of inlining the
+    pair self-join into all 8 steps — inlined, the 10x tier recomputes
+    a 24M-edge join 8 times and spills >80GB of temp. Materialization
+    cannot change values, only evaluation count.
     """
     head = f"""
     WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -47,7 +53,8 @@ def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
       GROUP BY 1, 2
     ),
     deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
-    ed AS (SELECT e.src, e.dst, e.w, deg.outw FROM e JOIN deg USING (src)),
+    ed AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, deg.outw FROM e JOIN deg USING (src)),
     nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
     r0 AS (SELECT src AS node, CAST({_PR_SCALE} // n AS BIGINT) AS pr_scaled
            FROM deg CROSS JOIN nn)"""

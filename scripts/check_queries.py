@@ -84,7 +84,9 @@ SF1_SWEEP = [
     "ext_temperature_mix", "ext_block_pack", "ext_build_vocab",
     "ext_encode_docs", "ext_decontaminate", "ext_domain_mix",
     "ext_bm25_search", "ext_bm25_multi", "ext_hybrid_search",
-    "ext_knn_bruteforce",
+    "ext_knn_bruteforce", "ext_knn_ivfpq_res",
+    "ext_pagerank", "op_trend_fit", "op_resample_interpolate",
+    "ext_epoch_shuffle",
     "ext_embedding_quantize", "ext_chunk_docs", "ext_token_stats",
     "ext_text_normalize", "ext_quality_score", "ext_split_assign",
     "obs_status_counts", "obs_date_gaps", "obs_top_failed",

@@ -177,6 +177,13 @@ class TestRound3Plans:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
         assert len(re.findall(r"Exchange hashpartitioning\(node", plan)) == 2, plan
+        # The rank redistribute is a SHUFFLE-hash join with the rank side
+        # as build — the edge list must never become a broadcast build
+        # (a localCheckpoint-ed edge relation keeps its pre-checkpoint
+        # size estimate; at the 10x tier the planner broadcast 24M edge
+        # rows off a 24MB estimate and OOMed the driver).
+        assert "BroadcastHashJoin" not in plan, plan
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == 2, plan
 
     def test_hash_sample_filter_reaches_scan_stage(self, spark):
         # The sampling predicate sits directly on the scan (no shuffle

@@ -409,3 +409,63 @@ class TestEpochShuffle:
         for bad in (0, 8, 24, 16 ** 5):
             with _pytest.raises(ValueError):
                 epoch_shuffle(self._docs(spark, 1), "doc_id", 1, n_shards=bad)
+
+
+class TestWriteEpochShards:
+    def test_on_disk_layout_each_shard_file_pos_ordered(self, spark, tmp_path):
+        # The trainer-facing contract, checked against the parquet FILES
+        # (pyarrow, no Spark read): one shard=<s>/ dir per hex shard,
+        # each file's pos column strictly increasing start-to-end, and
+        # the union of shards is exactly the input corpus.
+        import pyarrow.parquet as pq
+
+        from gads_etl_spark.operators.sampling import (epoch_shuffle,
+                                                       write_epoch_shards)
+
+        docs = spark.range(1200).withColumnRenamed("id", "doc_id") \
+            .repartition(7)
+        out = str(tmp_path / "epoch1")
+        write_epoch_shards(docs, "doc_id", epoch=1, out_dir=out)
+
+        shard_dirs = sorted(p for p in (tmp_path / "epoch1").iterdir()
+                            if p.name.startswith("shard="))
+        assert len(shard_dirs) == 16
+        seen_ids = []
+        for sd in shard_dirs:
+            files = sorted(sd.glob("*.parquet"))
+            # a whole shard lands in one task -> one file per shard
+            assert len(files) == 1, sd.name
+            t = pq.read_table(files[0])
+            pos = t.column("pos").to_pylist()
+            assert pos == sorted(pos) and len(set(pos)) == len(pos), sd.name
+            assert pos[0] == 1 and pos[-1] == len(pos), sd.name
+            seen_ids += t.column("doc_id").to_pylist()
+        assert sorted(seen_ids) == list(range(1200))
+
+        # Reading shards in order replays exactly epoch_shuffle's
+        # permutation (the write changed layout, never assignment).
+        expect = {(r["shard"], r["pos"]): r["doc_id"]
+                  for r in epoch_shuffle(docs, "doc_id", 1).collect()}
+        got = {}
+        for sd in shard_dirs:
+            s = sd.name.split("=", 1)[1]
+            t = pq.read_table(next(iter(sd.glob("*.parquet"))))
+            for i, d in zip(t.column("pos").to_pylist(),
+                            t.column("doc_id").to_pylist()):
+                got[(s, i)] = d
+        assert got == expect
+
+    def test_write_plan_adds_no_exchange_beyond_shard_partitioning(
+            self, spark):
+        # sortWithinPartitions is belt-and-braces: the rank window's
+        # (shard, h, id) sort already satisfies it, so the plan keeps
+        # exactly ONE exchange (hashpartitioning on shard).
+        from gads_etl_spark.operators.sampling import epoch_shuffle
+
+        df = (epoch_shuffle(spark.range(100)
+                            .withColumnRenamed("id", "doc_id"),
+                            "doc_id", 2)
+              .sortWithinPartitions("shard", "pos"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

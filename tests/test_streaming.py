@@ -337,6 +337,80 @@ class TestStreaming:
         assert (1, "click", "buy") in got_inorder
         assert got_inorder != want
 
+    def test_out_of_order_at_tier_100k_events_match_batch_oracle(
+            self, spark, tmp_path):
+        # The watermark-contract argument, demonstrated at four orders
+        # of magnitude more data than the handcrafted 3-user feed: the
+        # FULL sf0.1 events fixture (100k events, 1500 users, 30 days)
+        # replayed with a deterministic per-event arrival jitter in
+        # [0, 29 min) — ~43% of adjacent arrivals are event-time
+        # inversions — through 10 micro-batches under a 30-minute
+        # watermark delay. Jitter bound D < delay W guarantees no drop:
+        # an event's watermark at arrival is <= ts + D - W < ts.
+        import os as _os
+        import time as _time
+
+        import numpy as np
+
+        from gads_etl_spark.streaming.jobs import stateful_transitions_ooo
+
+        pdf = (spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+               .select("event_id", "ts", "user_id", "event_type", "value",
+                       "props").toPandas())
+        jit = (pdf["event_id"].to_numpy() * np.int64(2654435761)) % 1740
+        pdf["arrival"] = pdf["ts"] + np.array(jit, dtype="timedelta64[s]")
+        pdf = pdf.sort_values("arrival", kind="mergesort").reset_index(
+            drop=True)
+
+        src = tmp_path / "ooo-tier-src"
+        src.mkdir()
+        now = _time.time()
+        for i, idx in enumerate(np.array_split(pdf.index, 10)):
+            sub = pdf.loc[idx]
+            p = src / f"batch-{i:02d}.json"
+            with open(p, "w") as f:
+                for eid, ts, uid, ety, val, props in zip(
+                        sub.event_id, sub.ts, sub.user_id, sub.event_type,
+                        sub.value, sub.props):
+                    f.write(json.dumps({
+                        "event_id": int(eid),
+                        "ts": ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                        "user_id": int(uid), "event_type": ety,
+                        "value": float(val), "props": props}) + "\n")
+            _os.utime(p, (now + i * 10, now + i * 10))
+
+        _run_stream(stateful_transitions_ooo(
+            read_events_stream(spark, str(src)), delay="30 minutes"),
+            "t_ooo_tier", "append")
+        got = spark.table("t_ooo_tier").groupBy(
+            "user_id", "from_type", "to_type").count().toPandas()
+        got_d = {(int(r.user_id), r.from_type, r.to_type): int(r["count"])
+                 for _, r in got.iterrows()}
+
+        # Batch lag() oracle over the matured prefix. Maturity and tie
+        # order both live in the kernel's units — ms-floored event time
+        # vs (final watermark = ms-floored max ts − delay).
+        pdf["ts_ms"] = pdf["ts"].to_numpy().astype(
+            "datetime64[ms]").astype("int64")
+        wm = int(pdf["ts_ms"].max()) - 30 * 60 * 1000
+        mat = pdf[pdf.ts_ms < wm].sort_values(
+            ["user_id", "ts_ms", "event_id"], kind="mergesort")
+        prev = mat.groupby("user_id")["event_type"].shift()
+        pairs = mat.assign(from_type=prev)[prev.notna()]
+        want = pairs.groupby(["user_id", "from_type", "event_type"]).size()
+        want_d = {(int(u), f, t): int(c) for (u, f, t), c in want.items()}
+        assert sum(got_d.values()) > 90_000
+        assert got_d == want_d
+
+        # State-size bound: the terminal buffer is EXACTLY the immature
+        # tail (ts >= wm) — per-user emitted == matured − 1 accounts for
+        # every event, so nothing matured is retained and nothing
+        # immature leaked out early. The fixture's tail window holds ≤ a
+        # handful of events per user (delay window ≪ per-user cadence).
+        per_user_emitted = got.groupby("user_id")["count"].sum()
+        for u, n in mat.groupby("user_id").size().items():
+            assert int(per_user_emitted.get(u, 0)) == max(0, int(n) - 1), u
+
     def test_transform_with_state_matches_legacy_processor(self, spark, tmp_path):
         # The Spark 4 transformWithState processor must produce the same
         # final per-user totals as the applyInPandasWithState kernel (and
