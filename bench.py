@@ -167,7 +167,14 @@ def main() -> None:
 def _measure(spark) -> dict:
     from gads_etl_spark.queries import REGISTRY
 
-    names = [n for n in HEADLINE if n in REGISTRY]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        # Explicit-list mode (e.g. the sf10 probe, where running the
+        # full breadth set at 100x data would take hours): bench exactly
+        # these as the "queries" map, no extras.
+        names = [n for n in only.split(",") if n in REGISTRY]
+    else:
+        names = [n for n in HEADLINE if n in REGISTRY]
     env_extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
     if env_extra:
         names += [n for n in env_extra.split(",") if n in REGISTRY and n not in names]
@@ -204,7 +211,7 @@ def _measure(spark) -> dict:
         return timings
 
     timings = run(names)
-    extra = run([n for n in EXTRA if n in REGISTRY])
+    extra = {} if only else run([n for n in EXTRA if n in REGISTRY])
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # A failed query is dropped from timings, so a partial total would

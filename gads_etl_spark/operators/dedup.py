@@ -515,7 +515,16 @@ def edit_distance_pairs_passjoin(
     # shrinks the dedup shuffle to the matched id-pairs (three narrow
     # columns), orders of magnitude smaller than the candidate stream.
     return (
-        idx.join(probe, [*block_cols, "l", "i", "seg"])
+        # shuffle_hash pin, build on the index side (nseg keys/row vs
+        # the probe's ~8): BOTH sides of the segment join grow linearly
+        # with the corpus, so a broadcast is never the right strategy at
+        # scale — yet AQE converts to one the moment a side's COMPRESSED
+        # shuffle bytes dip under the adaptive threshold, and the hash
+        # relation it then builds is ~20x larger than those bytes
+        # (measured at the 100x tier: the 6M-row index side read as
+        # <64MB post-shuffle and the broadcast build OOMed the driver).
+        # Pinned, the join is per-partition build + stream at any scale.
+        idx.hint("shuffle_hash").join(probe, [*block_cols, "l", "i", "seg"])
         # Orientation: strictly-shorter index rows pair unconditionally
         # (the probe never looks upward, so the pair meets only here);
         # equal-length pairs orient by id. Also excludes self-pairs.

@@ -43,7 +43,15 @@ _SCALE_DEFAULTS = {
         "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[N] puts driver AND all executor threads in ONE JVM, so this
+    # is the whole cluster's memory. 8g (the old default) was fine up to
+    # the 10x tier but dies at 100x: 32 concurrent tasks sharing 8g
+    # exhausted the heap materializing a 240M-row window+checkpoint
+    # (GCLocker allocation-retry death spiral, SparkContext shutdown).
+    # 32g on this 128 GiB harness ~ a modest 4 GiB/executor at 8 cores
+    # each — the realistic per-executor figure a cluster deployment
+    # would set; env-overridable either way.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     # Managed-table warehouse (bucketed tables, operators/layout.py);
     # kept out of the repo tree locally, set to the lake root on a cluster.
     "spark.sql.warehouse.dir": os.environ.get(

@@ -176,9 +176,26 @@ def main() -> None:
                 # NOT separate name lengths across copies — fixed
                 # (type, brand) blocks keep filling linearly, which is
                 # the honest scaling behavior of categorical blocking.
+                # Affine cipher j -> (a*j + b) mod 26 instead of bare
+                # rotation: rotations alone wrap at factor 26 (az[i:] +
+                # az[:i] degenerates to the IDENTITY for i >= 26), which
+                # made copies 26/52/78 of a factor-100 run byte-identical
+                # to copy 0 and blew the fuzzy-match candidate stream up
+                # quadratically. With a ranging over the 12 units mod 26
+                # and b over the 26 shifts there are 312 distinct letter
+                # bijections; a unit stride keeps the map bijective, and
+                # any char bijection preserves every unit edit cost. For
+                # i < 26 this is a=1: exactly the former rotation, so
+                # existing tiers regenerate identically.
+                if i >= 312:
+                    raise SystemExit("factor > 312 exceeds the distinct "
+                                     "letter-bijection budget for p_name")
                 az = "abcdefghijklmnopqrstuvwxyz"
+                a_mul = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25][i // 26]
+                perm = "".join(az[(a_mul * j + i % 26) % 26]
+                               for j in range(26))
                 out = out.withColumn(
-                    "p_name", F.translate("p_name", az, az[i:] + az[:i]))
+                    "p_name", F.translate("p_name", az, perm))
             return out
         write(name, _copies(tables[name], args.factor, shift))
 
@@ -218,11 +235,27 @@ def main() -> None:
     def emb_copy(df, i):
         if i == 0:
             return df
+        # Rotation wraps at i = dim (7 coprime to dim, so offsets repeat
+        # exactly every dim copies): a factor-100 run on dim=64 vectors
+        # gave copies i and i+64 IDENTICAL arrays — 36% of the tier with
+        # planted exact cross-copy twins. Second wrap applies a fixed
+        # sign mask (negate odd coordinates): an orthogonal transform,
+        # so every within-copy norm and cosine is preserved EXACTLY,
+        # while same-rotation cross-wrap cosines fall to alternating-sum
+        # background. Wrap 0 is untouched, so existing tiers regenerate
+        # identically. Two wraps bound factor at 2*dim.
+        if i >= 2 * dim:
+            raise SystemExit(f"factor > {2 * dim} exceeds the distinct "
+                             "rotation x sign-mask budget for embeddings")
         r = (7 * i) % dim
         rotated = F.concat(
             F.slice(F.col("embedding"), r + 1, dim - r),
             F.slice(F.col("embedding"), 1, r),
         )
+        if i >= dim:
+            rotated = F.transform(
+                rotated,
+                lambda v, j: F.when(j % 2 == 1, -v).otherwise(v))
         return df.select(
             (F.col("vec_id") + F.lit(i * strides["vec_id"])).alias("vec_id"),
             rotated.alias("embedding"),
