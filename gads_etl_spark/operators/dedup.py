@@ -621,7 +621,13 @@ def tfidf_cosine_pairs(
         F.col("_id").alias("p_id"), "term")
     full = w.select(F.col("_id").alias("q_id"), "term")
     cand = (
-        pfx.join(full, "term")
+        # shuffle_hash pins on every join whose sides BOTH scale with
+        # the corpus (here all branches descend from the checkpointed
+        # `w`, whose plan node keeps the size estimate of the subtree
+        # it replaced — the same stale-stats broadcast trap that OOMed
+        # PassJoin and PageRank at the larger tiers). Build sides are
+        # per-partition slices, bounded at any corpus size.
+        pfx.hint("shuffle_hash").join(full, "term")
         .where(F.col("p_id") != F.col("q_id"))
         .select(F.least("p_id", "q_id").alias("a_id"),
                 F.greatest("p_id", "q_id").alias("b_id"))
@@ -632,8 +638,8 @@ def tfidf_cosine_pairs(
     wb = w.select(F.col("_id").alias("b_id"), "term",
                   F.col("wq").alias("wb"), F.col("ssq").alias("ssq_b"))
     return (
-        cand.join(wa, "a_id")
-        .join(wb, ["b_id", "term"])
+        cand.hint("shuffle_hash").join(wa, "a_id")
+        .join(wb.hint("shuffle_hash"), ["b_id", "term"])
         .groupBy("a_id", "b_id", "ssq_a", "ssq_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
         .select(
