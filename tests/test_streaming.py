@@ -9,6 +9,7 @@ the applyInPandasWithState counter.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -337,6 +338,9 @@ class TestStreaming:
         assert (1, "click", "buy") in got_inorder
         assert got_inorder != want
 
+    @pytest.mark.skipif(
+        not os.path.exists("/root/testdata/sf0.1/events.parquet"),
+        reason="sf0.1 tier fixture not present on this host")
     def test_out_of_order_at_tier_100k_events_match_batch_oracle(
             self, spark, tmp_path):
         # The watermark-contract argument, demonstrated at four orders
