@@ -11,6 +11,7 @@ mandated by the driver north star (BASELINE.json, SURVEY.md §7.2 step 6).
 """
 
 from gads_etl_spark.operators.dedup import (  # noqa: F401
+    CandidateBudgetExceeded,
     blocked_edit_distance_pairs,
     bow_fingerprint,
     exact_dedup,

@@ -24,6 +24,37 @@ def tokens(text: F.Column) -> F.Column:
     return F.split(text, r"\s+")
 
 
+class CandidateBudgetExceeded(RuntimeError):
+    """A quadratic-candidate recall oracle was pointed at a corpus too
+    large for its pair join.
+
+    The two deliberately-quadratic operators
+    (:func:`blocked_edit_distance_pairs`, :func:`tfidf_cosine_pairs`)
+    exist as RECALL ORACLES — exhaustive within their blocking/prefix
+    rule, used to certify the linear-scale twins on corpora small enough
+    to enumerate. Their candidate counts grow ~quadratically in hot
+    block/posting sizes (measured: 9.2x / 7.3x wall at 10x data,
+    SCALING.md round-10), so at a large enough corpus they blow up
+    SILENTLY — the exact failure mode the sf10 amplifier-wrap bug
+    produced by accident. This guard makes the boundary enforced
+    instead of documented: one cheap aggregate estimates the candidate
+    count before the pair join and raises, naming the linear twin to
+    use instead. Pass ``candidate_budget=None`` to waive it (scale
+    probes that deliberately measure the quadratic do this)."""
+
+
+def _check_candidate_budget(estimate: int, budget: int | None,
+                            op: str, twin: str) -> None:
+    if budget is not None and estimate > budget:
+        raise CandidateBudgetExceeded(
+            f"{op}: estimated {estimate:,} candidate pairs exceeds the "
+            f"budget of {budget:,}. This operator is an exhaustive "
+            f"recall oracle whose pair count grows quadratically in hot "
+            f"blocks/terms; at this corpus size use its linear-scale "
+            f"twin {twin} instead, or pass candidate_budget=None / a "
+            f"larger budget to force the quadratic run.")
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash; survivor = smallest id per hash.
@@ -334,6 +365,7 @@ def blocked_edit_distance_pairs(
     id_col: str = "doc_id",
     name_col: str = "name",
     max_dist: int = 2,
+    candidate_budget: int | None = 500_000_000,
 ) -> DataFrame:
     """Blocked fuzzy entity matching: pairs (a_id < b_id) within the same
     blocking key whose names are within ``max_dist`` Levenshtein edits.
@@ -361,12 +393,33 @@ def blocked_edit_distance_pairs(
     before length bucketing entered the key (Σ|block|² with |block| ∝
     corpus/|keys|). Length buckets scale the key space WITH the data, so
     block occupancy — and the quadratic term — stays bounded.
+
+    This is the RECALL ORACLE of the edit-distance family — exhaustive
+    within its blocking rule. ``candidate_budget`` bounds Σ|block|²
+    (an upper-bound estimate of the pair-join's candidate stream,
+    computed as one cheap count-aggregate before the join); above it,
+    :class:`CandidateBudgetExceeded` points at
+    :func:`edit_distance_pairs_passjoin`, the corpus-linear twin with
+    the identical result set. The default clears the sf1 sweep fixture
+    (Σ|block|² = 1.17e8 measured) with 4x headroom and trips at the
+    sf10 tier (1.17e10) — the decade where the measured 9.2x-per-10x
+    wall growth stops being a slow query and becomes a hung cluster.
     """
     width = max(max_dist, 1)
     base = df.select(
         F.col(id_col), F.col(name_col).alias("_nm"),
         F.length(name_col).alias("_ln"), *block_cols,
     ).withColumn("_bk", (F.col("_ln") / width).cast("int"))
+    if candidate_budget is not None:
+        est = (base.groupBy(*block_cols, "_bk").count()
+               .agg(F.sum(F.col("count") * F.col("count"))).first()[0]) or 0
+        # Each probe row joins its own bucket and the adjacent one, so
+        # the true candidate count is < 2·Σ|block|²; the un-doubled sum
+        # is the documented estimate (same growth rate, simpler to
+        # reason about against the measured tier numbers).
+        _check_candidate_budget(int(est), candidate_budget,
+                                "blocked_edit_distance_pairs",
+                                "edit_distance_pairs_passjoin")
     a = base.select(
         F.col(id_col).alias("a_id"), F.col("_nm").alias("a_nm"),
         F.col("_ln").alias("a_ln"), F.col("_bk").alias("a_bk"), *block_cols,
@@ -548,6 +601,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     quant: int = 1000,
+    candidate_budget: int | None = 200_000_000,
 ) -> DataFrame:
     """Sparse lexical near-dup pairs by TF-IDF cosine over an inverted
     index — the bag-of-WEIGHTED-words family between exact bag-of-words
@@ -617,6 +671,23 @@ def tfidf_cosine_pairs(
         # persistable artifact.
         .localCheckpoint(eager=False)
     )
+    if candidate_budget is not None:
+        # Σ_term prefix(t)·postings(t) — the exact size of the candidate
+        # join's output stream, one aggregate over the checkpointed
+        # postings (which the first action materializes anyway, so the
+        # guard doubles as the checkpoint warmup). Measured: 6.25e2 at
+        # 500 docs, 6.25e4 at 5k, 4.28e6 at 50k (sf1 sweep fixture —
+        # ~68x per data decade, the documented superlinear growth); the
+        # default budget clears sf1 with ~50x headroom and trips around
+        # the next decade, where this recall oracle must hand off to
+        # its scale twins (MinHash-LSH / SimHash).
+        est = (w.groupBy("term").agg(
+                   F.count(F.lit(1)).alias("_n"),
+                   F.sum(F.when(F.col("_pfx"), 1).otherwise(0)).alias("_np"))
+               .agg(F.sum(F.col("_n") * F.col("_np"))).first()[0]) or 0
+        _check_candidate_budget(int(est), candidate_budget,
+                                "tfidf_cosine_pairs",
+                                "minhash_candidate_pairs")
     pfx = w.where("_pfx").select(
         F.col("_id").alias("p_id"), "term")
     full = w.select(F.col("_id").alias("q_id"), "term")

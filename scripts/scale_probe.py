@@ -216,7 +216,9 @@ def probe_tfidf_zipf(spark):
     for n in (100_000, 200_000):
         docs = corpus(n, vocab=n)
         t0 = time.perf_counter()
-        pairs = tfidf_cosine_pairs(docs, threshold=0.6, id_col="doc_id")
+        # budget waived: this probe exists to MEASURE the quadratic
+        pairs = tfidf_cosine_pairs(docs, threshold=0.6, id_col="doc_id",
+                                   candidate_budget=None)
         got = pairs.count()
         dt = time.perf_counter() - t0
         times.append(dt)

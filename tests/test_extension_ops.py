@@ -573,6 +573,25 @@ class TestBlockedEditDistance:
         assert len(got) == 15  # C(6,2), each once
         assert all(a < b and d == 0 for a, b, d in got)
 
+    def test_candidate_budget_guard_trips_on_hot_block(self, spark):
+        # A planted hot block (everything one key, one length bucket)
+        # makes sum(|block|^2) = n^2 — with a budget below that the
+        # guard must refuse BEFORE the pair join and name the twin.
+        import pytest as _pytest
+
+        rows = [(i, "same name", "x") for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, name string, blk string")
+        with _pytest.raises(D.CandidateBudgetExceeded,
+                            match="edit_distance_pairs_passjoin"):
+            D.blocked_edit_distance_pairs(
+                df, block_cols=["blk"], id_col="id", name_col="name",
+                candidate_budget=1000).count()
+        # budget=None waives; the identical input then runs to an answer
+        n = D.blocked_edit_distance_pairs(
+            df, block_cols=["blk"], id_col="id", name_col="name",
+            candidate_budget=None).count()
+        assert n == 50 * 49 // 2
+
     def test_pairs_straddling_length_buckets_found_once(self, spark):
         # Lengths 4,5,6,7 span bucket boundaries at width=max_dist=2;
         # every qualifying pair must appear exactly once regardless of
@@ -713,6 +732,28 @@ class TestTfidfCosine:
         }
         want = self._brute(rows, 0.5, 30)
         assert got == want and (0, 100, 1.0) in got
+
+    def test_candidate_budget_guard_trips_on_hot_terms(self, spark):
+        # Docs all sharing the same rare-vocabulary text put every
+        # posting in every prefix: estimate = vocab * n_prefix * n_docs,
+        # far over a small budget — refuse, naming the scale twin.
+        import pytest as _pytest
+
+        # 40 identical docs (hot terms, df=40) + 40 unique-word fillers
+        # (so ln(N/df) > 0 — with df == N every weight is ln(1) = 0 and
+        # no prefix exists to estimate over).
+        rows = [(i, "alpha beta gamma delta") for i in range(40)]
+        rows += [(100 + i, f"unique{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with _pytest.raises(D.CandidateBudgetExceeded,
+                            match="minhash_candidate_pairs"):
+            D.tfidf_cosine_pairs(df, threshold=0.6, max_df=100,
+                                 id_col="doc_id",
+                                 candidate_budget=100).count()
+        got = D.tfidf_cosine_pairs(df, threshold=0.6, max_df=100,
+                                   id_col="doc_id",
+                                   candidate_budget=None).count()
+        assert got == 40 * 39 // 2  # all-identical docs all pair at 1.0
 
     def test_stopword_cut_drops_high_df_terms(self, spark):
         # 'the' appears in every doc; with max_df=2 it contributes
