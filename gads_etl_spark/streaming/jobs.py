@@ -310,10 +310,41 @@ _TRANSITION_OOO_STATE = T.StructType([
 ])
 
 
-def _update_transitions_ooo(
+def _parse_duration_ms(s: str) -> int:
+    """'90 seconds' / '30 minutes' / '2 hours' / '1 day' → milliseconds
+    (the same phrase grammar ``withWatermark`` accepts for its delay)."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(millisecond|second|minute|hour|day)s?\s*", s)
+    if not m:
+        raise ValueError(f"cannot parse duration {s!r}")
+    unit_ms = {"millisecond": 1, "second": 1000, "minute": 60_000,
+               "hour": 3_600_000, "day": 86_400_000}[m.group(2)]
+    return int(m.group(1)) * unit_ms
+
+
+def _make_transitions_ooo_kernel(ttl_ms: int | None):
+    """Build the OOO transition kernel, optionally with idle-TTL state
+    eviction (``ttl_ms``). A factory rather than a kernel parameter
+    because ``applyInPandasWithState`` takes a bare (key, pdfs, state)
+    callable — the TTL rides in the closure."""
+
+    def _update_transitions_ooo(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _transitions_ooo_impl(key, pdfs, state, ttl_ms)
+
+    return _update_transitions_ooo
+
+
+def _transitions_ooo_impl(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Out-of-order-tolerant transition kernel: buffer above the
     watermark, chain below it.
@@ -330,6 +361,16 @@ def _update_transitions_ooo(
     user is one string plus the bounded still-immature buffer (≤ the
     delay window's events, the same bound every watermarked stateful op
     carries).
+
+    With ``ttl_ms`` set (opt-in via ``stateful_transitions_ooo``'s
+    ``idle_ttl``): whenever a key's buffer drains empty, an event-time
+    timer is armed at watermark + ttl; if it fires with no new input
+    and nothing buffered, the key's state — including ``last_type`` —
+    is removed. The next event for that user then starts a fresh chain,
+    so exactly the gap-spanning transition (pre-idle last → next event)
+    is lost; every within-TTL transition is unaffected. This is the
+    explicit opt-in form of the retention trade the no-TTL contract
+    documents below.
     """
     wm = state.getCurrentWatermarkMs()
     if state.exists:
@@ -338,6 +379,15 @@ def _update_transitions_ooo(
     else:
         last, ts_b, eid_b, ety_b = None, [], [], []
     frames = [pdf for pdf in pdfs if len(pdf)]
+    if (ttl_ms is not None and state.hasTimedOut and not frames
+            and not ts_b):
+        # Idle eviction: the only timer armed on an EMPTY buffer is the
+        # TTL timer (the drain timer is armed only when events are
+        # buffered), so this firing means the key saw no input for a
+        # full TTL of event time.
+        state.remove()
+        yield pd.DataFrame({"user_id": [], "from_type": [], "to_type": []})
+        return
     if frames:
         rows = pd.concat(frames)
         # → epoch millis, the watermark's unit. Explicit datetime64[ms]
@@ -369,6 +419,10 @@ def _update_transitions_ooo(
         # would never drain the buffer. Must be strictly above the
         # current watermark.
         state.setTimeoutTimestamp(max(min(ts_b[i] for i in keep), wm + 1))
+    elif ttl_ms is not None:
+        # Buffer just drained empty: arm the idle-eviction timer. Any
+        # new input before it fires re-enters here and pushes it out.
+        state.setTimeoutTimestamp(wm + ttl_ms)
     yield pd.DataFrame({
         "user_id": [key[0]] * len(out_from),
         "from_type": out_from,
@@ -377,7 +431,8 @@ def _update_transitions_ooo(
 
 
 def stateful_transitions_ooo(events: DataFrame,
-                             delay: str = "30 minutes") -> DataFrame:
+                             delay: str = "30 minutes",
+                             idle_ttl: str | None = None) -> DataFrame:
     """Per-user transitions tolerant of cross-batch out-of-order arrival
     within ``delay``: ``withWatermark`` bounds the reorder window (and
     drops later-than-that stragglers at the source), the kernel buffers
@@ -387,7 +442,8 @@ def stateful_transitions_ooo(events: DataFrame,
     over the matured prefix wherever the in-order kernel would chain in
     arrival order and diverge.
 
-    **State retention:** per-key state is never removed. The buffer
+    **State retention:** with the default ``idle_ttl=None``, per-key
+    state is never removed. The buffer
     arrays drain to empty once the watermark passes (bounded by the
     delay window at all times), but ``last_type`` + three empty arrays
     persist per user forever — chaining across arbitrarily long gaps
@@ -395,15 +451,20 @@ def stateful_transitions_ooo(events: DataFrame,
     semantics, not a leak: total state is O(distinct users ever seen),
     the same bound as the in-order kernel and as any keyed
     running-aggregate. Deployments with high-cardinality transient keys
-    (e.g. anonymous session ids) should key by a durable id, or accept
-    losing gap-spanning transitions and wrap this with an idle-TTL
-    eviction; we deliberately don't evict silently, because a dropped
+    (e.g. anonymous session ids) should key by a durable id — or opt in
+    to the explicit trade with ``idle_ttl`` (e.g. ``"7 days"`` of EVENT
+    time): a key idle longer than the TTL is evicted via the same
+    event-time-timer plumbing the drain path uses, bounding state to
+    the keys active within a TTL window. An evicted user's next event
+    starts a fresh chain, so exactly the gap-spanning transitions are
+    lost — the eviction is opt-in precisely because a dropped
     ``last_type`` changes answers."""
     return (
         events.withWatermark("ts", delay)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_transitions_ooo,
+            _make_transitions_ooo_kernel(
+                _parse_duration_ms(idle_ttl) if idle_ttl else None),
             outputStructType=_TRANSITION_OUT,
             stateStructType=_TRANSITION_OOO_STATE,
             outputMode="append",

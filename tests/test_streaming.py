@@ -338,6 +338,92 @@ class TestStreaming:
         assert (1, "click", "buy") in got_inorder
         assert got_inorder != want
 
+    def _idle_ttl_feed(self, tmp_path):
+        # user 1: click@10:00 then buy@11:20 — an 80-minute idle gap.
+        # user 2 ("nav"): steady events that advance the watermark
+        # through and past user 1's gap.
+        batches = [
+            [(1, "2024-01-01 10:00:00", 1, "click"),
+             (100, "2024-01-01 10:00:00", 2, "nav")],
+            [(101, "2024-01-01 10:10:00", 2, "nav")],
+            [(102, "2024-01-01 10:20:00", 2, "nav")],
+            [(103, "2024-01-01 11:00:00", 2, "nav")],
+            [(104, "2024-01-01 11:10:00", 2, "nav")],
+            [(2, "2024-01-01 11:20:00", 1, "buy"),
+             (105, "2024-01-01 11:20:00", 2, "nav")],
+            [(106, "2024-01-01 11:40:00", 2, "nav")],
+            [(107, "2024-01-01 11:50:00", 2, "nav")],
+        ]
+        import time as _time
+
+        src = tmp_path / "ttl-src"
+        src.mkdir()
+        now = _time.time()
+        for i, batch in enumerate(batches):
+            p = src / f"batch-{i}.json"
+            with open(p, "w") as f:
+                for eid, ts, uid, ety in batch:
+                    f.write(json.dumps({
+                        "event_id": eid, "ts": ts, "user_id": uid,
+                        "event_type": ety, "value": 1.0, "props": "{}",
+                    }) + "\n")
+            os.utime(p, (now + i * 10, now + i * 10))
+        return str(src)
+
+    def test_idle_ttl_evicts_state_and_loses_only_gap_transition(
+            self, spark, tmp_path):
+        """Opt-in idle_ttl bounds state to TTL-active keys: user 1 goes
+        idle for 80 min of event time; with a 30-minute TTL their state
+        (last_type='click') is evicted before the 11:20 buy arrives, so
+        exactly the gap-spanning click->buy transition is lost AND the
+        key is gone from the state store. The identical feed with the
+        default (no TTL) keeps the key and emits the transition."""
+        from gads_etl_spark.streaming.jobs import (
+            inspect_stream_state,
+            stateful_transitions_ooo,
+        )
+
+        src = self._idle_ttl_feed(tmp_path)
+
+        ck_ttl = str(tmp_path / "ck-ttl")
+        q = (stateful_transitions_ooo(
+                read_events_stream(spark, src), delay="1 minute",
+                idle_ttl="30 minutes")
+             .writeStream.format("memory").queryName("t_ttl")
+             .option("checkpointLocation", ck_ttl)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        got_ttl = sorted((r.user_id, r.from_type, r.to_type)
+                         for r in spark.table("t_ttl").collect())
+        assert (1, "click", "buy") not in got_ttl  # gap transition lost
+        # user 2's within-TTL chain is untouched by eviction
+        assert (2, "nav", "nav") in got_ttl
+        # and the idle key's state row is actually GONE from the store:
+        # batch 3 (11:00 nav) leaves wm=10:19 < the 10:39 TTL timer, so
+        # user 1's state survives it; batch 4 (11:10 nav) advances
+        # wm to 10:59 ≥ the timer and the eviction fires. (The buy in
+        # batch 5 then re-creates user 1's state fresh — which is why
+        # the END state still has both keys and the time-travel view is
+        # the only place eviction is directly observable.)
+        def keys_at(b):
+            return {r["key"]["user_id"] for r in
+                    inspect_stream_state(spark, ck_ttl, batch_id=b).collect()}
+
+        assert keys_at(3) == {1, 2}
+        assert keys_at(4) == {2}
+
+        # default (no TTL): same feed keeps last_type across the gap and
+        # the 11:20 buy chains — the documented retention contract.
+        _run_stream(stateful_transitions_ooo(
+            read_events_stream(spark, src), delay="1 minute"),
+            "t_nottl", "append")
+        got_nottl = sorted((r.user_id, r.from_type, r.to_type)
+                           for r in spark.table("t_nottl").collect())
+        assert (1, "click", "buy") in got_nottl
+        # TTL changes ONLY the gap-spanning rows — everything else equal
+        assert [t for t in got_nottl if t != (1, "click", "buy")] == got_ttl
+
     @pytest.mark.skipif(
         not os.path.exists("/root/testdata/sf0.1/events.parquet"),
         reason="sf0.1 tier fixture not present on this host")
