@@ -44,9 +44,12 @@ from gads_etl_spark.operators.rollup import (  # noqa: F401
 )
 from gads_etl_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
+    epoch_shuffle,
     pack_sequences,
+    read_epoch_shards,
     stratified_hash_sample,
     train_val_test_split,
+    write_epoch_shards,
 )
 from gads_etl_spark.operators.quality import (  # noqa: F401
     mix_to_budget,

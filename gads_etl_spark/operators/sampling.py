@@ -406,3 +406,70 @@ def write_epoch_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+
+
+def read_epoch_shards(out_dir: str, columns: list[str] | None = None,
+                      batch_rows: int = 65536):
+    """The trainer half of the epoch contract: iterate an epoch written
+    by :func:`write_epoch_shards` as Arrow record batches in the
+    epoch's global permutation order — shards in index order, each
+    shard's file streamed start-to-end — VERIFYING the on-disk ordering
+    from parquet footers as it goes, without Spark and without a sort.
+
+    Order verification is metadata-only: every row group's ``pos``
+    min/max statistics must be disjoint and increasing (within and
+    across a shard's files), so a layout broken by a writer regression
+    or a post-hoc rewrite fails loudly at read time instead of
+    silently de-randomizing the training order. Costs one footer read
+    per file; the row data itself streams batch-by-batch
+    (``batch_rows`` caps trainer memory; ``columns`` prunes payload
+    columns — ``pos`` need not be among them, the check uses footers
+    only).
+
+    Yields ``(shard, pyarrow.RecordBatch)`` pairs so a multi-host
+    trainer can also shard-split the stream (host i takes shards
+    i mod n) while each host still sees its shards in-order.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    shard_dirs = sorted(
+        d for d in os.listdir(out_dir)
+        if d.startswith("shard=")
+        and os.path.isdir(os.path.join(out_dir, d)))
+    if not shard_dirs:
+        raise FileNotFoundError(
+            f"{out_dir}: no shard=*/ directories — not an epoch layout "
+            "written by write_epoch_shards")
+    for sd in shard_dirs:
+        shard = sd.split("=", 1)[1]
+        files = sorted(
+            f for f in os.listdir(os.path.join(out_dir, sd))
+            if f.endswith(".parquet"))
+        prev_max = 0  # pos is 1-based within each shard
+        for fname in files:
+            path = os.path.join(out_dir, sd, fname)
+            pf = pq.ParquetFile(path)
+            names = pf.schema_arrow.names
+            if "pos" not in names:
+                raise ValueError(f"{path}: no 'pos' column — not an "
+                                 "epoch shard file")
+            pos_idx = names.index("pos")
+            md = pf.metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(pos_idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{path} row group {rg}: no pos min/max "
+                        "statistics — cannot certify epoch order")
+                if st.min != prev_max + 1:
+                    raise ValueError(
+                        f"{path} row group {rg}: pos starts at "
+                        f"{st.min}, expected {prev_max + 1} — shard "
+                        f"{shard} is not in epoch order (rewritten or "
+                        "corrupted layout?)")
+                prev_max = st.max
+            yield from ((shard, b) for b in
+                        pf.iter_batches(batch_size=batch_rows,
+                                        columns=columns))

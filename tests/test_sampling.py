@@ -455,6 +455,50 @@ class TestWriteEpochShards:
                 got[(s, i)] = d
         assert got == expect
 
+    def test_read_epoch_shards_round_trip(self, spark, tmp_path):
+        """write → read closes the trainer loop: concatenating the
+        reader's batches (shards in index order, each in-order) must
+        replay exactly epoch_shuffle's global permutation."""
+        from gads_etl_spark.operators.sampling import (epoch_shuffle,
+                                                       read_epoch_shards,
+                                                       write_epoch_shards)
+
+        docs = spark.range(1200).withColumnRenamed("id", "doc_id") \
+            .repartition(5)
+        out = str(tmp_path / "epoch3")
+        write_epoch_shards(docs, "doc_id", epoch=3, out_dir=out)
+
+        got = []
+        for shard, batch in read_epoch_shards(out, batch_rows=100):
+            ids = batch.column("doc_id").to_pylist()
+            got += [(shard, i) for i in ids]
+        want = [(r["shard"], r["doc_id"])
+                for r in epoch_shuffle(docs, "doc_id", 3)
+                .orderBy("shard", "pos").collect()]
+        assert got == want
+
+        # column pruning: pos need not be read for the order check
+        only_ids = [i for _, b in read_epoch_shards(out, columns=["doc_id"])
+                    for i in b.column("doc_id").to_pylist()]
+        assert only_ids == [i for _, i in got]
+
+    def test_read_epoch_shards_rejects_disordered_layout(self, tmp_path):
+        """A shard file NOT in pos order (e.g. rewritten by a generic
+        compactor) must fail the footer check, not silently de-randomize
+        the epoch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from gads_etl_spark.operators.sampling import read_epoch_shards
+
+        sd = tmp_path / "bad" / "shard=0"
+        sd.mkdir(parents=True)
+        t = pa.table({"doc_id": [3, 1, 2], "pos": [3, 1, 2]})
+        pq.write_table(t, sd / "part-0.parquet", row_group_size=1)
+        with _pytest.raises(ValueError, match="not in epoch order"):
+            list(read_epoch_shards(str(tmp_path / "bad")))
+
     def test_write_plan_adds_no_exchange_beyond_shard_partitioning(
             self, spark):
         # sortWithinPartitions is belt-and-braces: the rank window's
