@@ -174,7 +174,7 @@ def run_tiers(spark, with_sf10: bool = False) -> None:
     ratios = {n: round(hi_q[n] / lo_q[n], 2)
               for n in lo_q if n in hi_q and lo_q[n] > 0}
     doc = {
-        "metric": "two_tier_scaling",
+        "metric": "three_tier_scaling" if with_sf10 else "two_tier_scaling",
         "unit": "sec",
         "tiers": {"sf0.1": low, "sf1": high},
         "wall_ratio_sf1_over_sf0.1": ratios,

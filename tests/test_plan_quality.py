@@ -185,6 +185,33 @@ class TestRound3Plans:
         assert "BroadcastHashJoin" not in plan, plan
         assert len(re.findall(r"ShuffledHashJoin", plan)) == 2, plan
 
+    def test_tfidf_builds_on_postings_never_candidates(self, spark):
+        # All three tfidf joins are pinned shuffle-hash (both sides
+        # corpus-scaled, broadcast trap closed) AND the build side is
+        # always a POSTINGS relation: prefix postings for the candidate
+        # join (BuildLeft), wa/wb for the two dot-product joins
+        # (BuildRight). The candidate-pair relation is the one input
+        # documented to grow superlinearly — as a non-spilling SHJ
+        # build map a hot a_id partition of it could OOM an executor
+        # at a tier the corpus-linear builds survive (ADVICE r10).
+        from gads_etl_spark.queries import REGISTRY
+
+        df = REGISTRY["ext_tfidf_cosine"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == 3, plan
+        # candidate gen: pfx (left) builds
+        assert re.search(
+            r"ShuffledHashJoin \[term#\d+\], \[term#\d+\], Inner, BuildLeft",
+            plan), plan
+        # dot-product joins: wa / wb (right) build
+        assert re.search(
+            r"ShuffledHashJoin \[a_id#\d+L\], \[a_id#\d+L\], Inner, "
+            r"BuildRight", plan), plan
+        assert re.search(
+            r"ShuffledHashJoin \[b_id#\d+L, term#\d+\], "
+            r"\[b_id#\d+L, term#\d+\], Inner, BuildRight", plan), plan
+
     def test_hash_sample_filter_reaches_scan_stage(self, spark):
         # The sampling predicate sits directly on the scan (no shuffle
         # below it); the only Exchange is the final presentation sort.
