@@ -32,6 +32,49 @@ def canon(pdf):
     return sorted(tuple(repr(v) for v in r) for r in pdf[cols].itertuples(index=False))
 
 
+#: Above this row count the per-cell repr() canon becomes the sweep's
+#: bottleneck (measured: a ~3M-row sf10 sessionization result spent
+#: >20 min in canon while the query itself ran in seconds), so large
+#: frames take the vectorized path below first.
+FAST_CANON_ROWS = 100_000
+
+
+def fast_frame_equal(a_pdf, e_pdf):
+    """Vectorized exact row-multiset equality for LARGE results.
+
+    Returns True/False, or None when the frames aren't eligible
+    (array-valued / exotic object cells — those keep the repr canon).
+    Semantics mirror ``canon()`` with two documented relaxations, both
+    strictly about representation rather than value: datetime columns
+    are compared at [ns] resolution regardless of storage unit, and
+    integer dtypes are widened to int64 (repr('1') never encoded the
+    width either). Nulls: pandas ``Series.equals`` treats None and NaN
+    as interchangeable inside object columns, which is the semantic
+    null equality both engines mean. A False from this path is
+    double-checked by the repr canon before being reported, so the
+    fast path can only ever ACCEPT exactly-equal multisets or defer —
+    never produce a novel verdict of its own.
+    """
+    cols = sorted(a_pdf.columns)
+    if sorted(e_pdf.columns) != cols or len(a_pdf) != len(e_pdf):
+        return False
+    a, e = a_pdf[cols].copy(), e_pdf[cols].copy()
+    for df in (a, e):
+        for c in cols:
+            kind = df[c].dtype.kind
+            if kind == "M":
+                df[c] = df[c].astype("datetime64[ns]")
+            elif kind in "iu":
+                df[c] = df[c].astype("int64")
+            elif df[c].dtype == object:
+                nn = df[c].dropna()
+                if len(nn) and not isinstance(nn.iloc[0], (str, bytes)):
+                    return None  # arrays/decimals → repr canon
+    a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    e = e.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    return all(a[c].equals(e[c]) for c in cols)
+
+
 def ulp_match(a_pdf, e_pdf) -> bool:
     """Secondary check when exact repr-match fails: cell-wise equality
     with floats allowed a ~1-ulp relative slack (rel_tol=1e-12).
@@ -196,19 +239,27 @@ def main() -> int:
                 "oracle_rows": None, "err": f"{type(exc).__name__}: {exc}"[:500],
             }
             continue
-        a, e = canon(a_pdf), canon(e_pdf)
+        n_a, n_e = len(a_pdf), len(e_pdf)
         schema_ok = sorted(a_pdf.columns) == sorted(e_pdf.columns)
-        ok = a == e and schema_ok
         label = "MATCH"
-        if not ok and schema_ok and ulp_match(a_pdf, e_pdf):
-            ok = True
-            label = "MATCH~ulp"  # exact but for float cast rounding
+        fast = (fast_frame_equal(a_pdf, e_pdf)
+                if max(n_a, n_e) > FAST_CANON_ROWS else None)
+        if fast:
+            ok, a, e = True, None, None
+        else:
+            # fast=False still lands here: the repr canon has the final
+            # word on every reported MISMATCH.
+            a, e = canon(a_pdf), canon(e_pdf)
+            ok = a == e and schema_ok
+            if not ok and schema_ok and ulp_match(a_pdf, e_pdf):
+                ok = True
+                label = "MATCH~ulp"  # exact but for float cast rounding
         print(f"{name:34s} {label if ok else 'MISMATCH'} "
-              f"spark={len(a)} oracle={len(e)} ({time.perf_counter()-t0:.1f}s)")
+              f"spark={n_a} oracle={n_e} ({time.perf_counter()-t0:.1f}s)")
         records[name] = {
-            "rows_match": len(a) == len(e), "schema_match": schema_ok,
-            "hash_match": ok, "spark_rows": len(a_pdf),
-            "oracle_rows": len(e_pdf), "err": None,
+            "rows_match": n_a == n_e, "schema_match": schema_ok,
+            "hash_match": ok, "spark_rows": n_a,
+            "oracle_rows": n_e, "err": None,
         }
         if label == "MATCH~ulp":
             # hash_match=True by the documented 1e-12 float tolerance
