@@ -117,19 +117,31 @@ def ext_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.shingle_jaccard_pairs(docs, block_col="source", threshold=0.7)
 
 
+def _doc_id_offset(docs) -> int:
+    """Collision-free id offset for planted-duplicate oracles:
+    max(doc_id) + 1, a driver scalar. The old fixed +100000 offset
+    silently COLLIDED with real doc ids once the corpus passed 100k
+    documents — at the sf10 tier (500k docs) the planted-pair filter
+    started matching (real, real) id pairs and the sf10 sweep caught 5
+    phantom rows. The oracle mirrors it as a subquery, so the planted
+    ids stay disjoint from the corpus at every tier by construction."""
+    return docs.agg(F.max("doc_id")).first()[0] + 1
+
+
 @register(
     "ext_minhash_candidates",
     oracle="""
-    SELECT doc_id AS a_id, doc_id + 100000 AS b_id
+    SELECT doc_id AS a_id,
+           doc_id + (SELECT max(doc_id) + 1 FROM documents) AS b_id
     FROM documents WHERE doc_id < 30
     """,
     tags=("extension", "dedup", "lsh"),
 )
 def ext_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (32 hashes, 8 bands of 4) over the
-    corpus plus 30 injected exact duplicates (doc_id + 100000 copies of
-    the first 30 documents), restricted to the injected (original, copy)
-    pairs.
+    corpus plus 30 injected exact duplicates (max(doc_id)+1-offset
+    copies of the first 30 documents), restricted to the injected
+    (original, copy) pairs.
 
     The restriction makes the oracle EXACT rather than approximate:
     identical text → identical shingle set → identical minhash signature
@@ -142,18 +154,20 @@ def ext_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowed.
     """
     docs = load_table(spark, sf_dir, "documents")
+    off = _doc_id_offset(docs)
     copies = docs.where(F.col("doc_id") < 30).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+        "doc_id", F.col("doc_id") + off
     )
     pairs = D.minhash_candidate_pairs(docs.unionByName(copies),
                                       num_hashes=32, bands=8)
-    return pairs.where(F.col("b_id") == F.col("a_id") + 100000)
+    return pairs.where(F.col("b_id") == F.col("a_id") + off)
 
 
 @register(
     "ext_incremental_dedup",
     oracle="""
-    SELECT doc_id + 200000 AS new_id, doc_id AS match_id
+    SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS new_id,
+           doc_id AS match_id
     FROM documents WHERE doc_id < 30
     """,
     tags=("extension", "dedup", "lsh", "incremental"),
@@ -165,7 +179,8 @@ def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joined.
 
     Exact derived oracle via the planted-duplicate technique: the new
-    batch is 30 exact copies (doc_id + 200000) of the first 30 corpus
+    batch is 30 exact copies (ids offset by max(doc_id)+1, collision-free
+    at every tier) of the first 30 corpus
     docs; identical text ⇒ identical signature ⇒ every band collides, so
     each copy matches its original through the index with probability 1
     under any seed. The whole pipeline (index over the full corpus, batch
@@ -173,14 +188,15 @@ def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowed — same pattern as ext_minhash_candidates.
     """
     docs = load_table(spark, sf_dir, "documents")
+    off = _doc_id_offset(docs)
     index = D.minhash_band_keys(docs)
     batch = docs.where(F.col("doc_id") < 30).withColumn(
-        "doc_id", F.col("doc_id") + 200000
+        "doc_id", F.col("doc_id") + off
     )
     hits = D.incremental_minhash_candidates(batch, index)
     return hits.where(
         (F.col("match_origin") == "index")
-        & (F.col("match_id") == F.col("new_id") - 200000)
+        & (F.col("match_id") == F.col("new_id") - off)
     ).select("new_id", "match_id")
 
 
@@ -194,8 +210,8 @@ def ext_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints with an exact derived oracle: each of
-    30 injected exact duplicates (doc_id + 100000 copies of the first 30
-    documents) must land at hamming distance 0 from its original —
+    30 injected exact duplicates (ids offset by max(doc_id)+1, see
+    _doc_id_offset) must land at hamming distance 0 from its original —
     identical token multisets give bitwise-identical bit-sum vectors and
     therefore identical fingerprints, deterministically, under any
     partitioning (per-bit sums are order-independent integer adds).
@@ -206,15 +222,16 @@ def ext_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extension_ops.py.
     """
     docs = load_table(spark, sf_dir, "documents")
+    off = _doc_id_offset(docs)
     copies = docs.where(F.col("doc_id") < 30).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+        "doc_id", F.col("doc_id") + off
     )
     fp = D.simhash(docs.unionByName(copies))
-    orig = fp.where(F.col("doc_id") < 100000).select(
+    orig = fp.where(F.col("doc_id") < off).select(
         "doc_id", F.col("simhash").alias("fp_a")
     )
-    copy = fp.where(F.col("doc_id") >= 100000).select(
-        (F.col("doc_id") - 100000).alias("doc_id"),
+    copy = fp.where(F.col("doc_id") >= off).select(
+        (F.col("doc_id") - off).alias("doc_id"),
         F.col("simhash").alias("fp_b"),
     )
     return orig.join(copy, "doc_id").select(
@@ -399,7 +416,9 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Derived oracle shared by the two ANN queries: with an exact copy of
-#: each query vector injected into the corpus at vec_id + 100000, the
+#: each query vector injected into the corpus at vec_id + max(vec_id)+1
+#: (collision-free at every tier — a fixed offset collided with real
+#: vec_ids once the embedding table passed 100k rows), the
 #: rank-1 neighbour of every query is provably its copy — cosine of
 #: identical vectors rounds to exactly 1.0 while the fixture's natural
 #: max pairwise cosine is ~0.6, and an identical vector always shares the
@@ -407,7 +426,8 @@ def ext_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (identical centroid distances, deterministic tie-break) — so the
 #: rank-1 projection is seed- and clustering-invariant.
 _ANN_EXACT_HIT_SQL = """
-    SELECT vec_id AS query_id, vec_id + 100000 AS neighbor_id,
+    SELECT vec_id AS query_id,
+           vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS neighbor_id,
            1 AS rank, 1.0 AS cos_sim
     FROM embeddings WHERE vec_id < 10
 """
@@ -415,8 +435,9 @@ _ANN_EXACT_HIT_SQL = """
 
 def _ann_corpus_with_planted_hits(spark: SparkSession, sf_dir: str):
     emb = load_table(spark, sf_dir, "embeddings")
+    off = emb.agg(F.max("vec_id")).first()[0] + 1  # see _doc_id_offset
     queries = emb.where(F.col("vec_id") < 10)
-    copies = queries.withColumn("vec_id", F.col("vec_id") + 100000)
+    copies = queries.withColumn("vec_id", F.col("vec_id") + off)
     corpus = emb.where(F.col("vec_id") >= 10).unionByName(copies)
     return corpus, queries
 
@@ -1761,15 +1782,17 @@ def ext_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_semantic_dedup",
     oracle="""
-    SELECT CAST(vec_id + 100000 AS BIGINT) AS dropped_id
+    SELECT CAST(vec_id + (SELECT max(vec_id) + 1 FROM embeddings)
+                AS BIGINT) AS dropped_id
     FROM embeddings WHERE vec_id < 50
     """,
     tags=("extension", "dedup", "embedding"),
 )
 def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-blocked semantic near-dup pruning) on a corpus
-    with 50 injected exact duplicates (vec_id + 100000 copies of the
-    first 50 vectors). Returns the dropped ids.
+    with 50 injected exact duplicates (ids offset by max(vec_id)+1,
+    collision-free at every tier) of the
+    first 50 vectors. Returns the dropped ids.
 
     The oracle is exact, not approximate: the fixture's natural max
     pairwise cosine is ~0.6 at every SF while the threshold is 0.9, so
@@ -1782,8 +1805,9 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gads_etl_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
+    off = emb.agg(F.max("vec_id")).first()[0] + 1  # see _doc_id_offset
     copies = emb.where(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
     survivors = semantic_dedup(corpus, threshold=0.9)
@@ -2714,7 +2738,9 @@ def ext_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_simhash_radius",
     oracle="""
-    SELECT doc_id, doc_id + 100000 AS copy_id, CAST(0 AS BIGINT) AS hamming
+    SELECT doc_id,
+           doc_id + (SELECT max(doc_id) + 1 FROM documents) AS copy_id,
+           CAST(0 AS BIGINT) AS hamming
     FROM documents WHERE doc_id < 30
     """,
     tags=("extension", "dedup", "lsh"),
@@ -2729,11 +2755,12 @@ def ext_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant-tested in tests/test_extension_ops.py.
     """
     docs = load_table(spark, sf_dir, "documents")
+    off = _doc_id_offset(docs)
     copies = docs.where(F.col("doc_id") < 30).withColumn(
-        "doc_id", F.col("doc_id") + 100000)
+        "doc_id", F.col("doc_id") + off)
     pairs = D.simhash_radius_pairs(docs.unionByName(copies), radius=3)
     return pairs.where(
-        (F.col("b_id") - F.col("a_id") == 100000) & (F.col("a_id") < 30)
+        (F.col("b_id") - F.col("a_id") == off) & (F.col("a_id") < 30)
     ).select(F.col("a_id").alias("doc_id"),
              F.col("b_id").alias("copy_id"), "hamming")
 
