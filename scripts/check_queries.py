@@ -16,6 +16,7 @@ Env:   SPARK_GRAFT_TEST_SF (default /root/testdata/sf0.01)
 
 from __future__ import annotations
 
+import gc
 import os
 import sys
 import time
@@ -152,10 +153,13 @@ SF1_SWEEP = [
 #: guards bound them to smaller corpora; the linear twins below ARE
 #: swept). ext_fuzzy_passjoin's ORACLE is itself the blocked quadratic
 #: join, so it stays at sf1 even though the Spark side is linear.
-#: ext_block_pack is excluded for the ORACLE's sake too: its
-#: list-slicing SQL (per-block token_ids copies) exceeds DuckDB
-#: v1.0.0's buffer-manager limit at 27M tokens — the Spark side runs
-#: at sf10 in 9s (BENCH_sf10.json) and the oracle stays at sf1.
+#: ext_block_pack and ext_encode_docs are excluded for the ORACLE's
+#: sake too: their list-building SQL (per-block token_ids copies /
+#: 500k list() aggregations over 27M joined tokens) exceeds or
+#: borderline-trips DuckDB v1.0.0's reservation accounting at the
+#: 100x tier regardless of memory_limit/threads tuning — the Spark
+#: sides run sf10 in 9s/5s (BENCH_sf10.json) and both oracles stay
+#: green in the sf1 sweep.
 SF10_SWEEP = [
     "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
     "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
@@ -166,7 +170,7 @@ SF10_SWEEP = [
     "ext_exact_dedup", "ext_bow_dedup", "ext_minhash_candidates",
     "ext_decontaminate", "ext_domain_mix", "ext_embedding_quantize",
     "ext_epoch_shuffle", "ext_build_vocab",
-    "ext_encode_docs", "ext_temperature_mix", "ext_hash_sample",
+    "ext_temperature_mix", "ext_hash_sample",
     "ext_split_assign", "ext_token_stats", "ext_quality_score",
     "ext_pps_sample",
     "obs_date_gaps", "obs_status_counts", "obs_top_failed",
@@ -174,6 +178,65 @@ SF10_SWEEP = [
 ]
 
 SWEEPS = {"sf1": SF1_SWEEP, "sf10": SF10_SWEEP}
+
+
+def _write_records(path: str, records: dict) -> None:
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(records, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+
+def _run_chunked(names: list[str], sf: str, json_path: str | None,
+                 chunk: int = 8) -> int:
+    """Drive ``names`` through child processes of this script (explicit
+    name-list mode, which never chunks), merging their --json records."""
+    import json
+    import subprocess
+    import tempfile
+
+    here = os.path.abspath(__file__)
+    merged: dict[str, dict] = {}
+    for i in range(0, len(names), chunk):
+        part = names[i:i + chunk]
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            part_path = tf.name
+        env = dict(os.environ, SPARK_GRAFT_TEST_SF=sf)
+        # Bound each child's memory envelope: 16g JVM (the harness runs
+        # 8 threads, not the bench's 32) + DuckDB's explicit 24GB +
+        # transient frames stays well under half the 128GB host, so a
+        # chunk can never draw the kernel OOM killer (which silently
+        # SIGKILLs mid-chunk and loses its records — observed once with
+        # the 31g-JVM default).
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+        subprocess.run([sys.executable, here, *part, "--json", part_path],
+                       env=env, check=False)
+        try:
+            with open(part_path) as fh:
+                merged.update(json.load(fh))
+        except (OSError, json.JSONDecodeError):
+            pass
+        finally:
+            try:
+                os.unlink(part_path)
+            except OSError:
+                pass
+        for n in part:
+            merged.setdefault(n, {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": "chunk process crashed",
+            })
+    failures = sum(1 for v in merged.values()
+                   if v["err"] or v["hash_match"] is False)
+    print(f"{failures} failures / {len(names)} checked (chunked)")
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_path} ({len(merged)} records)")
+    return 1 if failures else 0
 
 
 def main() -> int:
@@ -208,12 +271,37 @@ def main() -> int:
         else [n for n, q in sorted(REGISTRY.items()) if q.oracle])
     if tier:
         print(f"sweep {tier}: {len(names)} queries vs {sf}")
+        # Sweeps run CHUNKED across child processes (~8 queries each):
+        # a single long-lived process accumulates un-reclaimable state
+        # at the 100x tier until even 2KB DuckDB allocations fail —
+        # measured repeatedly on the late sweep queries, each of which
+        # runs clean in a fresh process (per-query reconnects, eager
+        # frame frees, and an explicit memory_limit all shrank but
+        # never closed the window). Process isolation closes it; cost
+        # is one Spark startup (~20s) per chunk.
+        return _run_chunked(names, sf, json_path)
 
     spark = get_session("check-queries", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
 
     def fresh_con():
         c = duckdb.connect()
+        # Explicit memory ceiling + spill dir: DuckDB's DEFAULT limit
+        # prints as 80% of RAM but the EFFECTIVE ceiling collapses to
+        # ~10GB once the Spark JVM is resident in the same process tree
+        # (measured: the sf10 encode-docs oracle OOMs at 9.9GB RSS
+        # under the default yet completes at the same RSS with the
+        # limit set explicitly). 48GB covers every sweep oracle with
+        # 4x headroom on the 128GB harness; heavier spills go to disk.
+        # threads=8: DuckDB's per-operator memory reservation scales
+        # with its thread count (default = all 32 cores), which made
+        # the list-heavy encode-docs oracle flaky even under a 40GB
+        # limit at the 100x tier; at 8 threads it completes in 25s
+        # inside 24GB. 40GB keeps headroom for the rest; the harness
+        # compares results, so DuckDB wall time is not the metric.
+        c.execute("SET threads=8")
+        c.execute("SET memory_limit='40GB'")
+        c.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             # Driver fixtures are flat files; Spark-written tiers (e.g.
             # the .localdata amplifications) are directories of parts.
@@ -227,7 +315,19 @@ def main() -> int:
 
     failures = 0
     records: dict[str, dict] = {}
-    for name in names:
+    for qi, name in enumerate(names):
+        if qi:
+            # Per-query connection renewal: DuckDB v1.0's buffer manager
+            # accumulates tracked state across a long single-connection
+            # sweep until 2KB allocations fail at the 100x tier — every
+            # wedged query runs clean standalone (e.g. ext_encode_docs:
+            # in-sweep OOM vs 27s / 9.7GB fresh). Views over parquet
+            # rebuild in milliseconds, so isolation is effectively free.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
         q = REGISTRY[name]
         t0 = time.perf_counter()
         try:
@@ -239,6 +339,8 @@ def main() -> int:
                     "hash_match": None, "spark_rows": len(a_pdf),
                     "oracle_rows": None, "err": None,
                 }
+                if json_path:
+                    _write_records(json_path, records)
                 continue
             e_pdf = con.execute(q.oracle).fetchdf()
         except Exception as exc:
@@ -252,12 +354,29 @@ def main() -> int:
             # An OOM-killed DuckDB connection stays poisoned (every
             # later allocation fails with 'bad allocation' — measured
             # when one 100x-tier oracle took out the five after it).
-            # Contain the blast radius: rebuild the connection.
+            # Contain the blast radius: rebuild the connection. If even
+            # that fails the PROCESS is wedged — record the remaining
+            # names and stop, so the partial results (and the --json
+            # artifact) survive instead of dying in the error path.
             try:
                 con.close()
             except Exception:
                 pass
-            con = fresh_con()
+            try:
+                con = fresh_con()
+            except Exception as exc2:
+                for rest in names[names.index(name) + 1:]:
+                    records[rest] = {
+                        "rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None,
+                        "err": f"process wedged after {name}: {exc2}"[:500],
+                    }
+                    failures += 1
+                    print(f"{rest:34s} SKIPPED (process wedged)")
+                break
+            if json_path:
+                _write_records(json_path, records)
             continue
         n_a, n_e = len(a_pdf), len(e_pdf)
         schema_ok = sorted(a_pdf.columns) == sorted(e_pdf.columns)
@@ -295,13 +414,23 @@ def main() -> int:
                 print("  only spark:", r)
             for r in list(se - sa)[:2]:
                 print("  only duck :", r)
+        # Free this query's frames BEFORE the next query runs — at the
+        # 100x tier a single result is multi-GB and holding it across
+        # the next query's toPandas/fetchdf stacks peaks until the
+        # process wedges (measured: late-sweep 2KB 'bad allocation'
+        # failures with 120GB of system RAM free; flat ~800MB RSS once
+        # frames are dropped eagerly).
+        del a_pdf, e_pdf, a, e
+        gc.collect()
+        if json_path:
+            # Persist after EVERY query: a process killed mid-run (the
+            # kernel OOM killer SIGKILLs without a traceback) must not
+            # take its completed records with it — the chunked sweep
+            # merges whatever each child managed to write.
+            _write_records(json_path, records)
     print(f"{failures} failures / {len(names)} checked")
     if json_path:
-        import json as _json
-
-        with open(json_path, "w") as fh:
-            _json.dump(records, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        _write_records(json_path, records)
         print(f"wrote {json_path} ({len(records)} records)")
     return 1 if failures else 0
 
