@@ -95,16 +95,33 @@ EXTRA = [
 ]
 
 
-def _bench_tier(spark, sf_dir: str, names: list[str] | None = None) -> dict:
-    """Measure HEADLINE + EXTRA (or an explicit ``names`` list, no
-    extras) against one sf directory; returns the same shape as the
-    single-tier JSON body."""
-    global SF_DIR
-    prev, SF_DIR = SF_DIR, sf_dir
-    try:
-        return _measure(spark, names=names)
-    finally:
-        SF_DIR = prev
+def _bench_tier(sf_dir: str, only: list[str] | None = None) -> dict:
+    """Measure one tier in a FRESH child process/JVM (full
+    HEADLINE+EXTRA by default, or exactly ``only``) and return the
+    parsed detail body.
+
+    Every tier gets its own process, including the small ones: a
+    RESIDENT idle JVM elsewhere in the process tree degrades a
+    measuring JVM by 2-4x at the 100x tier (measured r11: q21 6.1s
+    isolated vs 30.6s beside the parent's spent 31g heap; q01 0.84s vs
+    2.50s), and a JVM that has already executed ~120 measurements
+    inflates its OWN later queries similarly (pagerank 255s polluted vs
+    150s fresh). Serial fresh processes cost one ~20s Spark startup per
+    tier and make the committed numbers reproducible in isolation —
+    the same condition under which any single query would be
+    re-measured."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env.pop("SPARK_GRAFT_BENCH_ONLY", None)
+    env.pop("SPARK_GRAFT_BENCH_EXTRA", None)
+    if only:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         check=True)
+    return next(json.loads(line) for line in out.stdout.splitlines()
+                if line.startswith("{") and '"detail": true' in line)
 
 
 #: The 100x-tier probe list (cross-family, kept to queries tractable at
@@ -131,7 +148,7 @@ SF10_PROBE = [
 ]
 
 
-def run_tiers(spark, with_sf10: bool = False) -> None:
+def run_tiers(with_sf10: bool = False) -> None:
     """--tiers: the multi-tier scaling artifact — measure sf0.1 and the
     amplified .localdata/sf1 fixture in one process and emit BOTH plus
     the per-query wall ratio, so scaling drift is captured as data
@@ -164,8 +181,8 @@ def run_tiers(spark, with_sf10: bool = False) -> None:
                           "scripts/gen_scale_fixture.py --factor 100 "
                           f"--dst {sf10_dir} first"}))
         return
-    low = _bench_tier(spark, SF_DIR)
-    high = _bench_tier(spark, sf1_dir)
+    low = _bench_tier(SF_DIR)
+    high = _bench_tier(sf1_dir)
 
     def _all(t):
         return {**t["queries"], **t["extra"]}
@@ -181,7 +198,7 @@ def run_tiers(spark, with_sf10: bool = False) -> None:
         "data_factor": 10,
     }
     if with_sf10:
-        probe = _bench_tier(spark, sf10_dir, names=SF10_PROBE)
+        probe = _bench_tier(sf10_dir, only=SF10_PROBE)
         doc["tiers"]["sf10_probe"] = probe
         doc["sf10_probe_queries"] = len(SF10_PROBE)
         per_q = {
@@ -227,14 +244,15 @@ def run_tiers(spark, with_sf10: bool = False) -> None:
 
 
 def main() -> None:
+    if "--tiers" in sys.argv[1:]:
+        # Thin orchestrator: the parent NEVER starts Spark — each tier
+        # is measured in its own fresh child process (see _bench_tier).
+        run_tiers(with_sf10="--with-sf10" in sys.argv[1:])
+        return
     from gads_etl_spark.session import get_session
 
     spark = get_session("gads-etl-spark-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    if "--tiers" in sys.argv[1:]:
-        run_tiers(spark, with_sf10="--with-sf10" in sys.argv[1:])
-        spark.stop()
-        return
     out = _measure(spark)
     # Detail first, compact headline LAST: a bounded tail-capture of
     # stdout must always end with one complete parseable metric line.
