@@ -117,9 +117,19 @@ def _bench_tier(sf_dir: str, only: list[str] | None = None) -> dict:
     env.pop("SPARK_GRAFT_BENCH_EXTRA", None)
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=env, capture_output=True, text=True,
-                         check=True)
+    try:
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+    except subprocess.CalledProcessError as exc:
+        # A dying tier (e.g. the sf10 probe OOM-killed hours in) must
+        # not discard the tiers that already completed: surface the
+        # child's stderr and let run_tiers emit a partial artifact.
+        print(f"# tier {sf_dir} child failed rc={exc.returncode}",
+              file=sys.stderr)
+        if exc.stderr:
+            print(exc.stderr[-4000:], file=sys.stderr)
+        return None
     return next(json.loads(line) for line in out.stdout.splitlines()
                 if line.startswith("{") and '"detail": true' in line)
 
@@ -182,7 +192,16 @@ def run_tiers(with_sf10: bool = False) -> None:
                           f"--dst {sf10_dir} first"}))
         return
     low = _bench_tier(SF_DIR)
-    high = _bench_tier(sf1_dir)
+    high = _bench_tier(sf1_dir) if low is not None else None
+    if low is None or high is None:
+        # Emit what completed (ADVICE r11: a dead child must not erase
+        # finished tiers) — an errored artifact, never a silent loss.
+        partial = {"metric": "two_tier_scaling", "unit": "sec",
+                   "tier_error": ("sf0.1 child failed" if low is None
+                                  else "sf1 child failed"),
+                   "tiers": ({} if low is None else {"sf0.1": low})}
+        print(json.dumps(partial))
+        return
 
     def _all(t):
         return {**t["queries"], **t["extra"]}
@@ -199,6 +218,12 @@ def run_tiers(with_sf10: bool = False) -> None:
     }
     if with_sf10:
         probe = _bench_tier(sf10_dir, only=SF10_PROBE)
+        if probe is None:
+            # Keep the completed two tiers; record that sf10 died.
+            doc["metric"] = "two_tier_scaling"
+            doc["tier_error"] = "sf10 probe child failed (stderr above)"
+            with_sf10 = False
+    if with_sf10:
         doc["tiers"]["sf10_probe"] = probe
         doc["sf10_probe_queries"] = len(SF10_PROBE)
         per_q = {

@@ -947,33 +947,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     "The sole supplier at fault": the line's supplier returned goods
     ('R'), the order involves other suppliers, and none of the others
-    returned. EXISTS plans as a left-semi join and NOT EXISTS as a
-    left-anti join, both keyed on orderkey with the inequality as a
-    residual condition — three scans of lineitem co-partitioned on
-    orderkey, which AQE/exchange-reuse overlap rather than re-shuffle.
+    returned. Round-12 single-scan formulation: the EXISTS/NOT-EXISTS
+    pair is a per-order property, so ONE ``groupBy(l_orderkey)`` pass
+    replaces the semi+anti self-joins (which re-scanned the largest
+    fact 3x — at the 100x tier that was the one probe query above
+    linear, 30.6s / 10.9x; see SCALING.md round-12). Both predicates
+    reduce to plain min/max aggregates — no countDistinct Expand:
+
+    - EXISTS another line with a different supplier
+      <=> not every line has the waiting supplier's suppkey
+      <=> ``min(l_suppkey) < max(l_suppkey)`` (the waiting supplier is
+      in the set, so any second distinct value qualifies);
+    - NOT EXISTS another 'R' line from a different supplier
+      <=> exactly one distinct suppkey among 'R' lines
+      <=> ``min(r_supp) == max(r_supp)`` with at least one 'R' line.
+
+    numwait counts qualifying l1 ROWS = per-order count of 'R' lines
+    (all by that one supplier), summed per supplier. One lineitem scan
+    (3 columns), one shuffle on orderkey with full map-side partial
+    aggregation, an equi-join with status-'F' orders on the same key,
+    and a dimension join to supplier — AQE picks broadcast when the
+    dimension fits.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F")
     supp = load_table(spark, sf_dir, "supplier")
-    l1 = li.where(F.col("l_returnflag") == "R").select(
-        "l_orderkey", "l_suppkey"
-    )
-    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"),
-                   F.col("l_suppkey").alias("l2_suppkey"))
-    l3 = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"))
-    waited = (
-        l1.join(l2, (l1.l_orderkey == l2.l2_orderkey)
-                & (l1.l_suppkey != l2.l2_suppkey), "left_semi")
-        .join(l3, (l1.l_orderkey == l3.l3_orderkey)
-              & (l1.l_suppkey != l3.l3_suppkey), "left_anti")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+            F.min(r_supp).alias("min_rs"),
+            F.max(r_supp).alias("max_rs"),
+            F.count(r_supp).alias("n_r"),
+        )
+        .where((F.col("n_r") > 0)
+               & (F.col("min_rs") == F.col("max_rs"))
+               & (F.col("min_s") < F.col("max_s")))
+        .select("l_orderkey",
+                F.col("min_rs").alias("wait_suppkey"),
+                "n_r")
     )
     return (
-        waited.join(orders, waited.l_orderkey == orders.o_orderkey, "left_semi")
-        .join(supp, waited.l_suppkey == supp.s_suppkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey,
+                       "left_semi")
+        .join(supp, F.col("wait_suppkey") == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_r").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )

@@ -18,17 +18,28 @@ def _default_driver_mem() -> str:
     """Default -Xmx for the single local JVM: half of physical RAM,
     capped at 31g (the compressed-oops cliff — see _SCALE_DEFAULTS
     comment), floored at 2g. Reads /proc/meminfo (Linux harness);
-    anywhere it can't, the 31g cap applies and SPARK_GRAFT_DRIVER_MEM
-    is the override."""
+    elsewhere falls back to POSIX sysconf for total RAM, and only if
+    BOTH probes fail uses a conservative 4g (never the 31g cap — a
+    16 GB laptop must not get -Xmx31g). SPARK_GRAFT_DRIVER_MEM is the
+    override everywhere."""
+    total_g = None
     try:
         with open("/proc/meminfo") as fh:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     total_g = int(line.split()[1]) // (1024 * 1024)
-                    return f"{max(2, min(31, total_g // 2))}g"
+                    break
     except OSError:
         pass
-    return "31g"
+    if total_g is None:
+        try:  # macOS/BSD: no /proc, but sysconf still reports RAM
+            total_g = (os.sysconf("SC_PHYS_PAGES")
+                       * os.sysconf("SC_PAGE_SIZE")) // (1024 ** 3)
+        except (ValueError, OSError, AttributeError):
+            pass
+    if total_g is None:
+        return "4g"
+    return f"{max(2, min(31, total_g // 2))}g"
 
 
 #: Defaults chosen for 100 TB thinking, not just the local harness:

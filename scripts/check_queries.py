@@ -51,10 +51,16 @@ def fast_frame_equal(a_pdf, e_pdf):
     integer dtypes are widened to int64 (repr('1') never encoded the
     width either). Nulls: pandas ``Series.equals`` treats None and NaN
     as interchangeable inside object columns, which is the semantic
-    null equality both engines mean. A False from this path is
-    double-checked by the repr canon before being reported, so the
-    fast path can only ever ACCEPT exactly-equal multisets or defer —
-    never produce a novel verdict of its own.
+    null equality both engines mean. Signed zeros: float columns are
+    normalized with ``x + 0.0`` on BOTH sides before comparing, so
+    -0.0 vs 0.0 is a deliberate, documented relaxation of this path
+    (IEEE ``-0.0 == 0.0``; the engines disagree only on the sign bit
+    of an arithmetically-zero cell, never on a value). The repr canon
+    still distinguishes them for any frame small enough to take it.
+    A False from this path is double-checked by the repr canon before
+    being reported, so the fast path can only ever ACCEPT multisets
+    equal under these documented normalizations or defer — never
+    produce a novel verdict of its own.
     """
     cols = sorted(a_pdf.columns)
     if sorted(e_pdf.columns) != cols or len(a_pdf) != len(e_pdf):
@@ -67,6 +73,8 @@ def fast_frame_equal(a_pdf, e_pdf):
                 df[c] = df[c].astype("datetime64[ns]")
             elif kind in "iu":
                 df[c] = df[c].astype("int64")
+            elif kind == "f":
+                df[c] = df[c] + 0.0  # -0.0 -> 0.0 (documented relaxation)
             elif df[c].dtype == object:
                 nn = df[c].dropna()
                 if len(nn) and not isinstance(nn.iloc[0], (str, bytes)):
@@ -381,8 +389,15 @@ def main() -> int:
         n_a, n_e = len(a_pdf), len(e_pdf)
         schema_ok = sorted(a_pdf.columns) == sorted(e_pdf.columns)
         label = "MATCH"
-        fast = (fast_frame_equal(a_pdf, e_pdf)
-                if max(n_a, n_e) > FAST_CANON_ROWS else None)
+        # Any exception inside the fast path (e.g. a mixed-type object
+        # column whose FIRST non-null cell is a str but a later cell is
+        # a list, making sort_values raise TypeError) defers to the
+        # repr canon rather than crashing the sweep.
+        try:
+            fast = (fast_frame_equal(a_pdf, e_pdf)
+                    if max(n_a, n_e) > FAST_CANON_ROWS else None)
+        except Exception:
+            fast = None
         if fast:
             ok, a, e = True, None, None
         else:

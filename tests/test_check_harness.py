@@ -55,6 +55,28 @@ class TestFastFrameEqual:
         a = pd.DataFrame({"x": [[1, 2], [3]], "y": ["a", "b"]})
         assert cq.fast_frame_equal(a, a) is None
 
+    def test_normalizes_signed_zero(self):
+        # Documented relaxation: -0.0 vs 0.0 in a float column is a
+        # sign-bit-of-zero representation difference, accepted.
+        a = pd.DataFrame({"x": [1, 2], "v": [0.0, 1.5]})
+        b = pd.DataFrame({"x": [1, 2], "v": [-0.0, 1.5]})
+        assert cq.fast_frame_equal(a, b) is True
+
+    def test_mixed_type_object_column_cannot_crash_sweep(self):
+        # ADVICE r11: a str-first object column with a later list cell
+        # passes the first-non-null eligibility probe, then sort_values
+        # raises TypeError. The call site must catch and defer to the
+        # repr canon — mirror the call-site guard here.
+        a = pd.DataFrame({"y": ["a", [1, 2], "c"], "x": [1, 2, 3]})
+        try:
+            out = cq.fast_frame_equal(a, _shuffled(a))
+        except Exception:
+            out = None
+        assert out in (None, True)
+        src = (Path(__file__).resolve().parent.parent
+               / "scripts" / "check_queries.py").read_text()
+        assert "except Exception:\n            fast = None" in src
+
     def test_harness_double_checks_fast_false_with_canon(self):
         # Structural guarantee in source: a False from the fast path
         # must fall through to the repr canon before being reported.

@@ -125,12 +125,16 @@ def _quiet(spark):
 
 
 class TestRound3Plans:
-    def test_q21_plans_semi_and_anti(self, spark):
-        # EXISTS → left-semi, NOT EXISTS → left-anti, both as joins
-        # (never a correlated re-scan per row).
+    def test_q21_single_scan_no_expand(self, spark):
+        # Round-12 formulation: the EXISTS/NOT-EXISTS pair folds into
+        # one groupBy(l_orderkey) pass — exactly ONE lineitem scan
+        # (the old semi+anti formulation scanned it 3x and was the one
+        # above-linear probe at the 100x tier), no countDistinct
+        # Expand, orders still a semi join, never a correlated re-scan.
         plan = _formatted_plan(spark, "q21_waiting_suppliers")
+        assert plan.count("lineitem.parquet") == 1, plan
+        assert "Expand" not in plan, plan
         assert "LeftSemi" in plan, plan
-        assert "LeftAnti" in plan, plan
         assert "CartesianProduct" not in plan
 
     def test_q02_extremum_is_window_not_selfjoin(self, spark):
