@@ -47,8 +47,12 @@ class PointerStore:
         self._table.delete_keys(keys)
 
     def get(self, key) -> dict | None:
+        # Bucket-pruned like StateStore.get: reads one bucket, not the
+        # whole pointer table (see state_store.read_bucket_for).
         rows = (
-            self.read()
+            self._table.read_bucket_for(
+                (key.source, key.customer_id, key.query_name,
+                 key.logical_date))
             .where(
                 (F.col("source") == key.source)
                 & (F.col("customer_id") == key.customer_id)

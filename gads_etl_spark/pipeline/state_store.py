@@ -322,6 +322,39 @@ class _VersionedTable:
             return self.spark.createDataFrame([], self.schema)
         return self._read_paths(list(manifest["buckets"].values()))
 
+    def read_bucket_for(self, key_values: tuple) -> DataFrame:
+        """Read ONLY the bucket that can contain ``key_values`` — the
+        point-lookup path. A fleet-sized ledger (10M rows) makes a
+        full-scan-then-filter lookup O(|table|); hashing the key to its
+        bucket first reads O(|table|/n_buckets) — measured 2.2x faster
+        at 10M rows / 64 buckets on local[32] (SCALING.md round-12
+        state-ledger probe; the win is larger on a cluster, where the
+        full scan schedules n_buckets tasks across executors while the
+        pruned path reads one file).
+
+        The literals are cast to the key columns' declared types before
+        hashing: Murmur3 over a string ``'2024-01-01'`` and over the
+        DATE it denotes differ, and a silent type mismatch here would
+        prune to the WRONG bucket — returning "absent" for a present
+        key. Callers still filter the returned bucket by the full key
+        (hash collisions share buckets by design).
+        """
+        if self.key_cols is None:
+            return self.read()
+        manifest = self._current_manifest()
+        if manifest is None:
+            return self.spark.createDataFrame([], self.schema)
+        types = {f.name: f.dataType for f in self.schema.fields}
+        lits = [F.lit(v).cast(types[c])
+                for c, v in zip(self.key_cols, key_values)]
+        b = self.spark.range(1).select(
+            F.pmod(F.hash(*lits), F.lit(self.n_buckets)).alias("b")
+        ).collect()[0]["b"]
+        path = manifest["buckets"].get(str(b))
+        if path is None:  # bucket currently holds no rows at all
+            return self.spark.createDataFrame([], self.schema)
+        return self._read_paths([path])
+
     def commit(self, df: DataFrame) -> None:
         """Full-table replace: write every bucket fresh, swap the pointer.
 
@@ -484,9 +517,14 @@ class StateStore:
         self._table.commit(full_state)
 
     def get(self, key) -> dict | None:
-        """Composite-key point lookup (P5 — state_store.py:61-73)."""
+        """Composite-key point lookup (P5 — state_store.py:61-73).
+
+        Bucket-pruned: hashes the key to its bucket and reads only that
+        bucket's files — O(|table|/n_buckets), not a ledger scan."""
         rows = (
-            self.read()
+            self._table.read_bucket_for(
+                (key.source, key.customer_id, key.query_name,
+                 key.logical_date))
             .where(
                 (F.col("source") == key.source)
                 & (F.col("customer_id") == key.customer_id)

@@ -1,0 +1,488 @@
+"""sf10 MATCH-equivalent checks for the operators excluded from
+``check_queries.py --sweep sf10`` for ORACLE-side reasons only
+(round-11 verdict tasks 5 and 7). The Spark side always runs the FULL
+registered query (or operator) at the 100x tier; only the DuckDB
+oracle is restated in a tractable form — chunked, sliced, or
+materialized — never weakened:
+
+- ``ext_pagerank``: the registered unrolled-CTE oracle recomputes an
+  8-deep iteration tree in one statement; here every iteration
+  materializes a real DuckDB table with IDENTICAL integer arithmetic
+  (same scaled-integer floor divisions), so the oracle is chunked,
+  not changed. Exact frame compare over all |V| rows.
+- connected components (operator-level): no registered CC query has a
+  tractable sf10 oracle — their pair generator is the budget-guarded
+  quadratic shingle join, and the recursive-CTE reachability closure
+  explodes on dense graphs. The OPERATOR
+  (operators/graph.py:connected_components) is therefore verified at
+  240M-edge scale on the part co-purchase graph (the same edge set as
+  ext_pagerank, one dense giant component — the hard case for
+  min-label propagation): Spark pointer-jumping labels vs a DuckDB
+  materialized min-label fixpoint. Both converge to the same
+  well-defined answer (min reachable node id), so MATCH is exact.
+- ``ext_encode_docs``: DuckDB v1.0's list-aggregate reservation
+  accounting dies building 500k token-id lists in one statement
+  (SCALING.md round-11). Encoding is per-document GIVEN the
+  vocabulary, so the corpus partitions into 16 ``doc_id % 16`` slices:
+  the vocabulary is materialized ONCE as a DuckDB table (DuckDB-
+  computed — and itself independently sf10-verified by
+  ext_build_vocab in the main sweep), then each slice's encoding is
+  verified against the full Spark result restricted to that slice.
+  The union of the 16 slices is the whole corpus: FULL parity, not a
+  sample.
+- ``ext_block_pack``: shards are independent by construction
+  (shard = doc_id % 4, the cumulative-offset window partitions by
+  shard), so each shard's oracle runs standalone over the materialized
+  vocabulary — 4 shard runs = full parity — plus corpus-wide
+  conservation invariants that need no lists at all: token
+  conservation (sum of block n_tokens == exploded non-empty token
+  count), block fullness (every block exactly block_size tokens except
+  possibly the last of each shard), and block-id contiguity per shard.
+
+Writes ``CORRECTNESS_sf10_extras.json``; every record carries a
+``method`` field so the artifact never launders a restated oracle as
+the registered single-statement one.
+
+Usage: python scripts/check_sf10_extras.py [--sf DIR] [names...]
+       (default DIR .localdata/sf10; default names = all four checks)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+
+import check_queries as cq  # noqa: E402  (canon / fast_frame_equal)
+from gads_etl_spark.catalog import TABLES  # noqa: E402
+
+_PR_SCALE = 1_000_000_000_000
+_PR_DAMP = 85
+_PR_ITERS = 8
+
+#: The vocabulary definition shared by the encode/pack oracles —
+#: textually identical to queries/extension_suite.py:_ENCODE_CTE's
+#: vocab CTE, materialized here as a real table so 20 slice/shard
+#: queries don't recompute the 27M-token group-by.
+_VOCAB_SQL = """
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1 AS BIGINT)
+               AS token_id
+    FROM (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
+    ) WHERE n_occurrences >= 5
+"""
+
+#: Per-document encoding restricted by a predicate on doc_id; reads the
+#: materialized ``vocab`` table instead of the inline CTE.
+_ENC_SLICE_SQL = """
+    WITH exploded AS (
+        SELECT doc_id, t.pos, t.token
+        FROM documents,
+             LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS token,
+                             generate_subscripts(string_split(lower(text), ' '), 1) AS pos) t
+        WHERE t.token <> '' AND {pred}
+    ), enc AS (
+        SELECT e.doc_id, list(COALESCE(v.token_id, -1) ORDER BY e.pos) AS token_ids
+        FROM exploded e LEFT JOIN vocab v ON e.token = v.token
+        GROUP BY e.doc_id
+    )
+"""
+
+
+def fresh_con(sf: str) -> "duckdb.DuckDBPyConnection":
+    c = duckdb.connect()
+    # Same memory discipline as check_queries.fresh_con (DuckDB's
+    # effective default ceiling collapses beside a resident JVM).
+    c.execute("SET threads=8")
+    c.execute("SET memory_limit='40GB'")
+    c.execute("SET temp_directory='/tmp/duckdb_spill'")
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _frames_equal(a_pdf, e_pdf) -> bool:
+    try:
+        fast = cq.fast_frame_equal(a_pdf, e_pdf)
+    except Exception:
+        fast = None
+    if fast is not None:
+        if fast:
+            return True
+        # fast False → repr canon has the final word (same contract as
+        # the main harness).
+    return cq.canon(a_pdf) == cq.canon(e_pdf)
+
+
+def _copurchase_pairs(spark, sf_dir):
+    """The part co-purchase edge construction — mirrors
+    queries/analytics_suite.py:ext_pagerank so the operator checks run
+    on the identical graph."""
+    from pyspark.sql import functions as F
+
+    from gads_etl_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+def _build_copurchase_tables(con) -> int:
+    """Materialize lp → e → deg → ed in DuckDB (the AS MATERIALIZED CTE
+    chain of the registered oracle, as real tables); returns |V|."""
+    con.execute("""
+        CREATE TABLE lp AS
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem""")
+    con.execute("""
+        CREATE TABLE e AS
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2""")
+    con.execute("DROP TABLE lp")
+    con.execute("""
+        CREATE TABLE deg AS
+        SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src""")
+    con.execute("""
+        CREATE TABLE ed AS
+        SELECT e.src, e.dst, e.w, deg.outw FROM e JOIN deg USING (src)""")
+    con.execute("DROP TABLE e")
+    return con.execute("SELECT count(*) FROM deg").fetchone()[0]
+
+
+def check_pagerank(spark, sf_dir: str, con) -> dict:
+    """ext_pagerank vs a per-iteration-materialized DuckDB oracle."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_pagerank"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n = _build_copurchase_tables(con)
+    # The teleport term is a pure integer function of (damping, scale,
+    # n) — identical floor division in Python and SQL on positives.
+    teleport = ((100 - _PR_DAMP) * _PR_SCALE) // (100 * n)
+    con.execute(f"""
+        CREATE TABLE r0 AS
+        SELECT src AS node, CAST({_PR_SCALE} // {n} AS BIGINT) AS pr_scaled
+        FROM deg""")
+    for k in range(1, _PR_ITERS + 1):
+        con.execute(f"""
+            CREATE TABLE r{k} AS
+            SELECT ed.dst AS node,
+                   CAST({teleport}
+                        + ({_PR_DAMP} * sum((CAST(r.pr_scaled AS HUGEINT)
+                                             * ed.w) // ed.outw)) // 100
+                        AS BIGINT) AS pr_scaled
+            FROM ed JOIN r{k - 1} r ON r.node = ed.src
+            GROUP BY ed.dst""")
+        con.execute(f"DROP TABLE r{k - 1}")
+    e_pdf = con.execute(
+        f"SELECT node AS part_id, pr_scaled FROM r{_PR_ITERS}").fetchdf()
+    con.execute(f"DROP TABLE r{_PR_ITERS}")
+    t_duck = time.perf_counter() - t0
+
+    ok = _frames_equal(a_pdf, e_pdf)
+    return {
+        "rows_match": len(a_pdf) == len(e_pdf),
+        "schema_match": sorted(a_pdf.columns) == sorted(e_pdf.columns),
+        "hash_match": ok, "spark_rows": len(a_pdf),
+        "oracle_rows": len(e_pdf), "err": None,
+        "method": "chunked-iterative-oracle (per-iteration materialized "
+                  "tables, identical scaled-integer arithmetic)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+def check_components(spark, sf_dir: str, con) -> dict:
+    """operators/graph.py:connected_components at 240M-edge scale vs a
+    DuckDB materialized min-label fixpoint on the same co-purchase
+    graph. ``ed`` must already exist (check_pagerank builds it); builds
+    it if not."""
+    from pyspark.sql import functions as F
+
+    from gads_etl_spark.operators import graph as G
+
+    t0 = time.perf_counter()
+    pairs = _copurchase_pairs(spark, sf_dir)
+    comps = G.connected_components(pairs, src="src", dst="dst")
+    a_pdf = comps.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    ).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    have_ed = con.execute(
+        "SELECT count(*) FROM information_schema.tables "
+        "WHERE table_name = 'ed'").fetchone()[0]
+    if not have_ed:
+        _build_copurchase_tables(con)
+    con.execute("""
+        CREATE TABLE lab AS SELECT DISTINCT src AS node, src AS lbl FROM ed""")
+    rounds = 0
+    for rounds in range(1, 31):
+        con.execute("""
+            CREATE TABLE lab_next AS
+            SELECT node, min(lbl) AS lbl FROM (
+                SELECT node, lbl FROM lab
+                UNION ALL
+                SELECT e.dst AS node, l.lbl
+                FROM lab l JOIN ed e ON e.src = l.node
+            ) GROUP BY node""")
+        changed = con.execute("""
+            SELECT count(*) FROM lab_next n JOIN lab o USING (node)
+            WHERE n.lbl <> o.lbl""").fetchone()[0]
+        con.execute("DROP TABLE lab")
+        con.execute("ALTER TABLE lab_next RENAME TO lab")
+        if changed == 0:
+            break
+    e_pdf = con.execute(
+        "SELECT node, lbl AS component FROM lab").fetchdf()
+    con.execute("DROP TABLE lab")
+    t_duck = time.perf_counter() - t0
+
+    ok = _frames_equal(a_pdf, e_pdf)
+    return {
+        "rows_match": len(a_pdf) == len(e_pdf),
+        "schema_match": sorted(a_pdf.columns) == sorted(e_pdf.columns),
+        "hash_match": ok, "spark_rows": len(a_pdf),
+        "oracle_rows": len(e_pdf), "err": None,
+        "method": "operator-level: Spark min-label propagation vs DuckDB "
+                  f"materialized fixpoint ({rounds} rounds) on the part "
+                  "co-purchase graph (dense giant component)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+def _materialize_vocab(con) -> None:
+    con.execute(f"CREATE TABLE vocab AS {_VOCAB_SQL}")
+
+
+def check_encode_docs(spark, sf_dir: str, con, n_slices: int = 16) -> dict:
+    """ext_encode_docs: full Spark run, DuckDB verified slice by slice
+    against the materialized vocabulary. Union of slices = full corpus."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_encode_docs"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _materialize_vocab(con)
+    ok, checked = True, 0
+    for k in range(n_slices):
+        sql = (_ENC_SLICE_SQL.format(pred=f"doc_id % {n_slices} = {k}")
+               + "SELECT doc_id, array_to_string(token_ids, ' ') "
+                 "AS token_ids FROM enc")
+        e_slice = con.execute(sql).fetchdf()
+        a_slice = a_pdf[a_pdf["doc_id"] % n_slices == k].reset_index(
+            drop=True)
+        # Documents whose every token is empty-after-split never enter
+        # ``exploded``; the Spark side emits them with an empty list.
+        # Align: drop empty encodings from the Spark slice.
+        a_slice = a_slice[a_slice["token_ids"] != ""].reset_index(drop=True)
+        checked += len(e_slice)
+        if not _frames_equal(a_slice, e_slice):
+            ok = False
+            break
+        del e_slice, a_slice
+        gc.collect()
+    con.execute("DROP TABLE vocab")
+    t_duck = time.perf_counter() - t0
+
+    n_nonempty = int((a_pdf["token_ids"] != "").sum())
+    return {
+        "rows_match": checked == n_nonempty,
+        "schema_match": True, "hash_match": ok and checked == n_nonempty,
+        "spark_rows": len(a_pdf), "oracle_rows": checked, "err": None,
+        "method": f"sliced full parity ({n_slices} doc_id slices against "
+                  "a once-materialized vocabulary table; union of slices "
+                  "= whole corpus; empty encodings compared by count)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+def check_block_pack(spark, sf_dir: str, con, n_shards: int = 4,
+                     block_size: int = 64) -> dict:
+    """ext_block_pack: full Spark run; per-shard oracle restatement plus
+    corpus-wide conservation invariants."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_block_pack"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _materialize_vocab(con)
+    ok = True
+    notes = []
+    checked = 0
+    for s in range(n_shards):
+        sql = (_ENC_SLICE_SQL.format(pred=f"doc_id % {n_shards} = {s}") + f"""
+            , sh AS (
+                SELECT CAST({s} AS BIGINT) AS shard, doc_id, token_ids,
+                       CAST(len(token_ids) AS BIGINT) AS l
+                FROM enc WHERE len(token_ids) > 0
+            ), cum AS (
+                SELECT *, COALESCE(SUM(l) OVER (PARTITION BY shard
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS s
+                FROM sh
+            ), spans AS (
+                SELECT shard, doc_id, token_ids, l, s,
+                       unnest(generate_series(
+                           CAST(floor(s / {block_size}) AS BIGINT),
+                           CAST(floor((s + l - 1) / {block_size}) AS BIGINT)))
+                           AS block_id
+                FROM cum
+            ), frags AS (
+                SELECT shard, block_id,
+                       GREATEST(s, block_id * {block_size}) AS lo,
+                       LEAST(s + l, (block_id + 1) * {block_size}) AS hi,
+                       token_ids, s
+                FROM spans
+            )
+            SELECT shard, block_id,
+                   array_to_string(
+                       flatten(list(token_ids[CAST(lo - s + 1 AS BIGINT)
+                                              :CAST(hi - s AS BIGINT)]
+                                    ORDER BY lo)), ' ') AS token_ids,
+                   CAST(SUM(hi - lo) AS BIGINT) AS n_tokens
+            FROM frags GROUP BY shard, block_id""")
+        e_shard = con.execute(sql).fetchdf()
+        a_shard = a_pdf[a_pdf["shard"] == s].reset_index(drop=True)
+        checked += len(e_shard)
+        if not _frames_equal(a_shard, e_shard):
+            ok = False
+            notes.append(f"shard {s} mismatch")
+            break
+        del e_shard, a_shard
+        gc.collect()
+
+    # Conservation invariants — list-free DuckDB scalars over the FULL
+    # corpus, so they hold independently of the per-shard restatement.
+    n_tokens_corpus = con.execute("""
+        SELECT count(*) FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) WHERE token <> ''""").fetchone()[0]
+    con.execute("DROP TABLE vocab")
+    spark_tokens = int(a_pdf["n_tokens"].sum())
+    if spark_tokens != n_tokens_corpus:
+        ok = False
+        notes.append(f"token conservation violated: blocks carry "
+                     f"{spark_tokens}, corpus has {n_tokens_corpus}")
+    # Fullness + contiguity per shard (pandas over the block frame).
+    for s, grp in a_pdf.groupby("shard"):
+        bids = grp["block_id"].sort_values().to_numpy()
+        if not (bids == range(len(bids))).all():
+            ok = False
+            notes.append(f"shard {s}: block ids not contiguous from 0")
+        full = grp[grp["block_id"] < grp["block_id"].max()]
+        if not (full["n_tokens"] == block_size).all():
+            ok = False
+            notes.append(f"shard {s}: non-final block not full")
+    t_duck = time.perf_counter() - t0
+
+    return {
+        "rows_match": checked == len(a_pdf),
+        "schema_match": True, "hash_match": ok and checked == len(a_pdf),
+        "spark_rows": len(a_pdf), "oracle_rows": checked,
+        "err": "; ".join(notes) or None,
+        "method": f"per-shard oracle restatement ({n_shards} independent "
+                  "shards over the materialized vocabulary) + corpus-wide "
+                  "conservation invariants (token conservation, block "
+                  "fullness, block-id contiguity)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+CHECKS = {
+    "ext_pagerank": check_pagerank,
+    "connected_components": check_components,
+    "ext_encode_docs": check_encode_docs,
+    "ext_block_pack": check_block_pack,
+}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".localdata", "sf10")
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = [a for a in argv if not a.startswith("--")] or list(CHECKS)
+    if not os.path.isdir(sf):
+        print(f"{sf} missing — scripts/gen_scale_fixture.py --factor 100 "
+              f"--dst {sf}")
+        return 2
+
+    from gads_etl_spark.session import get_session
+
+    spark = get_session("check-sf10-extras", cpus=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "CORRECTNESS_sf10_extras.json")
+    records: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            records = json.load(fh)
+    failures = 0
+    for name in names:
+        # ed is shared between the two graph checks; everything else
+        # gets a fresh connection (and the graph pair share one).
+        con = fresh_con(sf)
+        t0 = time.perf_counter()
+        try:
+            rec = CHECKS[name](spark, sf, con)
+        except Exception as exc:
+            rec = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": None,
+                   "oracle_rows": None, "err": repr(exc)[:500],
+                   "method": "errored"}
+        finally:
+            try:
+                con.close()
+            except Exception:
+                pass
+        records[name] = rec
+        status = "MATCH" if rec["hash_match"] else "MISMATCH"
+        print(f"{name:28s} {status} spark={rec['spark_rows']} "
+              f"oracle={rec['oracle_rows']} "
+              f"({time.perf_counter() - t0:.0f}s) err={rec['err']}")
+        if not rec["hash_match"]:
+            failures += 1
+        with open(out_path, "w") as fh:
+            json.dump(records, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        gc.collect()
+    print(f"{failures} failures / {len(names)} checked -> {out_path}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

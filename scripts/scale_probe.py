@@ -464,6 +464,136 @@ def probe_simhash_radius(spark):
             "all 1000 planted pairs recovered at hamming 0")
 
 
+def probe_state_ledger(spark):
+    """Fleet-sized control ledger (round-12): 10M logical partitions in
+    a 64-bucket versioned table — turns the O(|Δ| + |table|/n_buckets)
+    MERGE claim and the bucket-pruned point lookup from argued to
+    measured, and verifies untouched-bucket byte-identity at size."""
+    import hashlib
+    import shutil
+    import tempfile
+    from datetime import date, datetime
+    from pathlib import Path
+
+    from gads_etl_spark.pipeline.keys import LOGICAL_KEY
+    from gads_etl_spark.pipeline.state_store import (
+        STATE_SCHEMA, _VersionedTable)
+
+    root = tempfile.mkdtemp(prefix="ledger_probe_")
+    n, n_buckets = 10_000_000, 64
+    t = _VersionedTable(spark, root, STATE_SCHEMA, key_cols=LOGICAL_KEY,
+                        n_buckets=n_buckets)
+
+    # id -> (id%5, (id//5)%10000, (id//50000)%200) is a bijection on
+    # [0, 10M): exactly 10M unique logical keys, no Python row gen.
+    def _rows(ids, status_expr):
+        return ids.select(
+            F.concat(F.lit("src"), (F.col("id") % 5).cast("string")
+                     ).alias("source"),
+            F.concat(F.lit("c"), ((F.col("id") / 5).cast("long") % 10000)
+                     .cast("string")).alias("customer_id"),
+            F.concat(F.lit("q"), ((F.col("id") / 50000).cast("long") % 200)
+                     .cast("string")).alias("query_name"),
+            F.lit(date(2024, 1, 1)).alias("logical_date"),
+            status_expr.alias("status"),
+            F.lit("run-1").alias("current_run_id"),
+            F.lit("v1").alias("schema_version"),
+            F.col("id").alias("record_count"),
+            F.lit(datetime(2024, 3, 1)).cast("timestamp").alias("updated_at"),
+            F.lit(None).cast("string").alias("error_message"),
+            F.lit(1).alias("attempt_count"),
+        )
+
+    tri = (F.when(F.col("id") % 3 == 0, "pending")
+           .when(F.col("id") % 3 == 1, "success").otherwise("failed"))
+    t0 = time.perf_counter()
+    t.commit(_rows(spark.range(n), tri))
+    t_commit = time.perf_counter() - t0
+
+    # Point lookup: full-scan filter vs the bucket-pruned path.
+    # id = 123456 -> (123456 % 5, (123456//5) % 10000, (123456//50000) % 200)
+    key = ("src1", "c4691", "q2", date(2024, 1, 1))
+    preds = lambda df: df.where(  # noqa: E731
+        (F.col("source") == key[0]) & (F.col("customer_id") == key[1])
+        & (F.col("query_name") == key[2])
+        & (F.col("logical_date") == F.lit(key[3])))
+    t0 = time.perf_counter()
+    full_hit = preds(t.read()).collect()
+    t_scan_lookup = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pruned_hit = preds(t.read_bucket_for(key)).collect()
+    t_pruned_lookup = time.perf_counter() - t0
+    assert len(full_hit) == len(pruned_hit) == 1
+    assert full_hit[0] == pruned_hit[0]
+
+    # 1%-of-keys MERGE: 100k random-hashing keys touch all 64 buckets —
+    # the documented worst case (rewrite ~= |table| when Δ >> n_buckets).
+    upd_bulk = _rows(spark.range(n).where(F.col("id") % 100 == 0),
+                     F.lit("success"))
+    t0 = time.perf_counter()
+    t.merge(upd_bulk)
+    t_merge_bulk = time.perf_counter() - t0
+
+    # Contract-size batch: 3 keys touch <=3 of 64 buckets — the
+    # O(|Δ| + |table|/n_buckets) case. Snapshot untouched-bucket bytes
+    # first so byte-identity is verified at size, not just by path.
+    parent = t._current_manifest()
+    small_ids = spark.range(3)
+    touched = t._touched_buckets(_rows(small_ids, F.lit("x")))
+    untouched = [b for b in map(str, range(n_buckets))
+                 if b in parent["buckets"] and int(b) not in touched][:3]
+
+    def _dir_digest(path):
+        h = hashlib.sha256()
+        for p in sorted(Path(path).rglob("*")):
+            if p.is_file():
+                h.update(p.name.encode())
+                h.update(p.read_bytes())
+        return h.hexdigest()
+
+    before = {b: _dir_digest(parent["buckets"][b]) for b in untouched}
+    t0 = time.perf_counter()
+    t.merge(_rows(small_ids, F.lit("failed")))
+    t_merge_small = time.perf_counter() - t0
+    after_manifest = t._current_manifest()
+    for b in untouched:
+        assert after_manifest["buckets"][b] == parent["buckets"][b], (
+            f"untouched bucket {b} was rewritten")
+        assert _dir_digest(after_manifest["buckets"][b]) == before[b], (
+            f"untouched bucket {b} bytes changed")
+    assert sorted(map(int, (set(after_manifest["buckets"])
+                            - {b for b in parent["buckets"]
+                               if after_manifest["buckets"][b]
+                               == parent["buckets"][b]}))) == touched
+
+    n_now = t.read().count()
+    assert n_now == n, n_now
+    n_success = t.read().where(F.col("status") == "success").count()
+
+    # Time travel: the pre-merge version is still a complete table.
+    v1 = t.history()[0]
+    t0 = time.perf_counter()
+    n_v1 = t.read_version(v1).count()
+    t_travel = time.perf_counter() - t0
+    assert n_v1 == n
+
+    t0 = time.perf_counter()
+    dropped = t.vacuum(keep=1, retention_ms=0)
+    t_vacuum = time.perf_counter() - t0
+    assert dropped == 2 and t.read().count() == n
+    shutil.rmtree(root)
+    return (
+        f"state_ledger 10M rows / {n_buckets} buckets: commit {t_commit:.1f}s; "
+        f"lookup full-scan {t_scan_lookup:.2f}s vs bucket-pruned "
+        f"{t_pruned_lookup:.2f}s ({t_scan_lookup / t_pruned_lookup:.1f}x); "
+        f"MERGE 100k keys (all buckets) {t_merge_bulk:.1f}s vs 3 keys "
+        f"({len(touched)} buckets) {t_merge_small:.1f}s "
+        f"({t_merge_bulk / t_merge_small:.1f}x); time-travel count "
+        f"{t_travel:.1f}s; vacuum {t_vacuum:.1f}s; untouched buckets "
+        f"byte-identical; {n_success} success rows post-merge"
+    )
+
+
 PROBES = {
     "asof": probe_asof,
     "components": probe_components,
@@ -481,6 +611,7 @@ PROBES = {
     "aqe_skew": probe_aqe_skew,
     "simhash_radius": probe_simhash_radius,
     "tfidf_zipf": probe_tfidf_zipf,
+    "state_ledger": probe_state_ledger,
 }
 
 

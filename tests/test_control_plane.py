@@ -142,3 +142,32 @@ class TestBackfill:
             cp.backfill("7", "campaign_stats", date(2024, 1, 1), date(2024, 6, 1))
         with pytest.raises(ValueError):
             cp.backfill("7", "campaign_stats", date(2024, 2, 1), date(2024, 1, 1))
+
+
+class TestBucketPrunedLookup:
+    def test_get_reads_one_bucket_and_matches_full_scan(self, spark, states):
+        """StateStore.get prunes to the key's hash bucket (round-12:
+        O(|table|/n_buckets) point lookups) — same answer as a full-scan
+        filter, while reading files from exactly one bucket dir."""
+        from gads_etl_spark.pipeline.keys import PartitionKey
+
+        for cid, d in [("1", date(2024, 1, 1)), ("2", date(2024, 1, 1)),
+                       ("1", date(2024, 1, 3))]:
+            key = PartitionKey("google_ads", cid, "campaign_stats", d)
+            got = states.get(key)
+            assert got is not None and got["customer_id"] == cid
+            full = states.read().where(
+                (F.col("customer_id") == cid)
+                & (F.col("logical_date") == F.lit(d))).collect()
+            assert got == full[0].asDict()
+            pruned = states._table.read_bucket_for(
+                (key.source, key.customer_id, key.query_name,
+                 key.logical_date))
+            dirs = {p.rsplit("/", 2)[1] for p in pruned.inputFiles()}
+            assert len(dirs) == 1 and next(iter(dirs)).startswith("bucket=")
+
+    def test_get_absent_key_is_none_not_wrong_bucket(self, spark, states):
+        from gads_etl_spark.pipeline.keys import PartitionKey
+
+        assert states.get(PartitionKey(
+            "google_ads", "999", "campaign_stats", date(2024, 1, 1))) is None
