@@ -521,6 +521,10 @@ class TestStreaming:
         # On any cluster with `protobuf>=6.33` installed this test runs
         # as-is; until then the TWS twin's parity is UNVERIFIED here and
         # this skip is the explicit record of that fact.
+        # Round-12 re-attempt: `pip download 'protobuf>=6.33'` fails at
+        # DNS resolution (no network route to any index) and no wheel is
+        # cached on disk — a venv-local install is not possible in this
+        # container either.
         pytest.importorskip(
             "google.protobuf",
             reason=(
