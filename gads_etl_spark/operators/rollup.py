@@ -105,12 +105,37 @@ def merge_sketch_rollup(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
     """Union per-bucket sketches up to a coarser grouping and estimate.
 
     HLL registers are element-wise maxima, so union is associative,
-    commutative, and idempotent: merged-of-daily is REGISTER-IDENTICAL
-    to a direct sketch of the raw events (pinned in tests) — the rollup
+    commutative, and idempotent: the merged REGISTERS are identical to
+    a direct sketch of the raw events, under any partition layout and
+    any merge route (day→type directly, or day→week→type) — the rollup
     loses nothing vs the full rescan, at sketch-sized I/O.
+
+    Estimator caveat (found at the 10x tier, round 12): identical
+    registers do NOT imply identical *estimates* against a
+    directly-updated sketch. Datasketches HLL applies the HIP
+    (historical inverse probability) estimator to a sketch built by
+    direct updates, but a union result cannot carry HIP state and falls
+    back to the composite estimator — equal only while sketches are in
+    sparse-exact mode (small cardinalities). Both estimates stay within
+    the published error bounds; the scale-stable invariant — pinned in
+    tests and in the ev_distinct_sketch_rollup certificate — is that
+    ANY union route over the same buckets estimates identically,
+    because the estimate is a pure function of the merged registers.
     """
     return rollup.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"), F.lit(False)))
         .cast("long").alias("distinct_est"),
+        F.sum("n_events").cast("long").alias("n_events"),
+    )
+
+
+def union_sketch_rollup(rollup: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union per-bucket sketches to a coarser grouping, KEEPING the
+    merged sketch (no estimate yet) — the intermediate step of a
+    multi-level rollup hierarchy (day → week → month → all-time): each
+    level re-merges the previous level's sketches instead of the raw
+    events, and only the level a query reads gets estimated."""
+    return rollup.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col("sketch"), F.lit(False)).alias("sketch"),
         F.sum("n_events").cast("long").alias("n_events"),
     )

@@ -692,7 +692,7 @@ def ev_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(count(*) AS BIGINT) AS n_events,
            true AS est_within_5pct,
-           true AS merged_equals_direct
+           true AS merge_route_invariant
     FROM events GROUP BY event_type
     """,
     tags=("events", "rollup", "approx-agg"),
@@ -704,35 +704,46 @@ def ev_distinct_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     take, since distinct counts don't add across days but sketch
     registers max-merge losslessly.
 
-    Certificate oracle in the op_approx_distinct style: exact counts are
-    value-checked outright; the sketch estimate must sit within 5% of
-    exact, and the union of DAILY sketches must estimate identically to
-    one sketch of the raw events (associative max-merge ⇒ register-
-    identical — the property that makes the rollup trustworthy).
+    Certificate oracle in the op_approx_distinct style: exact counts
+    are value-checked outright; the sketch estimate must sit within 5%
+    of exact, and merging by two DIFFERENT routes — day→type directly
+    vs day→(type, week)→type — must estimate identically (union is
+    associative on registers, and the estimate is a pure function of
+    the merged registers). The earlier certificate compared against a
+    directly-updated sketch and was scale-fragile: a direct sketch
+    carries the HIP estimator, which a union result cannot, so the two
+    estimates coincide only in sparse-exact mode — true at sf0.01,
+    false at the 10x tier's 15k distincts (round-12 find). Route
+    invariance is the property a rollup hierarchy actually relies on,
+    and it holds at every scale.
     """
     from gads_etl_spark.operators.rollup import (
         merge_sketch_rollup,
         sketch_distinct_rollup,
+        union_sketch_rollup,
     )
 
     ev = load_table(spark, sf_dir, "events")
     daily = sketch_distinct_rollup(
-        ev.withColumn("day", F.to_date("ts")), "user_id",
-        ["event_type", "day"])
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("week", F.weekofyear("ts")),
+        "user_id", ["event_type", "week", "day"])
     merged = merge_sketch_rollup(daily, ["event_type"]).select(
         "event_type", "distinct_est")
-    direct = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
-        .cast("long").alias("direct_est"),
+    via_week = merge_sketch_rollup(
+        union_sketch_rollup(daily, ["event_type", "week"]),
+        ["event_type"]).select(
+        "event_type", F.col("distinct_est").alias("week_route_est"))
+    exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("exact_users"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
-    return merged.join(direct, "event_type").select(
+    return merged.join(via_week, "event_type").join(exact, "event_type").select(
         "event_type", "exact_users", "n_events",
         (F.abs(F.col("distinct_est") - F.col("exact_users"))
          <= 0.05 * F.col("exact_users")).alias("est_within_5pct"),
-        (F.col("distinct_est") == F.col("direct_est"))
-        .alias("merged_equals_direct"),
+        (F.col("distinct_est") == F.col("week_route_est"))
+        .alias("merge_route_invariant"),
     )
 
 

@@ -595,22 +595,28 @@ def ext_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_winnow_fingerprint",
     oracle="""
-    SELECT doc_id,
-           CAST(len(fps) AS BIGINT) AS n_fingerprints,
-           list_min(fps) AS min_fp,
-           list_max(fps) AS max_fp
-    FROM (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   generate_series(1, greatest(len(g) - 3, 1)),
-                   j -> list_min(g[j:j+3]))) AS fps
-        FROM (
-            SELECT doc_id,
-                   list_transform(
-                       generate_series(1, greatest(length(text) - 3, 1)),
-                       i -> md5(substring(text, i, 4))) AS g
-            FROM documents)
+    WITH g AS (
+        SELECT doc_id, t.i,
+               md5(substring(text, CAST(t.i AS INT), 4)) AS h,
+               greatest(length(text) - 3, 1) AS ng
+        FROM documents,
+             LATERAL unnest(generate_series(
+                 1, greatest(length(text) - 3, 1))) AS t(i)
+    ), w AS (
+        -- min over the 4-gram window [i, i+3]; the slice truncates at
+        -- the list tail exactly like a window frame at partition end
+        SELECT doc_id, i, ng,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS wmin
+        FROM g
+    ), fp AS (
+        SELECT DISTINCT doc_id, wmin FROM w
+        WHERE i <= greatest(ng - 3, 1)
     )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+           min(wmin) AS min_fp, max(wmin) AS max_fp
+    FROM fp GROUP BY doc_id
     """,
     tags=("extension", "text", "fingerprint"),
 )

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from gads_etl_spark.catalog import TABLES  # noqa: E402
+from gads_etl_spark.queries import REGISTRY as _REGISTRY  # noqa: E402
 
 
 def canon(pdf):
@@ -120,36 +121,22 @@ def ulp_match(a_pdf, e_pdf) -> bool:
     return True
 
 
-#: The cross-family sweep run against the amplified 10× tier each round
-#: (SCALING.md "sf1 parity"): all TPC-H headline + the largest multi-join,
-#: every event-analytics query, the full dedup/similarity ladder,
-#: sampling/packing/vocab, retrieval, observability, window frames. Kept
-#: to oracles that stay tractable in DuckDB at 10× (the quadratic-in-
-#: DuckDB recursive-CTE component oracles are exercised at sf0.01).
-SF1_SWEEP = [
-    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
-    "ev_sessionization", "ev_sessionization_twophase", "ev_scd2_history",
-    "ev_cohort_retention", "ev_top_paths", "ev_transition_matrix",
-    "ev_rate_anomalies", "ev_gap_histogram", "ev_funnel_cohorts",
-    "ev_funnel_cohorts_stagewise", "ev_heavy_hitters", "ev_tumbling_hourly",
-    "ev_asof_attribution", "ev_dedup_latest", "ev_json_props",
-    "ev_error_bursts", "ev_hot_user_enrichment",
-    "ext_exact_dedup", "ext_bow_dedup", "ext_fuzzy_match",
-    "ext_fuzzy_passjoin", "ext_sorted_neighborhood", "ext_minhash_candidates",
-    "ext_tfidf_cosine", "ext_shingle_jaccard", "ext_simhash",
-    "ext_dup_spans", "ext_hash_sample", "ext_pps_sample",
-    "ext_temperature_mix", "ext_block_pack", "ext_build_vocab",
-    "ext_encode_docs", "ext_decontaminate", "ext_domain_mix",
-    "ext_bm25_search", "ext_bm25_multi", "ext_hybrid_search",
-    "ext_knn_bruteforce", "ext_knn_ivfpq_res",
-    "ext_pagerank", "op_trend_fit", "op_resample_interpolate",
-    "ext_epoch_shuffle",
-    "ext_embedding_quantize", "ext_chunk_docs", "ext_token_stats",
-    "ext_text_normalize", "ext_quality_score", "ext_split_assign",
-    "obs_status_counts", "obs_date_gaps", "obs_top_failed",
-    "op_window_frames",
-]
+#: sf1 sweep = the FULL registry minus the exclusions below (round 12;
+#: the previous curated 60-query list left 99 queries with no
+#: 10×-tier record). Every exclusion carries its reason and its
+#: evidence elsewhere; anything not listed here MUST pass at sf1.
+SF1_EXCLUDED = {
+    # Recursive-CTE reachability over the quadratic within-source
+    # shingle pair join — the pair CTE alone is Σ|block|² in DuckDB at
+    # 50k docs. The components OPERATOR is verified at the 100x tier on
+    # a 240M-edge graph (scripts/check_sf10_extras.py); these four stay
+    # oracle-checked at sf0.01 where the closure is tractable.
+    "ext_dup_clusters": "recursive-CTE closure over quadratic pair join",
+    "ext_cluster_dedup": "recursive-CTE closure over quadratic pair join",
+    "ext_cluster_best_dedup": "recursive-CTE closure over quadratic pair join",
+    "ext_cluster_sizes": "recursive-CTE closure over quadratic pair join",
+}
+SF1_SWEEP = sorted(n for n in _REGISTRY if n not in SF1_EXCLUDED)
 
 #: The cross-family sweep against the 100x tier (.localdata/sf10 —
 #: 60M lineitem, 10M events, 500k docs): every family with an oracle
