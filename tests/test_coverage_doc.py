@@ -82,6 +82,38 @@ def test_correctness_full_artifact_is_committed_and_green():
     assert not bad, f"non-green records in committed artifact: {bad[:10]}"
 
 
+def test_sf1_sweep_artifact_is_committed_and_green():
+    """Round 12: the sf1 sweep covers the full registry minus the
+    documented exclusions and its artifact is committed. Pin all of it:
+    file exists, git-tracked, one record per SF1_SWEEP name, all green,
+    and every exclusion names a reason."""
+    import importlib.util
+    import json
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "check_queries", REPO / "scripts" / "check_queries.py")
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    from gads_etl_spark.queries import REGISTRY
+
+    assert set(cq.SF1_EXCLUDED) | set(cq.SF1_SWEEP) == set(REGISTRY)
+    assert all(isinstance(v, str) and v for v in cq.SF1_EXCLUDED.values())
+    path = REPO / "CORRECTNESS_sf1.json"
+    assert path.exists(), "run: python scripts/check_queries.py --sweep sf1 " \
+                          "--json CORRECTNESS_sf1.json (needs .localdata/sf1)"
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", "CORRECTNESS_sf1.json"],
+        cwd=REPO, capture_output=True)
+    assert tracked.returncode == 0
+    records = json.loads(path.read_text())
+    assert set(records) == set(cq.SF1_SWEEP)
+    bad = sorted(n for n, r in records.items()
+                 if not (r.get("rows_match") and r.get("schema_match")
+                         and r.get("hash_match")) or r.get("err"))
+    assert not bad, f"non-green sf1 records: {bad[:10]}"
+
+
 def test_pytest_collected_count_matches_doc():
     """COVERAGE.md's test-suite size drifted twice (637→739→841). Pin
     the stated collected count to pytest's own collection."""
