@@ -138,39 +138,70 @@ SF1_EXCLUDED = {
 }
 SF1_SWEEP = sorted(n for n in _REGISTRY if n not in SF1_EXCLUDED)
 
-#: The cross-family sweep against the 100x tier (.localdata/sf10 —
-#: 60M lineitem, 10M events, 500k docs): every family with an oracle
-#: DuckDB can evaluate at 100x on this host. Deliberately excluded, per
-#: the same policy the SF1_SWEEP comment states: the unrolled-iteration
-#: PageRank oracle (240M edges x 8 materialized CTE steps), the
-#: recursive-CTE component oracles, and the two quadratic recall
-#: oracles (ext_fuzzy_match / ext_tfidf_cosine — their candidate-budget
-#: guards bound them to smaller corpora; the linear twins below ARE
-#: swept). ext_fuzzy_passjoin's ORACLE is itself the blocked quadratic
-#: join, so it stays at sf1 even though the Spark side is linear.
-#: ext_block_pack and ext_encode_docs are excluded for the ORACLE's
-#: sake too: their list-building SQL (per-block token_ids copies /
-#: 500k list() aggregations over 27M joined tokens) exceeds or
-#: borderline-trips DuckDB v1.0.0's reservation accounting at the
-#: 100x tier regardless of memory_limit/threads tuning — the Spark
-#: sides run sf10 in 9s/5s (BENCH_sf10.json) and both oracles stay
-#: green in the sf1 sweep.
-SF10_SWEEP = [
-    "q01_pricing_summary", "q03_shipping_priority", "q05_regional_revenue",
-    "q06_forecast_revenue", "q18_large_orders", "q21_waiting_suppliers",
-    "ev_sessionization", "ev_sessionization_twophase", "ev_scd2_history",
-    "ev_transition_matrix", "ev_gap_histogram", "ev_heavy_hitters",
-    "ev_asof_attribution", "ev_tumbling_hourly", "ev_dedup_latest",
-    "ev_json_props",
-    "ext_exact_dedup", "ext_bow_dedup", "ext_minhash_candidates",
-    "ext_decontaminate", "ext_domain_mix", "ext_embedding_quantize",
-    "ext_epoch_shuffle", "ext_build_vocab",
-    "ext_temperature_mix", "ext_hash_sample",
-    "ext_split_assign", "ext_token_stats", "ext_quality_score",
-    "ext_pps_sample",
-    "obs_date_gaps", "obs_status_counts", "obs_top_failed",
-    "op_window_frames", "op_trend_fit", "op_resample_interpolate",
-]
+#: sf10 sweep = the FULL registry minus the exclusions below (round 12
+#: — previously a curated 36; the 100x tier is 60M lineitem, 10M
+#: events, 500k docs, 2M embeddings). Every exclusion names its reason
+#: AND where the operator's 100x evidence lives instead; anything not
+#: listed MUST pass at sf10.
+SF10_EXCLUDED = {
+    # The four recursive-CTE component oracles (same as SF1_EXCLUDED);
+    # components verified at 240M-edge scale by check_sf10_extras.py.
+    **SF1_EXCLUDED,
+    # Budget-guarded quadratic recall oracles: at sf10 the Spark side
+    # itself raises CandidateBudgetExceeded naming the linear twin
+    # (dedup.py:27-54) — running them would test the guard, not parity.
+    # Twins ext_minhash_candidates / ext_fuzzy_passjoin's Spark side
+    # are swept; recall certification lives at sf0.01/sf0.1.
+    "ext_fuzzy_match": "CandidateBudgetExceeded at sf10 by design",
+    "ext_tfidf_cosine": "CandidateBudgetExceeded at sf10 by design",
+    # PassJoin's ORACLE is the blocked quadratic join itself.
+    "ext_fuzzy_passjoin": "oracle IS the budget-guarded quadratic; "
+                          "Spark side linear (BENCH_sf10.json), MATCH at sf1",
+    # Single-statement oracles intractable in DuckDB at 100x; each has
+    # a MATCH-equivalent 100x check in CORRECTNESS_sf10_extras.json.
+    "ext_pagerank": "8-level unrolled CTE over 240M edges; "
+                    "chunked-iterative MATCH in check_sf10_extras.py",
+    "ext_encode_docs": "27M-token list aggregation trips DuckDB "
+                       "reservation; sliced full parity in extras",
+    "ext_block_pack": "same list-aggregation limit; per-shard parity + "
+                      "conservation invariants in extras",
+}
+
+#: Oracle-checked at sf0.01 AND sf1 (CORRECTNESS_sf1.json) but not yet
+#: at sf10: their DuckDB oracle cost at 100x is unprobed or measured
+#: prohibitive on this host (ext_winnow_fingerprint's window-min over
+#: 165M unnested grams ran >45 min before being cut). Candidates for
+#: promotion once probed; listing them here keeps the three-way
+#: partition (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry) test-pinned so
+#: none can silently fall out of the tier story.
+SF10_DEFERRED = {
+    n: "oracle cost at 100x unprobed/prohibitive; MATCH at sf1"
+    for n in [
+        "ev_cohort_retention", "ev_distinct_sketch_rollup",
+        "ev_error_bursts", "ev_funnel_cohorts",
+        "ev_funnel_cohorts_stagewise", "ev_hot_user_enrichment",
+        "ev_rate_anomalies", "ev_rollup_incremental", "ev_sliding_windows",
+        "ev_top_paths", "ev_top_users", "ev_view_purchase_attribution",
+        "ext_balanced_sample", "ext_bm25_multi", "ext_bm25_search",
+        "ext_chunk_docs", "ext_corpus_prep", "ext_curation_funnel",
+        "ext_curation_pipeline", "ext_dq_checks", "ext_dup_spans",
+        "ext_embedding_centroids", "ext_embedding_neardup",
+        "ext_embedding_stats", "ext_hybrid_search", "ext_incremental_dedup",
+        "ext_knn_bruteforce", "ext_knn_ivf", "ext_knn_ivfpq",
+        "ext_knn_ivfpq_res", "ext_knn_lsh", "ext_knn_pq",
+        "ext_knn_quantized", "ext_lang_confusion", "ext_lang_guess",
+        "ext_multimodal_decode", "ext_multimodal_frames",
+        "ext_multimodal_manifest", "ext_nearest_centroid", "ext_pack_bins",
+        "ext_pii_redact", "ext_profile_columns", "ext_regex_tokens",
+        "ext_repetition_filter", "ext_semantic_dedup", "ext_shingle_jaccard",
+        "ext_simhash", "ext_simhash_radius", "ext_snapshot_diff",
+        "ext_sorted_neighborhood", "ext_source_scorecard",
+        "ext_strip_dup_spans", "ext_text_normalize", "ext_tfidf_terms",
+        "ext_trigram_typicality", "ext_winnow_fingerprint",
+    ]
+}
+SF10_SWEEP = sorted(n for n in _REGISTRY
+                    if n not in SF10_EXCLUDED and n not in SF10_DEFERRED)
 
 SWEEPS = {"sf1": SF1_SWEEP, "sf10": SF10_SWEEP}
 

@@ -114,6 +114,35 @@ def test_sf1_sweep_artifact_is_committed_and_green():
     assert not bad, f"non-green sf1 records: {bad[:10]}"
 
 
+def test_sf10_tier_story_is_partitioned_and_green():
+    """Round 12: every registry query must be accounted for at the 100x
+    tier — swept (CORRECTNESS_sf10.json), excluded with a reason naming
+    its alternate 100x evidence, or deferred with a reason. The three
+    sets exactly partition the registry, and the artifact covers the
+    sweep, all green."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "check_queries", REPO / "scripts" / "check_queries.py")
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    from gads_etl_spark.queries import REGISTRY
+
+    sweep, exc, dfr = (set(cq.SF10_SWEEP), set(cq.SF10_EXCLUDED),
+                       set(cq.SF10_DEFERRED))
+    assert sweep | exc | dfr == set(REGISTRY)
+    assert not (sweep & exc) and not (sweep & dfr) and not (exc & dfr)
+    assert all(isinstance(v, str) and v
+               for v in {**cq.SF10_EXCLUDED, **cq.SF10_DEFERRED}.values())
+    records = json.loads((REPO / "CORRECTNESS_sf10.json").read_text())
+    assert set(records) >= sweep, sorted(sweep - set(records))[:5]
+    bad = sorted(n for n, r in records.items()
+                 if not (r.get("rows_match") and r.get("schema_match")
+                         and r.get("hash_match")) or r.get("err"))
+    assert not bad, f"non-green sf10 records: {bad[:10]}"
+
+
 def test_pytest_collected_count_matches_doc():
     """COVERAGE.md's test-suite size drifted twice (637→739→841). Pin
     the stated collected count to pytest's own collection."""
