@@ -180,23 +180,17 @@ SF10_DEFERRED = {
         "ev_cohort_retention", "ev_distinct_sketch_rollup",
         "ev_error_bursts", "ev_funnel_cohorts",
         "ev_funnel_cohorts_stagewise", "ev_hot_user_enrichment",
-        "ev_rate_anomalies", "ev_rollup_incremental", "ev_sliding_windows",
-        "ev_top_paths", "ev_top_users", "ev_view_purchase_attribution",
-        "ext_balanced_sample", "ext_bm25_multi", "ext_bm25_search",
-        "ext_chunk_docs", "ext_corpus_prep", "ext_curation_funnel",
-        "ext_curation_pipeline", "ext_dq_checks", "ext_dup_spans",
+        "ev_rate_anomalies", "ev_top_paths", "ev_view_purchase_attribution",
+        "ext_bm25_multi", "ext_bm25_search",
+        "ext_corpus_prep", "ext_curation_pipeline", "ext_dup_spans",
         "ext_embedding_centroids", "ext_embedding_neardup",
-        "ext_embedding_stats", "ext_hybrid_search", "ext_incremental_dedup",
+        "ext_hybrid_search", "ext_incremental_dedup",
         "ext_knn_bruteforce", "ext_knn_ivf", "ext_knn_ivfpq",
         "ext_knn_ivfpq_res", "ext_knn_lsh", "ext_knn_pq",
-        "ext_knn_quantized", "ext_lang_confusion", "ext_lang_guess",
-        "ext_multimodal_decode", "ext_multimodal_frames",
-        "ext_multimodal_manifest", "ext_nearest_centroid", "ext_pack_bins",
-        "ext_pii_redact", "ext_profile_columns", "ext_regex_tokens",
-        "ext_repetition_filter", "ext_semantic_dedup", "ext_shingle_jaccard",
-        "ext_simhash", "ext_simhash_radius", "ext_snapshot_diff",
-        "ext_sorted_neighborhood", "ext_source_scorecard",
-        "ext_strip_dup_spans", "ext_text_normalize", "ext_tfidf_terms",
+        "ext_knn_quantized", "ext_nearest_centroid", "ext_pii_redact",
+        "ext_repetition_filter", "ext_semantic_dedup",
+        "ext_shingle_jaccard", "ext_simhash", "ext_simhash_radius",
+        "ext_sorted_neighborhood", "ext_strip_dup_spans",
         "ext_trigram_typicality", "ext_winnow_fingerprint",
     ]
 }
