@@ -178,18 +178,12 @@ SF10_DEFERRED = {
     n: "oracle cost at 100x unprobed/prohibitive; MATCH at sf1"
     for n in [
         "ev_cohort_retention", "ev_distinct_sketch_rollup",
-        "ev_error_bursts", "ev_funnel_cohorts",
-        "ev_funnel_cohorts_stagewise", "ev_hot_user_enrichment",
-        "ev_rate_anomalies", "ev_top_paths", "ev_view_purchase_attribution",
-        "ext_bm25_multi", "ext_bm25_search",
-        "ext_corpus_prep", "ext_curation_pipeline", "ext_dup_spans",
-        "ext_embedding_centroids", "ext_embedding_neardup",
-        "ext_hybrid_search", "ext_incremental_dedup",
-        "ext_knn_bruteforce", "ext_knn_ivf", "ext_knn_ivfpq",
-        "ext_knn_ivfpq_res", "ext_knn_lsh", "ext_knn_pq",
-        "ext_knn_quantized", "ext_nearest_centroid", "ext_pii_redact",
+        "ev_funnel_cohorts", "ev_funnel_cohorts_stagewise",
+        "ev_hot_user_enrichment", "ev_top_paths",
+        "ev_view_purchase_attribution",
+        "ext_dup_spans", "ext_embedding_neardup",
         "ext_repetition_filter", "ext_semantic_dedup",
-        "ext_shingle_jaccard", "ext_simhash", "ext_simhash_radius",
+        "ext_shingle_jaccard", "ext_simhash_radius",
         "ext_sorted_neighborhood", "ext_strip_dup_spans",
         "ext_trigram_typicality", "ext_winnow_fingerprint",
     ]
