@@ -177,17 +177,16 @@ SF10_EXCLUDED = {
 SF10_DEFERRED = {
     n: "oracle cost at 100x unprobed/prohibitive; MATCH at sf1"
     for n in [
-        "ev_cohort_retention", "ev_distinct_sketch_rollup",
-        "ev_funnel_cohorts", "ev_funnel_cohorts_stagewise",
-        "ev_hot_user_enrichment", "ev_top_paths",
-        "ev_view_purchase_attribution",
-        "ext_dup_spans", "ext_embedding_neardup",
-        "ext_repetition_filter", "ext_semantic_dedup",
-        "ext_shingle_jaccard", "ext_simhash_radius",
-        "ext_sorted_neighborhood", "ext_strip_dup_spans",
-        "ext_trigram_typicality", "ext_winnow_fingerprint",
+        "ev_top_paths", "ext_embedding_neardup", "ext_repetition_filter",
+        "ext_semantic_dedup", "ext_shingle_jaccard",
+        "ext_sorted_neighborhood", "ext_trigram_typicality",
+        "ext_winnow_fingerprint",
     ]
 }
+#: Probed at 100x and measured infeasible THERE (not just unprobed):
+SF10_DEFERRED["ext_strip_dup_spans"] = (
+    "DuckDB OOM (bad allocation) reconstructing stripped texts at 500k "
+    "docs — probed round 12; MATCH at sf1")
 SF10_SWEEP = sorted(n for n in _REGISTRY
                     if n not in SF10_EXCLUDED and n not in SF10_DEFERRED)
 
