@@ -179,8 +179,7 @@ SF10_DEFERRED = {
     for n in [
         "ev_top_paths", "ext_embedding_neardup", "ext_repetition_filter",
         "ext_semantic_dedup", "ext_shingle_jaccard",
-        "ext_sorted_neighborhood", "ext_trigram_typicality",
-        "ext_winnow_fingerprint",
+        "ext_sorted_neighborhood", "ext_winnow_fingerprint",
     ]
 }
 #: Probed at 100x and measured infeasible THERE (not just unprobed):
