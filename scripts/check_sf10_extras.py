@@ -291,7 +291,7 @@ def check_encode_docs(spark, sf_dir: str, con, n_slices: int = 16) -> dict:
 
     t0 = time.perf_counter()
     _materialize_vocab(con)
-    ok, checked = True, 0
+    ok, checked, schema_ok = True, 0, True
     for k in range(n_slices):
         sql = (_ENC_SLICE_SQL.format(pred=f"doc_id % {n_slices} = {k}")
                + "SELECT doc_id, array_to_string(token_ids, ' ') "
@@ -304,6 +304,8 @@ def check_encode_docs(spark, sf_dir: str, con, n_slices: int = 16) -> dict:
         # Align: drop empty encodings from the Spark slice.
         a_slice = a_slice[a_slice["token_ids"] != ""].reset_index(drop=True)
         checked += len(e_slice)
+        schema_ok = schema_ok and (
+            sorted(a_slice.columns) == sorted(e_slice.columns))
         if not _frames_equal(a_slice, e_slice):
             ok = False
             break
@@ -315,7 +317,8 @@ def check_encode_docs(spark, sf_dir: str, con, n_slices: int = 16) -> dict:
     n_nonempty = int((a_pdf["token_ids"] != "").sum())
     return {
         "rows_match": checked == n_nonempty,
-        "schema_match": True, "hash_match": ok and checked == n_nonempty,
+        "schema_match": schema_ok,
+        "hash_match": ok and checked == n_nonempty,
         "spark_rows": len(a_pdf), "oracle_rows": checked, "err": None,
         "method": f"sliced full parity ({n_slices} doc_id slices against "
                   "a once-materialized vocabulary table; union of slices "
@@ -337,6 +340,7 @@ def check_block_pack(spark, sf_dir: str, con, n_shards: int = 4,
     t0 = time.perf_counter()
     _materialize_vocab(con)
     ok = True
+    schema_ok = True
     notes = []
     checked = 0
     for s in range(n_shards):
@@ -374,6 +378,8 @@ def check_block_pack(spark, sf_dir: str, con, n_shards: int = 4,
         e_shard = con.execute(sql).fetchdf()
         a_shard = a_pdf[a_pdf["shard"] == s].reset_index(drop=True)
         checked += len(e_shard)
+        schema_ok = schema_ok and (
+            sorted(a_shard.columns) == sorted(e_shard.columns))
         if not _frames_equal(a_shard, e_shard):
             ok = False
             notes.append(f"shard {s} mismatch")
@@ -407,7 +413,8 @@ def check_block_pack(spark, sf_dir: str, con, n_shards: int = 4,
 
     return {
         "rows_match": checked == len(a_pdf),
-        "schema_match": True, "hash_match": ok and checked == len(a_pdf),
+        "schema_match": schema_ok,
+        "hash_match": ok and checked == len(a_pdf),
         "spark_rows": len(a_pdf), "oracle_rows": checked,
         "err": "; ".join(notes) or None,
         "method": f"per-shard oracle restatement ({n_shards} independent "
@@ -451,6 +458,10 @@ def main() -> int:
     if os.path.exists(out_path):
         with open(out_path) as fh:
             records = json.load(fh)
+        # A renamed or removed check must not leave its stale record in
+        # the committed artifact forever (ADVICE r12): keep only keys
+        # this script still knows how to (re)produce.
+        records = {k: v for k, v in records.items() if k in CHECKS}
     failures = 0
     for name in names:
         # ed is shared between the two graph checks; everything else
