@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from gads_etl_spark.pipeline import fsutil
+from gads_etl_spark.pipeline import fsutil, spark_hash
 from gads_etl_spark.pipeline.keys import LOGICAL_KEY
 
 STATE_SCHEMA = T.StructType([
@@ -345,11 +345,18 @@ class _VersionedTable:
         if manifest is None:
             return self.spark.createDataFrame([], self.schema)
         types = {f.name: f.dataType for f in self.schema.fields}
-        lits = [F.lit(v).cast(types[c])
-                for c, v in zip(self.key_cols, key_values)]
-        b = self.spark.range(1).select(
-            F.pmod(F.hash(*lits), F.lit(self.n_buckets)).alias("b")
-        ).collect()[0]["b"]
+        dtypes = tuple(types[c] for c in self.key_cols)
+        # Driver-side Murmur3 (spark_hash.py, property-pinned against the
+        # engine expression) — no Spark job per lookup. Keys outside the
+        # implemented type subset evaluate engine-side instead: the two
+        # routes are hash-identical by test, never by assumption.
+        b = spark_hash.bucket_for(tuple(key_values), dtypes, self.n_buckets)
+        if b is None:
+            lits = [F.lit(v).cast(types[c])
+                    for c, v in zip(self.key_cols, key_values)]
+            b = self.spark.range(1).select(
+                F.pmod(F.hash(*lits), F.lit(self.n_buckets)).alias("b")
+            ).collect()[0]["b"]
         path = manifest["buckets"].get(str(b))
         if path is None:  # bucket currently holds no rows at all
             return self.spark.createDataFrame([], self.schema)

@@ -425,11 +425,281 @@ def check_block_pack(spark, sf_dir: str, con, n_shards: int = 4,
     }
 
 
+def check_winnow(spark, sf_dir: str, con, n_slices: int = 16) -> dict:
+    """ext_winnow_fingerprint: full Spark run; the registered oracle
+    re-run per doc_id slice. The oracle's window partitions by doc_id
+    (PARTITION BY doc_id), so restricting ``documents`` to a slice
+    changes nothing about any row it produces — the restatement is the
+    IDENTICAL statement over a partition of its input, and the union of
+    the 16 slices is the whole corpus (full parity). The single-
+    statement form was cut at >45 min at this tier (165M unnested grams
+    in one window sort); each slice sorts ~10M."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_winnow_fingerprint"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    slice_sql = """
+        WITH g AS (
+            SELECT doc_id, t.i,
+                   md5(substring(text, CAST(t.i AS INT), 4)) AS h,
+                   greatest(length(text) - 3, 1) AS ng
+            FROM documents,
+                 LATERAL unnest(generate_series(
+                     1, greatest(length(text) - 3, 1))) AS t(i)
+            WHERE doc_id % {n} = {k}
+        ), w AS (
+            SELECT doc_id, i, ng,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM g
+        ), fp AS (
+            SELECT DISTINCT doc_id, wmin FROM w
+            WHERE i <= greatest(ng - 3, 1)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+               min(wmin) AS min_fp, max(wmin) AS max_fp
+        FROM fp GROUP BY doc_id
+    """
+    t0 = time.perf_counter()
+    ok, checked, schema_ok = True, 0, True
+    for k in range(n_slices):
+        e_slice = con.execute(slice_sql.format(n=n_slices, k=k)).fetchdf()
+        a_slice = a_pdf[a_pdf["doc_id"] % n_slices == k].reset_index(
+            drop=True)
+        checked += len(e_slice)
+        schema_ok = schema_ok and (
+            sorted(a_slice.columns) == sorted(e_slice.columns))
+        if not _frames_equal(a_slice, e_slice):
+            ok = False
+            break
+        del e_slice, a_slice
+        gc.collect()
+    t_duck = time.perf_counter() - t0
+    return {
+        "rows_match": checked == len(a_pdf), "schema_match": schema_ok,
+        "hash_match": ok and checked == len(a_pdf),
+        "spark_rows": len(a_pdf), "oracle_rows": checked, "err": None,
+        "method": f"registered oracle re-run per doc_id slice "
+                  f"({n_slices} slices; window partitions by doc_id so "
+                  "slicing is exact; union of slices = whole corpus)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+#: The dup-span detection CTE chain shared by ext_dup_spans /
+#: ext_strip_dup_spans oracles — materialized once as a real table for
+#: the sliced strip check (cross-document gram counts are global; only
+#: the REBUILD decomposes by document).
+_SPANS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ), h AS (
+      SELECT doc_id, pos, pos + 7 AS e FROM g JOIN d USING (gram)
+    ), m AS (
+      SELECT doc_id, pos, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM h
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             sum(CASE WHEN prev_max IS NULL OR pos > prev_max + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m
+    )
+    SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+    FROM isl GROUP BY doc_id, island
+"""
+
+
+def check_strip_dup_spans(spark, sf_dir: str, con,
+                          n_slices: int = 16) -> dict:
+    """ext_strip_dup_spans: full Spark run; the oracle split into its
+    two halves. Span DETECTION is global (cross-document gram counts)
+    and is materialized once — the identical CTE chain the registered
+    oracle states, and itself sf10-verified by ext_dup_spans in the
+    main sweep. Text REBUILD is per-document, so it runs per doc_id
+    slice against the materialized spans (the round-12 probe showed
+    DuckDB OOMs rebuilding all 500k texts in one statement; each slice
+    rebuilds ~31k). Union of slices = whole corpus: full parity."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_strip_dup_spans"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    con.execute(f"CREATE TABLE spans AS {_SPANS_SQL}")
+    rebuild_sql = """
+        WITH dd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % {n} = {k}
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM dd
+        ), tok AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        ), keepers AS (
+          SELECT tok.doc_id, pos, tok FROM tok
+          WHERE NOT EXISTS (
+            SELECT 1 FROM spans s
+            WHERE s.doc_id = tok.doc_id
+              AND pos BETWEEN s.span_start AND s.span_end)
+        ), agg AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM keepers GROUP BY doc_id
+        )
+        SELECT dd.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+               CAST(len(string_split(dd.text, ' ')) - coalesce(agg.n_kept, 0)
+                    AS BIGINT) AS n_removed_tokens
+        FROM dd LEFT JOIN agg USING (doc_id)
+    """
+    ok, checked, schema_ok = True, 0, True
+    for k in range(n_slices):
+        e_slice = con.execute(rebuild_sql.format(n=n_slices, k=k)).fetchdf()
+        a_slice = a_pdf[a_pdf["doc_id"] % n_slices == k].reset_index(
+            drop=True)
+        checked += len(e_slice)
+        schema_ok = schema_ok and (
+            sorted(a_slice.columns) == sorted(e_slice.columns))
+        if not _frames_equal(a_slice, e_slice):
+            ok = False
+            break
+        del e_slice, a_slice
+        gc.collect()
+    con.execute("DROP TABLE spans")
+    t_duck = time.perf_counter() - t0
+    return {
+        "rows_match": checked == len(a_pdf), "schema_match": schema_ok,
+        "hash_match": ok and checked == len(a_pdf),
+        "spark_rows": len(a_pdf), "oracle_rows": checked, "err": None,
+        "method": f"global span detection materialized once (identical "
+                  f"CTE chain; independently sf10-verified by "
+                  f"ext_dup_spans), per-document rebuild verified in "
+                  f"{n_slices} doc_id slices (full parity)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
+def check_embedding_neardup(spark, sf_dir: str, con,
+                            n_slices: int = 8) -> dict:
+    """ext_embedding_neardup: full Spark run; the oracle's per-label
+    argmax decomposed over slice-pair chunks. vec_id % n partitions
+    every within-label pair into exactly one (min-slice, max-slice)
+    chunk; each chunk yields its per-label best candidate and the
+    global per-label argmax is the reduction of the ~n²/2 candidate
+    sets under the registered tiebreak (cos desc, a_id, b_id) — an
+    exact decomposition of an associative argmax, never a sample.
+
+    The chunked oracle scores with DuckDB's native
+    ``list_cosine_similarity`` instead of the registered lambda
+    formulation (~5x faster over the tier's ~2e9 pairs); the two are
+    verified cell-identical inside this check on a bounded pair subset
+    before any chunk runs, and the surviving 10 rows are compared
+    against Spark exactly as always."""
+    import pandas as pd
+
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_embedding_neardup"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    con.execute("""
+        CREATE TABLE v AS
+        SELECT label, vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings""")
+    # Native-vs-lambda identity guard on a bounded subset (all
+    # within-label pairs among the first 2000 vec_ids).
+    lam = """
+        round(
+          list_reduce(list_transform(generate_series(1, 64),
+                                     i -> a.emb[i] * b.emb[i]),
+                      (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                             i -> a.emb[i] * a.emb[i]),
+                              (acc, x) -> acc + x))
+             * sqrt(list_reduce(list_transform(generate_series(1, 64),
+                                               i -> b.emb[i] * b.emb[i]),
+                                (acc, x) -> acc + x))), 6)
+    """
+    bad = con.execute(f"""
+        SELECT count(*) FROM v a JOIN v b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE a.vec_id < 2000 AND b.vec_id < 2000
+          AND ({lam}) IS DISTINCT FROM
+              round(list_cosine_similarity(a.emb, b.emb), 6)""").fetchone()[0]
+    if bad:
+        con.execute("DROP TABLE v")
+        return {"rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(a_pdf),
+                "oracle_rows": None,
+                "err": f"native cosine != lambda on {bad} guard pairs",
+                "method": "errored"}
+    chunk_sql = """
+        SELECT label, a_id, b_id, cos_sim FROM (
+            SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY a.label
+                       ORDER BY round(list_cosine_similarity(a.emb, b.emb),
+                                      6) DESC,
+                                a.vec_id, b.vec_id) AS rn0
+            FROM v a JOIN v b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE least(a.vec_id % {n}, b.vec_id % {n}) = {i}
+              AND greatest(a.vec_id % {n}, b.vec_id % {n}) = {j}
+        ) WHERE rn0 = 1
+    """
+    cands = []
+    for i in range(n_slices):
+        for j in range(i, n_slices):
+            cands.append(con.execute(
+                chunk_sql.format(n=n_slices, i=i, j=j)).fetchdf())
+    con.execute("DROP TABLE v")
+    allc = pd.concat(cands, ignore_index=True)
+    # Reduce to the registered projection under the registered tiebreak.
+    allc = allc.sort_values(
+        ["label", "cos_sim", "a_id", "b_id"],
+        ascending=[True, False, True, True], kind="mergesort")
+    e_pdf = allc.groupby("label", as_index=False).head(1).reset_index(
+        drop=True)
+    t_duck = time.perf_counter() - t0
+
+    ok = _frames_equal(a_pdf, e_pdf)
+    return {
+        "rows_match": len(a_pdf) == len(e_pdf),
+        "schema_match": sorted(a_pdf.columns) == sorted(e_pdf.columns),
+        "hash_match": ok, "spark_rows": len(a_pdf),
+        "oracle_rows": len(e_pdf), "err": None,
+        "method": f"slice-pair chunked argmax ({n_slices} vec_id slices, "
+                  "exact partition of all within-label pairs; native "
+                  "list_cosine_similarity guard-verified cell-identical "
+                  "to the registered lambda before scoring)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
 CHECKS = {
     "ext_pagerank": check_pagerank,
     "connected_components": check_components,
     "ext_encode_docs": check_encode_docs,
     "ext_block_pack": check_block_pack,
+    "ext_winnow_fingerprint": check_winnow,
+    "ext_strip_dup_spans": check_strip_dup_spans,
+    "ext_embedding_neardup": check_embedding_neardup,
 }
 
 
@@ -440,6 +710,11 @@ def main() -> int:
     if "--sf" in argv:
         i = argv.index("--sf")
         sf = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     names = [a for a in argv if not a.startswith("--")] or list(CHECKS)
     if not os.path.isdir(sf):
@@ -452,8 +727,18 @@ def main() -> int:
     spark = get_session("check-sf10-extras", cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CORRECTNESS_sf10_extras.json")
+    default_sf10 = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".localdata", "sf10")
+    if out_path is None:
+        if os.path.abspath(sf) == os.path.abspath(default_sf10):
+            out_path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "CORRECTNESS_sf10_extras.json")
+        else:
+            # A validation run against some other tier must never
+            # overwrite the committed 100x artifact.
+            out_path = f"/tmp/sf10_extras_{os.path.basename(sf.rstrip('/'))}.json"
+            print(f"non-sf10 --sf: writing {out_path} instead of the "
+                  "committed artifact")
     records: dict[str, dict] = {}
     if os.path.exists(out_path):
         with open(out_path) as fh:

