@@ -1807,16 +1807,28 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break), so the dropped set is exactly the injected copies at ANY
     clustering outcome. Clustering can only miss pairs, never invent
     them, which makes the result seed/partitioning-invariant.
+
+    n_clusters grows ~sqrt(N) exactly as the operator docstring
+    prescribes for scale: within-cell comparison cost is sum(|cell|^2)
+    ~= N^2 / n_clusters, so sqrt-scaling keeps it ~N^1.5 instead of N^2
+    (fixed 16 cells measured 2.5e9 cosines at the 100x tier — the
+    round-12 sweep deferral). Because the dropped set is clustering-
+    invariant (above), the tier-dependent cluster count cannot change a
+    single output row.
     """
+    import math
+
     from gads_etl_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    off = emb.agg(F.max("vec_id")).first()[0] + 1  # see _doc_id_offset
+    mx, n = emb.agg(F.max("vec_id"), F.count(F.lit(1))).first()
+    off = mx + 1  # see _doc_id_offset
     copies = emb.where(F.col("vec_id") < 50).select(
         (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
     )
     corpus = emb.select("vec_id", "embedding", "label").unionByName(copies)
-    survivors = semantic_dedup(corpus, threshold=0.9)
+    survivors = semantic_dedup(corpus, threshold=0.9,
+                               n_clusters=max(16, math.isqrt(n)))
     return (
         corpus.select("vec_id")
         .join(survivors.select("vec_id"), "vec_id", "left_anti")

@@ -692,6 +692,130 @@ def check_embedding_neardup(spark, sf_dir: str, con,
     }
 
 
+def check_passjoin(spark, sf_dir: str, con) -> dict:
+    """ext_fuzzy_passjoin at the 100x tier. Its registered oracle IS the
+    per-block quadratic join — ~2e10 raw candidate pairs here (150
+    (p_type, p_brand) blocks of ~16.5k parts), genuinely intractable in
+    any engine — so this check certifies the engine result from three
+    independent directions instead of restating the quadratic:
+
+    1. SOUNDNESS, exhaustive: every emitted pair is re-verified by
+       DuckDB — same block, canonical a_id < b_id order, no duplicate
+       pairs, and ``levenshtein(a_name, b_name)`` equal to the emitted
+       edit_dist and <= 2. Linear in |output| (3.7M pairs), and
+       levenshtein is recomputed from the raw table, so a wrong pair,
+       a wrong distance, or a phantom id all fail loudly.
+    2. COMPLETENESS on sampled blocks, exact: for 3 full (p_type,
+       p_brand) blocks the registered quadratic oracle runs verbatim
+       (one ~16.5k-row block is tractable alone); the engine's pairs
+       restricted to those blocks must match the oracle's EXACTLY —
+       end-to-end parity on a bounded sub-corpus, segment theory not
+       assumed.
+    3. COMPLETENESS on planted pairs, corpus-wide: 500 parts get a
+       one-character-substitution copy (ids offset by max+1, the
+       collision-free convention); PassJoin over part UNION copies must
+       recall every planted (original, copy) pair with edit_dist 1 —
+       a known-answer subset spanning every block of the full corpus.
+    """
+    from pyspark.sql import functions as SF
+
+    from gads_etl_spark.catalog import load_table
+    from gads_etl_spark.operators.dedup import edit_distance_pairs_passjoin
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_fuzzy_passjoin"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    notes = []
+    ok = True
+    t0 = time.perf_counter()
+    con.execute("CREATE TABLE pj AS SELECT * FROM a_pdf")
+    # 1. Exhaustive soundness.
+    n_bad = con.execute("""
+        SELECT count(*) FROM pj
+        LEFT JOIN part a ON a.p_partkey = pj.a_id
+        LEFT JOIN part b ON b.p_partkey = pj.b_id
+        WHERE a.p_partkey IS NULL OR b.p_partkey IS NULL
+           OR pj.a_id >= pj.b_id
+           OR a.p_type <> b.p_type OR a.p_brand <> b.p_brand
+           OR levenshtein(a.p_name, b.p_name) <> pj.edit_dist
+           OR pj.edit_dist > 2""").fetchone()[0]
+    n_dup = con.execute("""
+        SELECT count(*) FROM (
+            SELECT a_id, b_id FROM pj GROUP BY 1, 2 HAVING count(*) > 1
+        )""").fetchone()[0]
+    if n_bad or n_dup:
+        ok = False
+        notes.append(f"soundness: {n_bad} invalid pairs, {n_dup} dupes")
+
+    # 2. Exact parity on 3 full blocks (first by key order — arbitrary
+    # but deterministic).
+    blocks = con.execute("""
+        SELECT DISTINCT p_type, p_brand FROM part
+        ORDER BY p_type, p_brand LIMIT 3""").fetchall()
+    checked_block_pairs = 0
+    for p_type, p_brand in blocks:
+        e_blk = con.execute("""
+            SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+            FROM part a JOIN part b
+              ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+             AND a.p_partkey < b.p_partkey
+             AND abs(length(a.p_name) - length(b.p_name)) <= 2
+             AND levenshtein(a.p_name, b.p_name) <= 2
+            WHERE a.p_type = ? AND a.p_brand = ?""",
+            [p_type, p_brand]).fetchdf()
+        a_blk = con.execute("""
+            SELECT pj.* FROM pj JOIN part a ON a.p_partkey = pj.a_id
+            WHERE a.p_type = ? AND a.p_brand = ?""",
+            [p_type, p_brand]).fetchdf()
+        checked_block_pairs += len(e_blk)
+        if not _frames_equal(a_blk, e_blk):
+            ok = False
+            notes.append(f"block ({p_type!r},{p_brand!r}) mismatch: "
+                         f"engine {len(a_blk)} vs oracle {len(e_blk)}")
+    con.execute("DROP TABLE pj")
+
+    # 3. Planted-pair completeness, corpus-wide.
+    part = load_table(spark, sf_dir, "part").select(
+        SF.col("p_partkey").alias("pid"), "p_name", "p_type", "p_brand")
+    off = part.agg(SF.max("pid")).first()[0] + 1
+    planted = (
+        part.where(SF.pmod(SF.col("pid"), SF.lit(4000)) == 0)
+        .select((SF.col("pid") + off).alias("pid"),
+                # One substitution at position 1: 'x' unless it already
+                # is one, then 'y' — always exactly 1 edit.
+                SF.concat(
+                    SF.when(SF.substring("p_name", 1, 1) == "x",
+                            SF.lit("y")).otherwise(SF.lit("x")),
+                    SF.expr("substring(p_name, 2)")).alias("p_name"),
+                "p_type", "p_brand"))
+    n_planted = planted.count()
+    got = edit_distance_pairs_passjoin(
+        part.unionByName(planted), block_cols=["p_type", "p_brand"],
+        id_col="pid", name_col="p_name", max_dist=2)
+    n_recalled = got.where(
+        (SF.col("b_id") - SF.col("a_id") == off)
+        & (SF.col("edit_dist") == 1)).count()
+    if n_recalled < n_planted:
+        ok = False
+        notes.append(f"planted recall {n_recalled}/{n_planted}")
+    t_duck = time.perf_counter() - t0
+
+    return {
+        "rows_match": True, "schema_match": sorted(a_pdf.columns)
+                                            == ["a_id", "b_id", "edit_dist"],
+        "hash_match": ok, "spark_rows": len(a_pdf),
+        "oracle_rows": checked_block_pairs, "err": "; ".join(notes) or None,
+        "method": "three-way certificate: exhaustive soundness (every "
+                  "emitted pair re-verified incl. levenshtein), exact "
+                  "quadratic parity on 3 full blocks, corpus-wide planted-"
+                  f"pair recall ({n_planted} one-edit plants)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
 CHECKS = {
     "ext_pagerank": check_pagerank,
     "connected_components": check_components,
@@ -700,6 +824,7 @@ CHECKS = {
     "ext_winnow_fingerprint": check_winnow,
     "ext_strip_dup_spans": check_strip_dup_spans,
     "ext_embedding_neardup": check_embedding_neardup,
+    "ext_fuzzy_passjoin": check_passjoin,
 }
 
 

@@ -48,7 +48,19 @@ workload honest at the larger scale:
 - embeddings: copy i rotates each vector left by ``7*i mod dim``
   positions — norms and coordinate distributions are preserved, while
   cross-copy cosines fall to the natural background level (no planted
-  exact duplicates).
+  exact duplicates). Past dim copies a per-wrap sign mask (orthogonal,
+  runtime-certified pairwise Hamming 16..dim-16) keeps every wrap
+  distinct.
+
+Family budgets (round 13): p_name letter bijections extend past the 312
+affine maps by composing with powers of a fixed permutation, and
+embedding wraps past 2 draw SplitMix64 sign masks — BOTH families are
+certified at runtime (distinctness, bounded letter agreement, bounded
+mask Hamming) for the requested factor, so ``--factor 1000`` (the sf100
+tier, ~16 GB) generates with the same no-silent-collision guarantee the
+SystemExit caps used to provide. Copies below the old caps regenerate
+bit-identically. Factors > 100 write in 100-copy chunks (append) so
+Catalyst never plans a 1000-way union.
 
 Zero randomness anywhere: re-running the script reproduces the fixture
 byte-for-byte modulo parquet encoding nondeterminism.
@@ -68,6 +80,99 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
+AZ = "abcdefghijklmnopqrstuvwxyz"
+#: A fixed non-affine letter permutation (keyboard order). Composing the
+#: 312 affine ciphers with powers of this map extends the p_name
+#: bijection family far past 312 (``_letter_perm``); the family's
+#: fitness is CHECKED at runtime, never assumed.
+PI = "qwertyuiopasdfghjklzxcvbnm"
+
+
+def _letter_perm(i: int) -> str:
+    """The i-th letter bijection for p_name copies: affine cipher
+    j -> (a*j + b) mod 26 (312 distinct maps — the round-10 family,
+    bit-identical for i < 312 so existing tiers regenerate exactly),
+    composed with PI^(i // 312) beyond that. Any bijection on the
+    alphabet preserves every unit edit cost, so within-copy Levenshtein
+    structure is preserved EXACTLY at any i."""
+    a_mul = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25][(i % 312) // 26]
+    perm = "".join(AZ[(a_mul * j + i % 26) % 26] for j in range(26))
+    pi_map = {a: b for a, b in zip(AZ, PI)}
+    for _ in range(i // 312):
+        perm = "".join(pi_map[ch] for ch in perm)
+    return perm
+
+
+def _check_letter_perms(factor: int) -> list[str]:
+    """Certify the p_name bijection family for this factor: all maps
+    pairwise distinct AND no two maps agree on more than 8 of 26
+    letters. Distinctness alone is not enough — two bijections agreeing
+    on 20 letters would leave names spelled from those letters
+    byte-identical across the two copies, re-planting the cross-copy
+    exact twins the rotation wrap bug created at factor 100 (round 10).
+    Affine pairs agree on <= 1 letter; the PI-composed pairs are
+    certified here by enumeration, so a bad PI choice fails the run
+    instead of silently poisoning the fixture."""
+    perms = [_letter_perm(i) for i in range(factor)]
+    if len(set(perms)) != factor:
+        raise SystemExit(f"letter-bijection family collides at factor "
+                         f"{factor}")
+    worst = 0
+    for x in range(len(perms)):
+        for y in range(x + 1, len(perms)):
+            agree = sum(a == b for a, b in zip(perms[x], perms[y]))
+            worst = max(worst, agree)
+            if agree > 8:
+                raise SystemExit(
+                    f"letter bijections {x} and {y} agree on {agree}/26 "
+                    "letters — cross-copy name collisions likely; pick a "
+                    "different PI")
+    print(f"letter-perm family ok: {factor} distinct maps, "
+          f"max pairwise agreement {worst}/26")
+    return perms
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 (public domain, Steele et al.) — the deterministic
+    bit source for embedding sign masks beyond the second wrap."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+def _sign_masks(n_wraps: int, dim: int) -> list[list[int]]:
+    """Per-wrap sign masks for embedding copies: wrap 0 = identity and
+    wrap 1 = negate-odd (bit-identical to the round-10 scheme, so
+    factor <= 2*dim regenerates exactly); wraps >= 2 draw bits from
+    SplitMix64. Every mask pair must differ in 16..(dim-16) positions:
+    two copies sharing a rotation have twin cosine (dim - 2h)/dim where
+    h is the mask Hamming distance, so the bound caps |twin cosine| at
+    0.5 — below the fixture's ~0.6 natural background. Checked, not
+    assumed."""
+    masks = [[1] * dim, [(-1 if j % 2 == 1 else 1) for j in range(dim)]]
+    k = 2
+    salt = 0
+    while len(masks) < n_wraps:
+        bits = []
+        while len(bits) < dim:
+            w = _splitmix64(k * 1_000_003 + salt)
+            bits.extend((w >> b) & 1 for b in range(64))
+        cand = [(-1 if b else 1) for b in bits[:dim]]
+        lo, hi = 16, dim - 16
+        if all(lo <= sum(a != b for a, b in zip(cand, m)) <= hi
+               for m in masks):
+            masks.append(cand)
+            k += 1
+            salt = 0
+        else:
+            salt += 1  # deterministic retry; same inputs -> same masks
+            if salt > 1000:
+                raise SystemExit("sign-mask search stuck — widen bounds")
+    return masks[:n_wraps]
+
+
 TPCH_KEY_SHIFTS = {
     # table -> {column: key-space stride source table}
     "customer": {"c_custkey": "c_custkey"},
@@ -86,14 +191,6 @@ STRIDE_TABLE = {
     "event_id": "events", "user_id": "events",
     "doc_id": "documents", "vec_id": "embeddings",
 }
-
-
-def _copies(df: DataFrame, factor: int, transform) -> DataFrame:
-    out = None
-    for i in range(factor):
-        c = transform(df, i)
-        out = c if out is None else out.unionByName(c)
-    return out
 
 
 def main() -> None:
@@ -126,9 +223,33 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
 
+    def write_copies(name: str, df: DataFrame, transform,
+                     chunk: int = 100) -> None:
+        """Write ``factor`` transformed copies, at most ``chunk`` unioned
+        per job: a 1000-way union of per-copy expression trees (the doc
+        rewrite alone is ~40 nodes per copy) chokes Catalyst planning,
+        while 100-way unions are the measured-fine sf10 shape. Chunks
+        append to the same dir; factors <= chunk take the identical
+        single overwrite job as before."""
+        path = f"{args.dst}/{name}.parquet"
+        mode = "overwrite"
+        for lo in range(0, args.factor, chunk):
+            out = None
+            for i in range(lo, min(lo + chunk, args.factor)):
+                c = transform(df, i)
+                out = c if out is None else out.unionByName(c)
+            out.write.mode(mode).parquet(path)
+            mode = "append"
+        print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
+
     # Fixed dimensions: pass through unchanged.
     for name in ["region", "nation"]:
         write(name, tables[name])
+
+    # Certify the p_name bijection family up front (distinct + low
+    # pairwise agreement — see _check_letter_perms); fails loudly
+    # instead of generating a poisoned fixture.
+    letter_perms = _check_letter_perms(args.factor)
 
     # Heavy-hitter plants: constant user ids beyond every copy's range.
     heavy_solid = args.factor * strides["user_id"] + 1   # ~0.3% share
@@ -181,23 +302,18 @@ def main() -> None:
                 # az[:i] degenerates to the IDENTITY for i >= 26), which
                 # made copies 26/52/78 of a factor-100 run byte-identical
                 # to copy 0 and blew the fuzzy-match candidate stream up
-                # quadratically. With a ranging over the 12 units mod 26
-                # and b over the 26 shifts there are 312 distinct letter
-                # bijections; a unit stride keeps the map bijective, and
-                # any char bijection preserves every unit edit cost. For
-                # i < 26 this is a=1: exactly the former rotation, so
-                # existing tiers regenerate identically.
-                if i >= 312:
-                    raise SystemExit("factor > 312 exceeds the distinct "
-                                     "letter-bijection budget for p_name")
-                az = "abcdefghijklmnopqrstuvwxyz"
-                a_mul = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25][i // 26]
-                perm = "".join(az[(a_mul * j + i % 26) % 26]
-                               for j in range(26))
+                # quadratically. 312 affine maps; past those,
+                # _letter_perm composes with powers of the fixed PI
+                # permutation (factor 1000 for the sf100 tier), and the
+                # whole family is certified distinct with <= 8/26
+                # pairwise letter agreement at startup. For i < 312 the
+                # map is bit-identical to the round-10 affine family, so
+                # existing tiers regenerate identically; any char
+                # bijection preserves every unit edit cost.
                 out = out.withColumn(
-                    "p_name", F.translate("p_name", az, perm))
+                    "p_name", F.translate("p_name", AZ, letter_perms[i]))
             return out
-        write(name, _copies(tables[name], args.factor, shift))
+        write_copies(name, tables[name], shift)
 
     def doc_copy(df, i):
         toks = F.split(F.col("text"), " ")
@@ -228,9 +344,18 @@ def main() -> None:
             F.concat(F.col("source"), F.lit(f"_r{i}")).alias("source"),
             F.length(text).cast("long").alias("n_chars"),
         )
-    write("documents", _copies(tables["documents"], args.factor, doc_copy))
+    write_copies("documents", tables["documents"], doc_copy)
 
     dim = len(tables["embeddings"].select("embedding").first()[0])
+    # Per-wrap sign masks (wrap = i // dim): wrap 0 identity, wrap 1 the
+    # legacy negate-odd, wraps >= 2 SplitMix64-derived — every pair
+    # certified 16..dim-16 apart in Hamming distance so same-rotation
+    # cross-wrap twins cap at |cosine| 0.5, below the fixture's ~0.6
+    # natural background (see _sign_masks). Each mask is an orthogonal
+    # transform: every within-copy norm and cosine is preserved EXACTLY.
+    # Wraps 0/1 regenerate existing tiers bit-identically.
+    n_wraps = (args.factor - 1) // dim + 1
+    masks = _sign_masks(n_wraps, dim)
 
     def emb_copy(df, i):
         if i == 0:
@@ -238,30 +363,31 @@ def main() -> None:
         # Rotation wraps at i = dim (7 coprime to dim, so offsets repeat
         # exactly every dim copies): a factor-100 run on dim=64 vectors
         # gave copies i and i+64 IDENTICAL arrays — 36% of the tier with
-        # planted exact cross-copy twins. Second wrap applies a fixed
-        # sign mask (negate odd coordinates): an orthogonal transform,
-        # so every within-copy norm and cosine is preserved EXACTLY,
-        # while same-rotation cross-wrap cosines fall to alternating-sum
-        # background. Wrap 0 is untouched, so existing tiers regenerate
-        # identically. Two wraps bound factor at 2*dim.
-        if i >= 2 * dim:
-            raise SystemExit(f"factor > {2 * dim} exceeds the distinct "
-                             "rotation x sign-mask budget for embeddings")
+        # planted exact cross-copy twins (round 10). The per-wrap sign
+        # mask breaks the repetition at every wrap.
         r = (7 * i) % dim
         rotated = F.concat(
             F.slice(F.col("embedding"), r + 1, dim - r),
             F.slice(F.col("embedding"), 1, r),
         )
-        if i >= dim:
+        wrap = i // dim
+        if wrap == 1:
+            # Keep the exact legacy expression for the second wrap so
+            # the sf10 tier regenerates bit-identically.
             rotated = F.transform(
                 rotated,
                 lambda v, j: F.when(j % 2 == 1, -v).otherwise(v))
+        elif wrap >= 2:
+            neg = [j for j, m in enumerate(masks[wrap]) if m == -1]
+            rotated = F.transform(
+                rotated,
+                lambda v, j, neg=neg: F.when(j.isin(neg), -v).otherwise(v))
         return df.select(
             (F.col("vec_id") + F.lit(i * strides["vec_id"])).alias("vec_id"),
             rotated.alias("embedding"),
             F.col("label"),
         )
-    write("embeddings", _copies(tables["embeddings"], args.factor, emb_copy))
+    write_copies("embeddings", tables["embeddings"], emb_copy)
 
     spark.stop()
 
