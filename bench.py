@@ -147,6 +147,10 @@ _SF10_BENCHABLE_EXCLUDED = [
     "ext_fuzzy_passjoin", "ext_pagerank", "ext_encode_docs",
     "ext_block_pack", "ext_dup_clusters", "ext_cluster_dedup",
     "ext_cluster_best_dedup", "ext_cluster_sizes",
+    # Round 13: the four former deferrals now closed by restated-oracle
+    # extras checks — their Spark sides are corpus-linear and benchable.
+    "ext_winnow_fingerprint", "ext_strip_dup_spans",
+    "ext_embedding_neardup", "ext_shingle_jaccard",
 ]
 
 
@@ -210,6 +214,103 @@ def _bench_sf10_chunked(sf10_dir: str, chunk: int = 12) -> dict | None:
         "chunk": chunk,
         "sf": 10.0,
     }
+
+
+#: Third decade (1000x amplification, ``.localdata/sf100`` — 600M
+#: lineitem, 100M events, 5M docs, 2M embeddings, ~16 GB): the heaviest
+#: probes from the sf10 tier, spanning the engine's distinct scale
+#: shapes — iterative graph shuffles (pagerank), segment-indexed
+#: similarity join (passjoin), wide hash aggregation + semi join (q18,
+#: q21), window cumsum packing (block_pack), LSH banding
+#: (minhash_candidates). Measured one query per fresh child JVM under
+#: the same 1-warmup + median-of-3 protocol as every other tier.
+SF100_PROBE = [
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "ext_block_pack",
+    "ext_minhash_candidates",
+    "ext_fuzzy_passjoin",
+    "ext_pagerank",
+]
+
+
+def run_sf100() -> None:
+    """--sf100: the third measured decade. Writes ``BENCH_sf100.json``
+    with per-query sf1/sf10/sf100 walls and both decade ratios, pulling
+    the lower-tier numbers from the committed ``BENCH_sf10.json`` (same
+    protocol, same host) so one file carries the whole scaling story.
+    Each probe runs in its OWN fresh child JVM (chunk=1): at this tier a
+    single query's executor state (shuffle files, broadcast cleanup)
+    measurably pollutes the next query's numbers, and a query that dies
+    (OOM) must not take finished numbers with it."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf100_dir = os.path.join(here, ".localdata", "sf100")
+    if not os.path.isdir(sf100_dir):
+        print(json.dumps({"error": f"{sf100_dir} missing — run "
+                          "scripts/gen_scale_fixture.py --factor 1000 "
+                          f"--dst {sf100_dir} first"}))
+        return
+    lower: dict = {}
+    try:
+        with open(os.path.join(here, "BENCH_sf10.json")) as fh:
+            lower = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+    queries: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    runs = None
+    for name in SF100_PROBE:
+        body = _bench_tier(sf100_dir, only=[name])
+        if body is None:
+            errors[name] = "bench child died"
+            continue
+        runs = runs or body.get("runs")
+        queries.update(body["queries"])
+        errors.update(body["errors"])
+        _write_sf100(here, queries, errors, runs, lower)  # incremental
+    _write_sf100(here, queries, errors, runs, lower, final=True)
+
+
+def _write_sf100(here: str, queries: dict, errors: dict, runs,
+                 lower: dict, final: bool = False) -> None:
+    """Persist BENCH_sf100.json after every probe (a 20-minute pagerank
+    child dying must not erase the five finished probes)."""
+    per_q = {}
+    for n in SF100_PROBE:
+        if n not in queries and n not in errors:
+            continue
+        lo = lower.get(n, {}) if isinstance(lower.get(n), dict) else {}
+        sf10_w, sf1_w = lo.get("sf10"), lo.get("sf1")
+        per_q[n] = {
+            "sf1": sf1_w, "sf10": sf10_w,
+            "sf100": queries.get(n),
+            "ratio_sf10_over_sf1": lo.get("ratio_sf10_over_sf1"),
+            "ratio_sf100_over_sf10": (
+                round(queries[n] / sf10_w, 2)
+                if n in queries and sf10_w else None),
+            "error": errors.get(n),
+        }
+    doc = {
+        "metric": "sf100_third_decade_probe",
+        "unit": "sec",
+        "note": "sf100 = 1000x amplification (600M lineitem, 100M "
+                "events, 5M docs, 2M embeddings; "
+                "gen_scale_fixture.py --factor 1000). Each probe "
+                "measured in its own fresh child JVM, 1 warmup + "
+                "median-of-3 — the protocol of BENCH_tiers.json / "
+                "BENCH_sf10.json; sf1/sf10 columns come from the "
+                "committed BENCH_sf10.json of the same round. At-or-"
+                "below-linear means ratio_sf100_over_sf10 <= 10.",
+        "queries": per_q,
+        "runs": runs,
+        "incomplete": bool(errors) or not final or (
+            len(queries) < len(SF100_PROBE)),
+        "sf": 100.0,
+    }
+    with open(os.path.join(here, "BENCH_sf100.json"), "w") as fh:
+        fh.write(json.dumps(doc) + "\n")
+    if final:
+        print(json.dumps(doc))
 
 
 def run_tiers(with_sf10: bool = False) -> None:
@@ -343,6 +444,9 @@ def main() -> None:
         # Thin orchestrator: the parent NEVER starts Spark — each tier
         # is measured in its own fresh child process (see _bench_tier).
         run_tiers(with_sf10="--with-sf10" in sys.argv[1:])
+        return
+    if "--sf100" in sys.argv[1:]:
+        run_sf100()
         return
     from gads_etl_spark.session import get_session
 

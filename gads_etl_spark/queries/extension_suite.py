@@ -1987,13 +1987,13 @@ def ext_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey AS id, p_name,
              row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rk
       FROM part
-    )
+    ),
+    gaps AS (SELECT unnest(ARRAY[1, 2, 3]) AS g)
     SELECT a.id AS a_id, b.id AS b_id,
-           CAST(b.rk - a.rk AS INT) AS rank_gap,
+           CAST(g AS INT) AS rank_gap,
            CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-    FROM r a JOIN r b
-      ON b.rk > a.rk AND b.rk - a.rk < 4
-     AND levenshtein(a.p_name, b.p_name) <= 2
+    FROM gaps CROSS JOIN r a JOIN r b ON b.rk = a.rk + g
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
     tags=("extension", "dedup", "fuzzy"),
 )

@@ -165,27 +165,32 @@ SF10_EXCLUDED = {
                        "reservation; sliced full parity in extras",
     "ext_block_pack": "same list-aggregation limit; per-shard parity + "
                       "conservation invariants in extras",
+    # Round 13: the last four deferred names, each closed with a
+    # restated-oracle extras check (full parity, never a sample):
+    "ext_winnow_fingerprint": "one-statement window-min over 165M "
+                              "unnested grams cut at >45 min; "
+                              "per-doc_id-slice full parity in extras",
+    "ext_strip_dup_spans": "DuckDB OOM rebuilding 500k stripped texts "
+                           "in one statement; global span table + "
+                           "per-slice rebuild parity in extras",
+    "ext_embedding_neardup": "~2e9 within-label cosines in one "
+                             "statement; slice-pair chunked exact "
+                             "argmax in extras",
+    "ext_shingle_jaccard": "500k shingle lists + 62M intersects in one "
+                           "statement; per-source-slice full parity "
+                           "in extras",
 }
 
-#: Oracle-checked at sf0.01 AND sf1 (CORRECTNESS_sf1.json) but not yet
-#: at sf10: their DuckDB oracle cost at 100x is unprobed or measured
-#: prohibitive on this host (ext_winnow_fingerprint's window-min over
-#: 165M unnested grams ran >45 min before being cut). Candidates for
-#: promotion once probed; listing them here keeps the three-way
-#: partition (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry) test-pinned so
-#: none can silently fall out of the tier story.
-SF10_DEFERRED = {
-    n: "oracle cost at 100x unprobed/prohibitive; MATCH at sf1"
-    for n in [
-        "ev_top_paths", "ext_embedding_neardup", "ext_repetition_filter",
-        "ext_semantic_dedup", "ext_shingle_jaccard",
-        "ext_sorted_neighborhood", "ext_winnow_fingerprint",
-    ]
-}
-#: Probed at 100x and measured infeasible THERE (not just unprobed):
-SF10_DEFERRED["ext_strip_dup_spans"] = (
-    "DuckDB OOM (bad allocation) reconstructing stripped texts at 500k "
-    "docs — probed round 12; MATCH at sf1")
+#: Round 13 closed the deferred list: the round-12 deferrals were each
+#: either probed-tractable and promoted into the sweep
+#: (ev_top_paths 7.6s, ext_sorted_neighborhood 39s after its band join
+#: was rewritten as 3 exact rank equi-joins, ext_repetition_filter
+#: 145s, ext_semantic_dedup 255s once n_clusters scaled ~sqrt(N)) or
+#: given a restated-oracle full-parity check in check_sf10_extras.py
+#: and moved to SF10_EXCLUDED with the reason above. Kept as a dict so
+#: the three-way partition (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry)
+#: stays test-pinned; a future defer must re-enter here with a reason.
+SF10_DEFERRED: dict[str, str] = {}
 SF10_SWEEP = sorted(n for n in _REGISTRY
                     if n not in SF10_EXCLUDED and n not in SF10_DEFERRED)
 

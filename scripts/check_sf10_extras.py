@@ -692,6 +692,68 @@ def check_embedding_neardup(spark, sf_dir: str, con,
     }
 
 
+def check_shingle_jaccard(spark, sf_dir: str, con,
+                          n_slices: int = 20) -> dict:
+    """ext_shingle_jaccard: full Spark run; the registered oracle re-run
+    per source-slice. Pairs only form within a source block (the
+    equi-join key: ``a.source = b.source``), so restricting
+    ``documents`` to a subset of sources yields exactly the full
+    result's pairs among those sources — the restatement is the
+    IDENTICAL statement over a partition of its input. Distinct sources
+    are hash-assigned to ``n_slices`` chunks (DuckDB's own ``hash()``
+    on both sides, so the partition can't skew between engines), and
+    the union of the chunks is the whole corpus: full parity. The
+    single-statement form builds 500k shingle lists and ~62M
+    list_intersects in one pipeline at this tier (2000 blocks of 250
+    docs); each chunk handles 1/n of both."""
+    from gads_etl_spark.queries import REGISTRY
+
+    t0 = time.perf_counter()
+    a_pdf = REGISTRY["ext_shingle_jaccard"].fn(spark, sf_dir).toPandas()
+    t_spark = time.perf_counter() - t0
+
+    oracle = REGISTRY["ext_shingle_jaccard"].oracle
+    # The registered statement verbatim, with documents restricted to
+    # one hash slice of sources.
+    pred = "hash(source) % {n} = {k}"
+    sliced = oracle.replace("FROM documents",
+                            "FROM documents WHERE " + pred)
+    assert sliced != oracle and sliced.count("WHERE " + pred) == 1
+
+    # The same hash assigns each Spark pair (via its a-side doc) to its
+    # slice — one DuckDB scan, merged driver-side.
+    doc_slice = con.execute(
+        f"SELECT doc_id AS a_id, CAST(hash(source) % {n_slices} AS INT) "
+        f"AS _slc FROM documents").fetchdf()
+    a_tag = a_pdf.merge(doc_slice, on="a_id", how="left")
+
+    t0 = time.perf_counter()
+    ok, checked, schema_ok = True, 0, True
+    for k in range(n_slices):
+        e_slice = con.execute(sliced.format(n=n_slices, k=k)).fetchdf()
+        a_slice = (a_tag[a_tag["_slc"] == k]
+                   .drop(columns=["_slc"]).reset_index(drop=True))
+        checked += len(e_slice)
+        schema_ok = schema_ok and (
+            sorted(a_slice.columns) == sorted(e_slice.columns))
+        if not _frames_equal(a_slice, e_slice):
+            ok = False
+            break
+        del e_slice, a_slice
+        gc.collect()
+    t_duck = time.perf_counter() - t0
+    return {
+        "rows_match": checked == len(a_pdf), "schema_match": schema_ok,
+        "hash_match": ok and checked == len(a_pdf),
+        "spark_rows": len(a_pdf), "oracle_rows": checked, "err": None,
+        "method": f"registered oracle re-run per source-slice "
+                  f"({n_slices} hash(source) slices; pairs form only "
+                  "within a source, so slicing is exact; union of "
+                  "slices = whole corpus)",
+        "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
+    }
+
+
 def check_passjoin(spark, sf_dir: str, con) -> dict:
     """ext_fuzzy_passjoin at the 100x tier. Its registered oracle IS the
     per-block quadratic join — ~2e10 raw candidate pairs here (150
@@ -824,6 +886,7 @@ CHECKS = {
     "ext_winnow_fingerprint": check_winnow,
     "ext_strip_dup_spans": check_strip_dup_spans,
     "ext_embedding_neardup": check_embedding_neardup,
+    "ext_shingle_jaccard": check_shingle_jaccard,
     "ext_fuzzy_passjoin": check_passjoin,
 }
 
