@@ -200,7 +200,15 @@ def main() -> None:
     p.add_argument("--dst", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".localdata", "sf1"))
+    p.add_argument("--only", default=None,
+                   help="comma-separated table subset — resume a partial "
+                        "run (e.g. --only embeddings) without re-deriving "
+                        "the tables that already wrote")
     args = p.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def wanted(name: str) -> bool:
+        return only is None or name in only
 
     from gads_etl_spark.session import get_session
 
@@ -219,6 +227,8 @@ def main() -> None:
             F.max(col).cast("long")).collect()[0][0] + 1
 
     def write(name: str, df: DataFrame) -> None:
+        if not wanted(name):
+            return
         path = f"{args.dst}/{name}.parquet"
         df.write.mode("overwrite").parquet(path)
         print(f"wrote {path}: {spark.read.parquet(path).count()} rows")
@@ -231,6 +241,8 @@ def main() -> None:
         while 100-way unions are the measured-fine sf10 shape. Chunks
         append to the same dir; factors <= chunk take the identical
         single overwrite job as before."""
+        if not wanted(name):
+            return
         path = f"{args.dst}/{name}.parquet"
         mode = "overwrite"
         for lo in range(0, args.factor, chunk):
@@ -379,9 +391,15 @@ def main() -> None:
                 lambda v, j: F.when(j % 2 == 1, -v).otherwise(v))
         elif wrap >= 2:
             neg = [j for j, m in enumerate(masks[wrap]) if m == -1]
-            rotated = F.transform(
-                rotated,
-                lambda v, j, neg=neg: F.when(j.isin(neg), -v).otherwise(v))
+
+            # Close over ``neg`` with a nested def, NOT a default arg:
+            # F.transform derives the HOF's arity from the callable's
+            # parameter count, so ``lambda v, j, neg=neg`` builds an
+            # (invalid) 3-arg lambda — INVALID_LAMBDA_FUNCTION_CALL.
+            def _mask(v, j):
+                return F.when(j.isin(neg), -v).otherwise(v)
+
+            rotated = F.transform(rotated, _mask)
         return df.select(
             (F.col("vec_id") + F.lit(i * strides["vec_id"])).alias("vec_id"),
             rotated.alias("embedding"),
