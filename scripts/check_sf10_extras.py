@@ -103,7 +103,10 @@ def fresh_con(sf: str) -> "duckdb.DuckDBPyConnection":
     c = duckdb.connect()
     # Same memory discipline as check_queries.fresh_con (DuckDB's
     # effective default ceiling collapses beside a resident JVM).
-    c.execute("SET threads=8")
+    # Thread count env-overridable for the compute-bound checks (the
+    # embedding_neardup chunk loop is pure cosine arithmetic) when the
+    # host is otherwise idle.
+    c.execute(f"SET threads={int(os.environ.get('SPARK_GRAFT_EXTRAS_DUCKDB_THREADS', '8'))}")
     c.execute("SET memory_limit='40GB'")
     c.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
@@ -912,7 +915,12 @@ def main() -> int:
 
     from gads_etl_spark.session import get_session
 
-    spark = get_session("check-sf10-extras", cpus=8)
+    # 8 threads keeps the usual run inside half the host beside DuckDB;
+    # SPARK_GRAFT_EXTRAS_CPUS=32 for the Spark-heavy checks (the
+    # embedding_neardup Spark side is ~2e9 interpreted-HOF cosines —
+    # 4x threads is 4x wall) when the host is otherwise idle.
+    spark = get_session("check-sf10-extras", cpus=int(
+        os.environ.get("SPARK_GRAFT_EXTRAS_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
 
     default_sf10 = os.path.join(os.path.dirname(os.path.dirname(

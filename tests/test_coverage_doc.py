@@ -201,3 +201,33 @@ def test_sweep_docs_cannot_drift():
     assert int(m.group(1)) == len(cq.SF1_SWEEP), (
         f"COVERAGE.md says {m.group(1)} sf1-sweep queries; "
         f"list has {len(cq.SF1_SWEEP)}")
+
+
+def test_sf10_extras_artifact_covers_every_restated_oracle():
+    """Round 13 closed the sf10 deferred list: every SF10_EXCLUDED name
+    whose reason points at the extras script must have a green,
+    method-labeled record in the committed CORRECTNESS_sf10_extras.json
+    — otherwise the exclusion reason is a dangling citation."""
+    import importlib.util
+    import json
+    import subprocess
+
+    spec = importlib.util.spec_from_file_location(
+        "check_queries", REPO / "scripts" / "check_queries.py")
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    path = REPO / "CORRECTNESS_sf10_extras.json"
+    assert path.exists(), "run: python scripts/check_sf10_extras.py " \
+                          "(needs .localdata/sf10)"
+    tracked = subprocess.run(
+        ["git", "ls-files", "--error-unmatch", path.name],
+        cwd=REPO, capture_output=True)
+    assert tracked.returncode == 0
+    records = json.loads(path.read_text())
+    cited = {n for n, why in cq.SF10_EXCLUDED.items() if "extras" in why}
+    missing = sorted(cited - set(records))
+    assert not missing, f"extras-cited exclusions without a record: {missing}"
+    bad = sorted(n for n, r in records.items()
+                 if not r.get("hash_match") or r.get("err")
+                 or not r.get("method"))
+    assert not bad, f"non-green extras records: {bad}"
