@@ -148,14 +148,15 @@ _SF10_BENCHABLE_EXCLUDED = [
     "ext_block_pack", "ext_dup_clusters", "ext_cluster_dedup",
     "ext_cluster_best_dedup", "ext_cluster_sizes",
     # Round 13: three of the four former deferrals closed by
-    # restated-oracle extras checks have corpus-linear Spark sides and
-    # are benchable. ext_embedding_neardup is NOT on the list: its
-    # Spark side IS the blocked all-pairs argmax (~2e9 within-label
-    # cosines at this tier — label cardinality is fixed, so blocks grow
-    # with the corpus and the per-block quadratic dominates); its
-    # measured 100x wall is the spark_sec field of its
-    # CORRECTNESS_sf10_extras.json record, and its scale path is
-    # ext_semantic_dedup (cluster-blocked, sqrt(N) cells).
+    # restated-oracle extras checks are benchable under the noop-sink
+    # action (which materializes their projection work — see _measure).
+    # ext_embedding_neardup is NOT on the list: its Spark side IS the
+    # blocked all-pairs argmax (~2e9 within-label cosines at this tier —
+    # label cardinality is fixed, so blocks grow with the corpus and
+    # the per-block quadratic dominates); its measured 100x wall is the
+    # spark_sec field of its CORRECTNESS_sf10_extras.json record, and
+    # its scale path is ext_semantic_dedup (cluster-blocked, sqrt(N)
+    # cells).
     "ext_winnow_fingerprint", "ext_strip_dup_spans",
     "ext_shingle_jaccard",
 ]
@@ -504,19 +505,33 @@ def _measure(spark, names: list[str] | None = None) -> dict:
         # repeated passes settles single-run noise. Every query is
         # failure-isolated: one broken query records an error entry and
         # the JSON line still prints with everything else's numbers.
+        # The measured action is a NOOP-SINK WRITE, not .count():
+        # count() legally COLUMN-PRUNES everything the row count doesn't
+        # need — a pure-projection operator collapses to a row-count
+        # scan (ext_winnow_fingerprint "measured" 0.18s at sf10 for
+        # 165M md5s before round 13 switched the action) and Catalyst
+        # drops sorts under aggregates. The noop sink consumes every
+        # output column through the full physical plan and writes
+        # nothing — the standard Spark materialization harness. For
+        # aggregate/join queries (tiny outputs) the delta vs count() is
+        # noise; for map-only operators it is the difference between
+        # measuring the operator and measuring parquet footers.
+        def _exec(name: str) -> None:
+            (REGISTRY[name].fn(spark, SF_DIR)
+             .write.format("noop").mode("overwrite").save())
+
         timings: dict[str, float] = {}
         for name in batch:
             try:
-                REGISTRY[name].fn(spark, SF_DIR).count()  # warmup
+                _exec(name)  # warmup
                 samples = []
-                n = 0
                 for _ in range(measured_runs):
                     t0 = time.perf_counter()
-                    n = REGISTRY[name].fn(spark, SF_DIR).count()
+                    _exec(name)
                     samples.append(time.perf_counter() - t0)
                 timings[name] = round(statistics.median(samples), 4)
                 print(f"# {name}: {timings[name]:.3f}s median of "
-                      f"{[round(s, 3) for s in samples]} ({n} rows)",
+                      f"{[round(s, 3) for s in samples]}",
                       file=sys.stderr)
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
