@@ -279,12 +279,28 @@ def quantize_int8(
     tests). Zero vectors quantize to all-zero with scale 0.
 
     Per-row expression work only — no shuffle, no UDF.
+
+    The scale is LET-BOUND via a single-element ``transform`` before the
+    per-element lambda uses it. Referencing the ``array_max`` expression
+    directly inside the element lambda re-evaluates it PER ELEMENT —
+    higher-order functions are interpreted (no codegen, no
+    subexpression elimination) and ``CollapseProject`` re-inlines any
+    intermediate column — making quantization O(dim²) per row; measured
+    at the 100x tier this was ~10s for 200k×64 vectors before the
+    binding (round 13). A lambda variable is bound once per row, so the
+    pass is O(dim).
     """
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
-    q = F.when(amax == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    q = F.get(
+        F.transform(
+            F.array(scale),
+            lambda s: F.when(s == 0.0, F.transform(v, lambda x: F.lit(0)))
+            .otherwise(F.transform(
+                v, lambda x: F.floor(x / s + F.lit(0.5)).cast("int"))),
+        ),
+        F.lit(0),
     )
     return df.withColumn(q_col, q).withColumn(scale_col, scale)
 

@@ -1703,21 +1703,45 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     quant = S.quantize_int8(emb)
     v = F.col("embedding").cast("array<double>")
-    qd = F.transform(F.col("q_vec"), lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(v, qd, lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nq = F.sqrt(F.aggregate(F.zip_with(qd, qd, lambda a, b: a * b),
-                            F.lit(0.0), lambda acc, x: acc + x))
+
+    # LET-BIND the quantized vector: q_vec is a derived column, and
+    # CollapseProject inlines its (interpreted, CSE-less) HOF definition
+    # into every one of the six consumers below — six quantization
+    # passes per row. Binding it as a lambda variable via a
+    # single-element transform evaluates it exactly once per row (same
+    # idiom as operators/similarity.py:quantize_int8).
+    def _report(q):
+        qd = F.transform(q, lambda x: x.cast("double"))
+        dot = F.aggregate(F.zip_with(v, qd, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        nv = F.sqrt(F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        nq = F.sqrt(F.aggregate(F.zip_with(qd, qd, lambda a, b: a * b),
+                                F.lit(0.0), lambda acc, x: acc + x))
+        return F.struct(
+            F.aggregate(q, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x.cast("long")).alias("q_sum"),
+            F.array_min(q).cast("long").alias("q_min"),
+            F.array_max(q).cast("long").alias("q_max"),
+            F.round(dot / (nv * nq), 6).alias("cos_fid"),
+        )
+
+    # explode (a Generate node, not a projection) materializes the
+    # 1-element report as a real output attribute: field extraction
+    # below references the attribute instead of re-inlining the
+    # computation per field (GetStructField cannot simplify through the
+    # lambda boundary, so a plain projection would evaluate the report
+    # four times). No shuffle; the generator is 1:1 by construction.
     return quant.select(
         "vec_id", "label",
         F.round(F.col("q_scale"), 6).alias("scale6"),
-        F.aggregate("q_vec", F.lit(0).cast("long"),
-                    lambda acc, x: acc + x.cast("long")).alias("q_sum"),
-        F.array_min("q_vec").cast("long").alias("q_min"),
-        F.array_max("q_vec").cast("long").alias("q_max"),
-        F.round(dot / (nv * nq), 6).alias("cos_fid"),
+        F.explode(F.transform(F.array(F.col("q_vec")), _report)).alias("_r"),
+    ).select(
+        "vec_id", "label", "scale6",
+        F.col("_r.q_sum").alias("q_sum"),
+        F.col("_r.q_min").alias("q_min"),
+        F.col("_r.q_max").alias("q_max"),
+        F.col("_r.cos_fid").alias("cos_fid"),
     )
 
 
