@@ -725,16 +725,43 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
     a = t.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
     b = t.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
-    pairs = a.join(b, "label").where(F.col("a_id") < F.col("b_id"))
+    # Salt the block join: |label| is a handful, so an unsalted
+    # equi-join scores every within-label pair in |label| tasks no
+    # matter how many cores the cluster has (AQE's skew splitting keys
+    # off INPUT partition sizes, and the inputs here are small — the
+    # blow-up happens inside the join). Salting the probe side by
+    # a_id%K and replicating the build side K ways spreads the scoring
+    # across |label|×K tasks; each (a, b) pair still joins exactly once
+    # (only at salt == a_id%K), so the result is identical.
+    _K = 8
+    a_s = a.withColumn("_salt", F.pmod(F.col("a_id"), F.lit(_K)))
+    b_s = b.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_K)])))
+    pairs = (a_s.join(b_s, ["label", "_salt"])
+             .where(F.col("a_id") < F.col("b_id")))
     scored = pairs.select(
         "label", "a_id", "b_id",
         F.round(S.cosine(F.col("a_e"), F.col("b_e")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), "a_id", "b_id")
+    # Per-label argmax as a streaming max_by aggregate, NOT a
+    # row_number window: the window formulation shuffles and SORTS the
+    # entire scored pair relation into |label| partitions (at the 100x
+    # tier: ~2e9 rows across 10 tasks — a multi-hour skew-bound sort
+    # for ten output rows; measured round 13). max_by over
+    # (cos, -a_id, -b_id) is the identical total order (struct
+    # comparison is lexicographic: max cos, then min a_id, then min
+    # b_id) evaluated as a map-side partial aggregate — each scoring
+    # task reduces its pairs to one candidate per label before any
+    # exchange, so the shuffle carries |labels|×|tasks| rows.
+    best = F.max_by(
+        F.struct("cos_sim", "a_id", "b_id"),
+        F.struct(F.col("cos_sim"), -F.col("a_id"), -F.col("b_id")),
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("label").agg(best.alias("_b"))
+        .select("label", F.col("_b.a_id").alias("a_id"),
+                F.col("_b.b_id").alias("b_id"),
+                F.col("_b.cos_sim").alias("cos_sim"))
     )
 
 

@@ -173,24 +173,30 @@ SF10_EXCLUDED = {
     "ext_strip_dup_spans": "DuckDB OOM rebuilding 500k stripped texts "
                            "in one statement; global span table + "
                            "per-slice rebuild parity in extras",
-    "ext_embedding_neardup": "~2e9 within-label cosines in one "
-                             "statement; slice-pair chunked exact "
-                             "argmax in extras",
     "ext_shingle_jaccard": "500k shingle lists + 62M intersects in one "
                            "statement; per-source-slice full parity "
                            "in extras",
 }
 
-#: Round 13 closed the deferred list: the round-12 deferrals were each
-#: either probed-tractable and promoted into the sweep
-#: (ev_top_paths 7.6s, ext_sorted_neighborhood 39s after its band join
-#: was rewritten as 3 exact rank equi-joins, ext_repetition_filter
-#: 145s, ext_semantic_dedup 255s once n_clusters scaled ~sqrt(N)) or
-#: given a restated-oracle full-parity check in check_sf10_extras.py
-#: and moved to SF10_EXCLUDED with the reason above. Kept as a dict so
-#: the three-way partition (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry)
-#: stays test-pinned; a future defer must re-enter here with a reason.
-SF10_DEFERRED: dict[str, str] = {}
+#: Round 13 closed 7 of the 8 round-12 deferrals: probed-tractable and
+#: promoted into the sweep (ev_top_paths 7.6s, ext_sorted_neighborhood
+#: 39s after its band join was rewritten as 3 exact rank equi-joins,
+#: ext_repetition_filter 145s, ext_semantic_dedup 255s once n_clusters
+#: scaled ~sqrt(N)) or given a restated-oracle full-parity check in
+#: check_sf10_extras.py and moved to SF10_EXCLUDED with the reason
+#: above (winnow, strip_dup_spans, shingle_jaccard; plus the PassJoin
+#: three-way certificate). The three-way partition
+#: (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry) stays test-pinned.
+SF10_DEFERRED: dict[str, str] = {
+    # Probed round 13: its slice-pair chunked extras oracle ran the
+    # full ~2e9-cosine Spark side (max_by formulation, ~40 min) but the
+    # DuckDB chunk loop exhausted the host's 50GB of free disk in
+    # spill (per-connection temp accumulates across the 36 chunks).
+    # MATCH at sf0.01 and sf1; extras rerun with a streaming arg_max
+    # chunk oracle + per-chunk reconnect is queued.
+    "ext_embedding_neardup": "extras oracle probed at 100x: DuckDB "
+                             "spill exceeded free disk; MATCH at sf1",
+}
 SF10_SWEEP = sorted(n for n in _REGISTRY
                     if n not in SF10_EXCLUDED and n not in SF10_DEFERRED)
 

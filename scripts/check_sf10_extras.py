@@ -609,7 +609,15 @@ def check_embedding_neardup(spark, sf_dir: str, con,
     formulation (~5x faster over the tier's ~2e9 pairs); the two are
     verified cell-identical inside this check on a bounded pair subset
     before any chunk runs, and the surviving 10 rows are compared
-    against Spark exactly as always."""
+    against Spark exactly as always.
+
+    Two disk-discipline lessons from the first 100x probe (round 13):
+    each chunk reduces via a STREAMING ``arg_max`` aggregate, not a
+    ``row_number`` window (the window materializes the chunk's scored
+    pairs into temp — the probe exhausted 50 GB of spill), and each
+    chunk runs on its OWN connection so any temp a chunk does create
+    is released with the connection instead of accumulating across
+    the n²/2 loop."""
     import pandas as pd
 
     from gads_etl_spark.queries import REGISTRY
@@ -651,27 +659,46 @@ def check_embedding_neardup(spark, sf_dir: str, con,
                 "oracle_rows": None,
                 "err": f"native cosine != lambda on {bad} guard pairs",
                 "method": "errored"}
+    con.execute("DROP TABLE v")
+    # Streaming per-chunk reduction: arg_max over the registered total
+    # order ((cos_sim, -a_id, -b_id) lexicographic — struct comparison)
+    # needs O(|labels|) state instead of materializing the chunk's
+    # scored pairs for a window sort. Each chunk gets a fresh
+    # connection so whatever temp it creates dies with it.
     chunk_sql = """
-        SELECT label, a_id, b_id, cos_sim FROM (
-            SELECT a.label AS label, a.vec_id AS a_id, b.vec_id AS b_id,
-                   round(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim,
-                   row_number() OVER (
-                       PARTITION BY a.label
-                       ORDER BY round(list_cosine_similarity(a.emb, b.emb),
-                                      6) DESC,
-                                a.vec_id, b.vec_id) AS rn0
+        WITH v AS (
+            SELECT label, vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        )
+        SELECT label,
+               -best.na AS a_id, -best.nb AS b_id, best.c AS cos_sim
+        FROM (
+            -- max over a struct is lexicographic on its fields, so the
+            -- key (c, -a_id, -b_id) IS the registered total order (max
+            -- cos, then min a_id, then min b_id) and determines the
+            -- pair, so no extra payload fields are needed.
+            SELECT a.label AS label,
+                   max(struct_pack(
+                       c := round(list_cosine_similarity(a.emb, b.emb), 6),
+                       na := -a.vec_id, nb := -b.vec_id)) AS best
             FROM v a JOIN v b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE least(a.vec_id % {n}, b.vec_id % {n}) = {i}
               AND greatest(a.vec_id % {n}, b.vec_id % {n}) = {j}
-        ) WHERE rn0 = 1
+            GROUP BY a.label
+        )
     """
     cands = []
     for i in range(n_slices):
         for j in range(i, n_slices):
-            cands.append(con.execute(
-                chunk_sql.format(n=n_slices, i=i, j=j)).fetchdf())
-    con.execute("DROP TABLE v")
+            c = fresh_con(sf_dir)
+            try:
+                cands.append(c.execute(
+                    chunk_sql.format(n=n_slices, i=i, j=j)).fetchdf())
+            finally:
+                c.close()
+            gc.collect()
     allc = pd.concat(cands, ignore_index=True)
     # Reduce to the registered projection under the registered tiebreak.
     allc = allc.sort_values(
@@ -687,8 +714,9 @@ def check_embedding_neardup(spark, sf_dir: str, con,
         "schema_match": sorted(a_pdf.columns) == sorted(e_pdf.columns),
         "hash_match": ok, "spark_rows": len(a_pdf),
         "oracle_rows": len(e_pdf), "err": None,
-        "method": f"slice-pair chunked argmax ({n_slices} vec_id slices, "
-                  "exact partition of all within-label pairs; native "
+        "method": f"slice-pair chunked STREAMING arg_max ({n_slices} "
+                  "vec_id slices, exact partition of all within-label "
+                  "pairs; per-chunk fresh connection; native "
                   "list_cosine_similarity guard-verified cell-identical "
                   "to the registered lambda before scoring)",
         "spark_sec": round(t_spark, 1), "oracle_sec": round(t_duck, 1),
