@@ -242,15 +242,74 @@ SF100_PROBE = [
 ]
 
 
-def run_sf100() -> None:
-    """--sf100: the third measured decade. Writes ``BENCH_sf100.json``
-    with per-query sf1/sf10/sf100 walls and both decade ratios, pulling
-    the lower-tier numbers from the committed ``BENCH_sf10.json`` (same
-    protocol, same host) so one file carries the whole scaling story.
-    Each probe runs in its OWN fresh child JVM (chunk=1): at this tier a
-    single query's executor state (shuffle files, broadcast cleanup)
-    measurably pollutes the next query's numbers, and a query that dies
-    (OOM) must not take finished numbers with it."""
+def refresh_sf10(names: list[str]) -> None:
+    """--refresh-sf10 name [name...]: re-measure the named queries at
+    all three tiers (sf0.1 / sf1 / sf10, one fresh child JVM per tier)
+    and patch their rows in the committed ``BENCH_sf10.json`` in place,
+    recording the patch in a top-level ``refreshed`` map. Exists for
+    the case where a plan fix lands after the full tier sweep: the
+    committed artifact would otherwise keep reporting the PRE-fix wall
+    (round 13 left ext_embedding_quantize at 10.61s/12.41x after the
+    O(dim) rewrite) and a future round would read a scaling ratio the
+    code no longer produces. Same 1-warmup + median-of-3 protocol, same
+    fresh-JVM isolation as the sweep that wrote the artifact."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf10_path = os.path.join(here, "BENCH_sf10.json")
+    with open(sf10_path) as fh:
+        doc = json.load(fh)
+    tiers = {
+        "sf0.1": SF_DIR,
+        "sf1": os.path.join(here, ".localdata", "sf1"),
+        "sf10": os.path.join(here, ".localdata", "sf10"),
+    }
+    walls: dict[str, dict[str, float]] = {n: {} for n in names}
+    for tier, sf_dir in tiers.items():
+        body = _bench_tier(sf_dir, only=names)
+        if body is None:
+            print(json.dumps({"error": f"{tier} refresh child died"}))
+            return
+        for n, w in body["queries"].items():
+            walls[n][tier] = w
+        for n, err in body["errors"].items():
+            print(json.dumps({"error": f"{n} at {tier}: {err}"}))
+            return
+    for n in names:
+        row = {
+            "sf0.1": walls[n].get("sf0.1"),
+            "sf1": walls[n].get("sf1"),
+            "sf10": walls[n].get("sf10"),
+            "ratio_sf10_over_sf1": (
+                round(walls[n]["sf10"] / walls[n]["sf1"], 2)
+                if walls[n].get("sf1") else None),
+        }
+        doc["queries"][n] = row
+        doc.setdefault("refreshed", {})[n] = (
+            "re-measured post plan-fix (all three tiers, fresh child "
+            "JVMs, 1 warmup + median-of-3); supersedes the row from the "
+            "original sweep")
+        print(json.dumps({"query": n, **row}))
+    if "sf10_probe_total" in doc:
+        doc["sf10_probe_total"] = round(sum(
+            v["sf10"] for v in doc["queries"].values()
+            if isinstance(v, dict) and v.get("sf10")), 4)
+    with open(sf10_path, "w") as fh:
+        fh.write(json.dumps(doc) + "\n")
+    print(json.dumps({"refreshed": names, "artifact": sf10_path}))
+
+
+def run_sf100(only: list[str] | None = None) -> None:
+    """--sf100 [names...]: the third measured decade. Writes
+    ``BENCH_sf100.json`` with per-query sf1/sf10/sf100 walls and both
+    decade ratios, pulling the lower-tier numbers from the committed
+    ``BENCH_sf10.json`` (same protocol, same host) so one file carries
+    the whole scaling story. Each probe runs in its OWN fresh child JVM
+    (chunk=1): at this tier a single query's executor state (shuffle
+    files, broadcast cleanup) measurably pollutes the next query's
+    numbers, and a query that dies (OOM) must not take finished numbers
+    with it. Passing names resumes an interrupted run: probes NOT named
+    keep their walls/errors from the existing artifact; named probes
+    re-run and overwrite theirs — so a cut run can be finished without
+    burning hours repeating the probes that already landed."""
     here = os.path.dirname(os.path.abspath(__file__))
     sf100_dir = os.path.join(here, ".localdata", "sf100")
     if not os.path.isdir(sf100_dir):
@@ -267,15 +326,36 @@ def run_sf100() -> None:
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
     runs = None
-    for name in SF100_PROBE:
+    todo = [n for n in SF100_PROBE if only is None or n in only]
+    if only:
+        # Resume: seed from the existing artifact so the probes we are
+        # NOT re-running survive the rewrite.
+        try:
+            with open(os.path.join(here, "BENCH_sf100.json")) as fh:
+                prior = json.load(fh)
+            runs = prior.get("runs")
+            for n, rec in prior.get("queries", {}).items():
+                if n in todo:
+                    continue
+                if rec.get("sf100") is not None:
+                    queries[n] = rec["sf100"]
+                if rec.get("error"):
+                    errors[n] = rec["error"]
+        except (OSError, json.JSONDecodeError):
+            pass
+    for name in todo:
         body = _bench_tier(sf100_dir, only=[name])
         if body is None:
             errors[name] = "bench child died"
-            continue
-        runs = runs or body.get("runs")
-        queries.update(body["queries"])
-        errors.update(body["errors"])
-        _write_sf100(here, queries, errors, runs, lower)  # incremental
+        else:
+            runs = runs or body.get("runs")
+            queries.update(body["queries"])
+            errors.update(body["errors"])
+        # Incremental write runs on BOTH paths: a child death must be
+        # recorded on disk before the next probe starts, or a kill
+        # during that probe erases the very failure this incremental
+        # design exists to preserve (round-13 advice).
+        _write_sf100(here, queries, errors, runs, lower)
     _write_sf100(here, queries, errors, runs, lower, final=True)
 
 
@@ -454,7 +534,15 @@ def main() -> None:
         run_tiers(with_sf10="--with-sf10" in sys.argv[1:])
         return
     if "--sf100" in sys.argv[1:]:
-        run_sf100()
+        names = [a for a in sys.argv[1:] if not a.startswith("--")]
+        run_sf100(only=names or None)
+        return
+    if "--refresh-sf10" in sys.argv[1:]:
+        names = [a for a in sys.argv[1:] if not a.startswith("--")]
+        if not names:
+            print(json.dumps({"error": "--refresh-sf10 needs query names"}))
+            return
+        refresh_sf10(names)
         return
     from gads_etl_spark.session import get_session
 

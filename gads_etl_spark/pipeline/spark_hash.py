@@ -27,8 +27,8 @@ Timestamps, floats, decimals, binary, and nested types are deliberately
 NOT implemented (timestamp literals pass through session-timezone
 conversion that this module must not re-guess); ``bucket_for`` returns
 None for them and the caller uses the engine path. A property test
-(tests/test_control_tables.py) pins every implemented type against the
-engine expression over randomized keys.
+(tests/test_control_plane.py, the spark_hash block) pins every
+implemented type against the engine expression over randomized keys.
 """
 
 from __future__ import annotations

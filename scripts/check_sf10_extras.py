@@ -627,6 +627,9 @@ def check_embedding_neardup(spark, sf_dir: str, con,
     t_spark = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    # Guard table lives in try/finally: if the guard query itself
+    # raises, v must not leak on the shared connection every later
+    # check in this run reuses (round-13 advice).
     con.execute("""
         CREATE TABLE v AS
         SELECT label, vec_id,
@@ -646,20 +649,22 @@ def check_embedding_neardup(spark, sf_dir: str, con,
                                                i -> b.emb[i] * b.emb[i]),
                                 (acc, x) -> acc + x))), 6)
     """
-    bad = con.execute(f"""
-        SELECT count(*) FROM v a JOIN v b
-          ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE a.vec_id < 2000 AND b.vec_id < 2000
-          AND ({lam}) IS DISTINCT FROM
-              round(list_cosine_similarity(a.emb, b.emb), 6)""").fetchone()[0]
-    if bad:
+    try:
+        bad = con.execute(f"""
+            SELECT count(*) FROM v a JOIN v b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000
+              AND ({lam}) IS DISTINCT FROM
+                  round(list_cosine_similarity(a.emb, b.emb), 6)
+        """).fetchone()[0]
+    finally:
         con.execute("DROP TABLE v")
+    if bad:
         return {"rows_match": False, "schema_match": False,
                 "hash_match": False, "spark_rows": len(a_pdf),
                 "oracle_rows": None,
                 "err": f"native cosine != lambda on {bad} guard pairs",
                 "method": "errored"}
-    con.execute("DROP TABLE v")
     # Streaming per-chunk reduction: arg_max over the registered total
     # order ((cos_sim, -a_id, -b_id) lexicographic — struct comparison)
     # needs O(|labels|) state instead of materializing the chunk's
