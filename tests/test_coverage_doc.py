@@ -231,3 +231,29 @@ def test_sf10_extras_artifact_covers_every_restated_oracle():
                  if not r.get("hash_match") or r.get("err")
                  or not r.get("method"))
     assert not bad, f"non-green extras records: {bad}"
+
+
+def test_readme_deferred_sentence_tracks_sf10_deferred():
+    """Round-13 verdict: README claimed "the sf10 deferred list is
+    empty" while check_queries.SF10_DEFERRED held one name — the
+    sentence was written before the artifact landed and never
+    re-checked. Pin the prose to the code: README must state either
+    "deferred list is empty" (iff SF10_DEFERRED is empty) or
+    "deferred list has N entr..." with N == len(SF10_DEFERRED)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_queries", REPO / "scripts" / "check_queries.py")
+    cq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cq)
+    readme = (REPO / "README.md").read_text()
+    m_empty = re.search(r"sf10 deferred list is empty", readme)
+    m_n = re.search(r"sf10 deferred list has (\d+) entr", readme)
+    assert m_empty or m_n, (
+        "README.md must state the sf10 deferred list size "
+        "(\"deferred list is empty\" or \"deferred list has N entries\")")
+    stated = 0 if m_empty else int(m_n.group(1))
+    assert stated == len(cq.SF10_DEFERRED), (
+        f"README says the sf10 deferred list has {stated} entries; "
+        f"check_queries.SF10_DEFERRED has {len(cq.SF10_DEFERRED)} "
+        f"({sorted(cq.SF10_DEFERRED)}) — update whichever is stale")
