@@ -2739,13 +2739,23 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     or garbled text has low typical-trigram coverage). Integer outputs
     (counts, not ratios) keep the oracle hash exact.
 
-    Scale shape: the corpus is scanned and exploded exactly ONCE — the
-    trigram relation feeds both the frequent-set aggregate and the join
-    probe, so it is materialized (localCheckpoint: narrow rows, doc_id +
-    3-char gram) rather than recomputed per consumer; two full corpus
-    explodes at 100 TB would double the dominant cost. The frequent set
-    is bounded (≤ |alphabet|³ grams) and broadcastable at ANY corpus
-    size; then one equi-join back, one per-doc aggregate.
+    Scale shape: the trigram relation feeds two consumers (the
+    frequent-set aggregate and the join probe), and each consumer
+    RECOMPUTES it — two pipelined scan+explode stages, zero
+    materialization. Through round 13 it was instead localCheckpointed
+    ("scan once"); that was the measured cause of the one above-linear
+    bench row (15.36× for 10× data, sf1→sf10): localCheckpoint stores
+    DESERIALIZED rows, and the ~1.6B-row (doc_id, gram) relation at the
+    100× tier is tens of GB of Java objects — past the storage
+    fraction, so it evicts to disk and GC-thrashes, while at sf1 the
+    ~160M rows still fit. Recompute has no such cliff: both explodes
+    stream straight into partial aggregates (the probe side collapses
+    per doc_id map-side after its broadcast join), so the cost is 2×
+    one scan stage's CPU at ANY scale — strictly linear, and cheaper
+    in wall than materialize-once everywhere past the cliff
+    (root-caused round 14: scripts/exp_trigram.py, SCALING.md). The
+    frequent set is bounded (≤ |alphabet|³ grams) and broadcastable at
+    any corpus size; then one equi-join back, one per-doc aggregate.
     """
     from gads_etl_spark.operators.util import spread
 
@@ -2756,7 +2766,7 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, greatest(length(text) - 2, 0)),"
             " i -> substring(lower(text), i, 3))"
         ))).alias("g"),
-    ).localCheckpoint(eager=True)
+    )
     freq = (
         tri.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 50).select("g", F.lit(1).alias("_f"))
