@@ -176,6 +176,16 @@ SF10_EXCLUDED = {
     "ext_shingle_jaccard": "500k shingle lists + 62M intersects in one "
                            "statement; per-source-slice full parity "
                            "in extras",
+    # Round 14: the last deferral closed. Full Spark side (~2e9
+    # within-label cosines, 1937s) vs the slice-pair chunked oracle —
+    # streaming arg_max per chunk (no window materialization) and a
+    # fresh DuckDB connection per chunk, the two disk-discipline fixes
+    # the round-13 probe's spill death taught; exact decomposition of
+    # the argmax, never a sample. MATCH, 10 rows == 10 rows.
+    "ext_embedding_neardup": "registered oracle is the all-pairs "
+                             "window argmax (DuckDB spill-infeasible "
+                             "at 100x); slice-pair streaming-arg_max "
+                             "full parity in extras",
 }
 
 #: Round 13 closed 7 of the 8 round-12 deferrals: probed-tractable and
@@ -185,18 +195,13 @@ SF10_EXCLUDED = {
 #: scaled ~sqrt(N)) or given a restated-oracle full-parity check in
 #: check_sf10_extras.py and moved to SF10_EXCLUDED with the reason
 #: above (winnow, strip_dup_spans, shingle_jaccard; plus the PassJoin
-#: three-way certificate). The three-way partition
-#: (SWEEP ∪ EXCLUDED ∪ DEFERRED == registry) stays test-pinned.
-SF10_DEFERRED: dict[str, str] = {
-    # Probed round 13: its slice-pair chunked extras oracle ran the
-    # full ~2e9-cosine Spark side (max_by formulation, ~40 min) but the
-    # DuckDB chunk loop exhausted the host's 50GB of free disk in
-    # spill (per-connection temp accumulates across the 36 chunks).
-    # MATCH at sf0.01 and sf1; extras rerun with a streaming arg_max
-    # chunk oracle + per-chunk reconnect is queued.
-    "ext_embedding_neardup": "extras oracle probed at 100x: DuckDB "
-                             "spill exceeded free disk; MATCH at sf1",
-}
+#: three-way certificate). Round 14 closed the last one
+#: (ext_embedding_neardup, reason above) — the deferred list is EMPTY:
+#: every registry query has a 100x parity record, in the sweep or in
+#: extras. The three-way partition (SWEEP ∪ EXCLUDED ∪ DEFERRED ==
+#: registry) stays test-pinned, and the empty dict stays so a future
+#: deferral has a place to land without re-plumbing.
+SF10_DEFERRED: dict[str, str] = {}
 SF10_SWEEP = sorted(n for n in _REGISTRY
                     if n not in SF10_EXCLUDED and n not in SF10_DEFERRED)
 
