@@ -454,6 +454,7 @@ def edit_distance_pairs_passjoin(
     id_col: str = "doc_id",
     name_col: str = "name",
     max_dist: int = 2,
+    _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact edit-distance similarity self-join via PassJoin segment
     filtering (Li, Deng, Wang, Feng, ICDE 2011 — public method): the
@@ -567,17 +568,24 @@ def edit_distance_pairs_passjoin(
     # candidate stream with both name strings attached. Verifying first
     # shrinks the dedup shuffle to the matched id-pairs (three narrow
     # columns), orders of magnitude smaller than the candidate stream.
+    # shuffle_hash pin, build on the index side (nseg keys/row vs
+    # the probe's ~8): BOTH sides of the segment join grow linearly
+    # with the corpus, so a broadcast is never the right strategy at
+    # scale — yet AQE converts to one the moment a side's COMPRESSED
+    # shuffle bytes dip under the adaptive threshold, and the hash
+    # relation it then builds is ~20x larger than those bytes
+    # (measured at the 100x tier: the 6M-row index side read as
+    # <64MB post-shuffle and the broadcast build OOMed the driver).
+    # Pinned, the join is per-partition build + stream at any scale.
+    cand = idx.hint("shuffle_hash").join(
+        probe, [*block_cols, "l", "i", "seg"])
+    if _candidates_only:
+        # Diagnostic hook (scripts/exp_passjoin_growth.py): the raw
+        # candidate stream, pre-orientation and pre-verify, so tier
+        # scaling of Σ_g |idx_g|·|probe_g| can be measured directly.
+        return cand
     return (
-        # shuffle_hash pin, build on the index side (nseg keys/row vs
-        # the probe's ~8): BOTH sides of the segment join grow linearly
-        # with the corpus, so a broadcast is never the right strategy at
-        # scale — yet AQE converts to one the moment a side's COMPRESSED
-        # shuffle bytes dip under the adaptive threshold, and the hash
-        # relation it then builds is ~20x larger than those bytes
-        # (measured at the 100x tier: the 6M-row index side read as
-        # <64MB post-shuffle and the broadcast build OOMed the driver).
-        # Pinned, the join is per-partition build + stream at any scale.
-        idx.hint("shuffle_hash").join(probe, [*block_cols, "l", "i", "seg"])
+        cand
         # Orientation: strictly-shorter index rows pair unconditionally
         # (the probe never looks upward, so the pair meets only here);
         # equal-length pairs orient by id. Also excludes self-pairs.
