@@ -294,7 +294,42 @@ def refresh_sf10(names: list[str]) -> None:
             if isinstance(v, dict) and v.get("sf10")), 4)
     with open(sf10_path, "w") as fh:
         fh.write(json.dumps(doc) + "\n")
+    # BENCH_tiers.json carries the same queries' sf0.1/sf1 walls from
+    # the same original sweep — patch it too, or the two committed
+    # artifacts disagree about the same query under the same protocol.
+    _patch_tiers(here, {n: walls[n] for n in names})
     print(json.dumps({"refreshed": names, "artifact": sf10_path}))
+
+
+def _patch_tiers(here: str, walls: dict[str, dict[str, float]]) -> None:
+    """Apply refreshed sf0.1/sf1 walls to BENCH_tiers.json in place
+    (queries live in either the 'queries' or 'extra' map of each tier
+    body; the cross-tier ratio map is recomputed for patched names).
+    Provenance goes in the same top-level 'refreshed' map shape as
+    BENCH_sf10.json's."""
+    tiers_path = os.path.join(here, "BENCH_tiers.json")
+    try:
+        with open(tiers_path) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return
+    for n, w in walls.items():
+        for tier_key, wall_key in (("sf0.1", "sf0.1"), ("sf1", "sf1")):
+            body = doc.get("tiers", {}).get(tier_key)
+            if body is None or w.get(wall_key) is None:
+                continue
+            for section in ("queries", "extra"):
+                if n in body.get(section, {}):
+                    body[section][n] = w[wall_key]
+        if w.get("sf0.1") and w.get("sf1"):
+            doc.setdefault("wall_ratio_sf1_over_sf0.1", {})[n] = round(
+                w["sf1"] / w["sf0.1"], 2)
+        doc.setdefault("refreshed", {})[n] = (
+            "re-measured post plan-fix by bench.py --refresh-sf10 "
+            "(fresh child JVMs, 1 warmup + median-of-3); supersedes "
+            "the original sweep's row")
+    with open(tiers_path, "w") as fh:
+        fh.write(json.dumps(doc) + "\n")
 
 
 def run_sf100(only: list[str] | None = None) -> None:
