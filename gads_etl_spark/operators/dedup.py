@@ -454,6 +454,7 @@ def edit_distance_pairs_passjoin(
     id_col: str = "doc_id",
     name_col: str = "name",
     max_dist: int = 2,
+    candidate_budget: int | None = None,
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact edit-distance similarity self-join via PassJoin segment
@@ -577,6 +578,32 @@ def edit_distance_pairs_passjoin(
     # (measured at the 100x tier: the 6M-row index side read as
     # <64MB post-shuffle and the broadcast build OOMed the driver).
     # Pinned, the join is per-partition build + stream at any scale.
+    if candidate_budget is not None:
+        # Signature-saturation guard (round 14, measured): PassJoin is
+        # candidate-LINEAR only while segment-key diversity grows with
+        # the corpus. On the 1000x fixture the ciphered vocabulary's
+        # segments collide across copies and the candidate stream grew
+        # 60x for 10x data (155M -> 9.3B; per-row candidates fit
+        # c0 + k*copies — scripts/exp_passjoin_growth.py) while output
+        # stayed linear. Off by default (the estimate itself shuffles
+        # both keyed sides, ~a third of the join's cost) — a deployment
+        # watching a growing corpus turns it on to get a named error
+        # instead of a silently super-linear join.
+        keys = [*block_cols, "l", "i", "seg"]
+        est = (idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("_ni"))
+               .join(probe.groupBy(*keys)
+                     .agg(F.count(F.lit(1)).alias("_np")), keys)
+               .agg(F.sum(F.col("_ni") * F.col("_np"))).collect()[0][0])
+        if est is not None and est > candidate_budget:
+            raise CandidateBudgetExceeded(
+                f"edit_distance_pairs_passjoin: estimated {est:,} "
+                f"segment-join candidates exceeds the budget of "
+                f"{candidate_budget:,}. Segment-key groups are "
+                f"saturating (bounded name vocabulary / colliding "
+                f"signatures), so the candidate stream is growing "
+                f"super-linearly in the corpus. Raise the budget to "
+                f"force the run, or re-block (finer block_cols) to "
+                f"restore signature diversity.")
     cand = idx.hint("shuffle_hash").join(
         probe, [*block_cols, "l", "i", "seg"])
     if _candidates_only:

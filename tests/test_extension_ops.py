@@ -986,3 +986,27 @@ class TestRetrievalFusion:
         assert len(reg) > 0
         for r in reg:
             assert round(sm[r.doc_id] / 1_000_000, 6) == r.bm25
+
+
+def test_passjoin_candidate_budget_guard(spark, docs_df=None):
+    """Round 14: the signature-saturation guard — a tiny budget must
+    raise with the estimate in the message; the default (None) and a
+    generous budget must return identical pairs."""
+    import pytest
+
+    from gads_etl_spark.operators.dedup import (
+        CandidateBudgetExceeded,
+        edit_distance_pairs_passjoin,
+    )
+
+    rows = [(i, f"name number {i % 7} variant", "t", "b")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "pid long, nm string, t string, b string")
+    kw = dict(block_cols=["t", "b"], id_col="pid", name_col="nm",
+              max_dist=2)
+    with pytest.raises(CandidateBudgetExceeded, match="segment-join"):
+        edit_distance_pairs_passjoin(df, candidate_budget=10, **kw)
+    base = sorted(edit_distance_pairs_passjoin(df, **kw).collect())
+    guarded = sorted(edit_distance_pairs_passjoin(
+        df, candidate_budget=10_000_000, **kw).collect())
+    assert base == guarded and len(base) > 0
