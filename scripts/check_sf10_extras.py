@@ -44,7 +44,7 @@ Writes ``CORRECTNESS_sf10_extras.json``; every record carries a
 the registered single-statement one.
 
 Usage: python scripts/check_sf10_extras.py [--sf DIR] [names...]
-       (default DIR .localdata/sf10; default names = all four checks)
+       (default DIR .localdata/sf10; default names = every check in CHECKS)
 """
 
 from __future__ import annotations
