@@ -302,25 +302,33 @@ def refresh_sf10(names: list[str]) -> None:
 
 
 def _patch_tiers(here: str, walls: dict[str, dict[str, float]]) -> None:
-    """Apply refreshed sf0.1/sf1 walls to BENCH_tiers.json in place
-    (queries live in either the 'queries' or 'extra' map of each tier
-    body; the cross-tier ratio map is recomputed for patched names).
-    Provenance goes in the same top-level 'refreshed' map shape as
-    BENCH_sf10.json's."""
+    """Apply refreshed walls to ALL THREE tier bodies of
+    BENCH_tiers.json in place (queries live in either the 'queries' or
+    'extra' map of each tier body; the cross-tier ratio map is
+    recomputed for patched names) and recompute every total derived
+    from a patched map. Round-14's version patched only sf0.1/sf1 and
+    left the per-query walls' sums alone, so the committed artifact
+    disagreed both with BENCH_sf10.json (stale sf10_probe rows) and
+    with ITSELF (extra_total != sum of the patched extra map) — the
+    exact drift this function exists to prevent. Provenance goes in the
+    same top-level 'refreshed' map shape as BENCH_sf10.json's."""
     tiers_path = os.path.join(here, "BENCH_tiers.json")
     try:
         with open(tiers_path) as fh:
             doc = json.load(fh)
     except (OSError, json.JSONDecodeError):
         return
+    touched = set()
     for n, w in walls.items():
-        for tier_key, wall_key in (("sf0.1", "sf0.1"), ("sf1", "sf1")):
+        for tier_key, wall_key in (("sf0.1", "sf0.1"), ("sf1", "sf1"),
+                                   ("sf10_probe", "sf10")):
             body = doc.get("tiers", {}).get(tier_key)
             if body is None or w.get(wall_key) is None:
                 continue
             for section in ("queries", "extra"):
                 if n in body.get(section, {}):
                     body[section][n] = w[wall_key]
+                    touched.add(tier_key)
         if w.get("sf0.1") and w.get("sf1"):
             doc.setdefault("wall_ratio_sf1_over_sf0.1", {})[n] = round(
                 w["sf1"] / w["sf0.1"], 2)
@@ -328,6 +336,15 @@ def _patch_tiers(here: str, walls: dict[str, dict[str, float]]) -> None:
             "re-measured post plan-fix by bench.py --refresh-sf10 "
             "(fresh child JVMs, 1 warmup + median-of-3); supersedes "
             "the original sweep's row")
+    # Totals are derived data — recompute them from the patched maps so
+    # the artifact stays internally consistent (extra_total/value must
+    # always equal the sum of the map they summarize).
+    for tier_key in touched:
+        body = doc["tiers"][tier_key]
+        if "extra" in body:
+            body["extra_total"] = round(sum(body["extra"].values()), 4)
+        if body.get("value") is not None and not body.get("incomplete"):
+            body["value"] = round(sum(body.get("queries", {}).values()), 4)
     with open(tiers_path, "w") as fh:
         fh.write(json.dumps(doc) + "\n")
 
@@ -345,6 +362,14 @@ def run_sf100(only: list[str] | None = None) -> None:
     keep their walls/errors from the existing artifact; named probes
     re-run and overwrite theirs — so a cut run can be finished without
     burning hours repeating the probes that already landed."""
+    unknown = [n for n in (only or []) if n not in SF100_PROBE]
+    if unknown:
+        # A typo'd resume name must fail loudly BEFORE the artifact is
+        # touched — silently dropping it would re-finalize the file
+        # having run zero probes (ADVICE r14).
+        print(json.dumps({"error": f"unknown sf100 probe names {unknown}; "
+                          f"valid: {SF100_PROBE}"}))
+        raise SystemExit(2)
     here = os.path.dirname(os.path.abspath(__file__))
     sf100_dir = os.path.join(here, ".localdata", "sf100")
     if not os.path.isdir(sf100_dir):

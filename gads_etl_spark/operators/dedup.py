@@ -454,7 +454,7 @@ def edit_distance_pairs_passjoin(
     id_col: str = "doc_id",
     name_col: str = "name",
     max_dist: int = 2,
-    candidate_budget: int | None = None,
+    candidate_budget: int | str | None = "auto",
     _candidates_only: bool = False,
 ) -> DataFrame:
     """Exact edit-distance similarity self-join via PassJoin segment
@@ -578,17 +578,27 @@ def edit_distance_pairs_passjoin(
     # (measured at the 100x tier: the 6M-row index side read as
     # <64MB post-shuffle and the broadcast build OOMed the driver).
     # Pinned, the join is per-partition build + stream at any scale.
+    if candidate_budget == "auto":
+        # Default budget: 200 candidates per corpus row, floored at 1M
+        # so toy fixtures never trip it. The linear regime measured ~26
+        # candidates/row on the 100x part fixture
+        # (scripts/exp_passjoin_growth.py), so 200x headroom only
+        # trips once signatures genuinely saturate (the sf100 fixture
+        # ran ~465/row — 9.3B over 20M rows — and SHOULD be stopped).
+        candidate_budget = max(1_000_000, 200 * base.count())
     if candidate_budget is not None:
-        # Signature-saturation guard (round 14, measured): PassJoin is
-        # candidate-LINEAR only while segment-key diversity grows with
-        # the corpus. On the 1000x fixture the ciphered vocabulary's
-        # segments collide across copies and the candidate stream grew
-        # 60x for 10x data (155M -> 9.3B; per-row candidates fit
-        # c0 + k*copies — scripts/exp_passjoin_growth.py) while output
-        # stayed linear. Off by default (the estimate itself shuffles
-        # both keyed sides, ~a third of the join's cost) — a deployment
-        # watching a growing corpus turns it on to get a named error
-        # instead of a silently super-linear join.
+        # Signature-saturation guard (round 14, measured; DEFAULT-ON
+        # since round 15): PassJoin is candidate-LINEAR only while
+        # segment-key diversity grows with the corpus. On the 1000x
+        # fixture the ciphered vocabulary's segments collide across
+        # copies and the candidate stream grew 60x for 10x data
+        # (155M -> 9.3B; per-row candidates fit c0 + k*copies —
+        # scripts/exp_passjoin_growth.py) while output stayed linear.
+        # The estimate is one keyed count-join (~a third of the join's
+        # own cost) — the price of saturation arriving as a NAMED error
+        # with the re-blocking remedy instead of a silently
+        # quadratic-in-disguise join. candidate_budget=None waives it
+        # (deliberate saturation probes); an int overrides "auto".
         keys = [*block_cols, "l", "i", "seg"]
         est = (idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("_ni"))
                .join(probe.groupBy(*keys)

@@ -192,6 +192,7 @@ def pagerank(
     checkpoint: bool = True,
     checkpoint_every: int = 3,
     edge_storage: "StorageLevel | None" = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank by fixed-iteration power method, computed
     entirely in scaled integers so the result is exact and engine- and
@@ -233,18 +234,30 @@ def pagerank(
       the BUILD side of a shuffle-hash join — per-partition build is
       |V|/partitions rows, scale-safe at any |V|, and the edge side can
       never be picked for a broadcast build. The pin matters because a
-      ``localCheckpoint``-ed relation keeps the SIZE ESTIMATE of the
-      plan it replaced (measured: 24M materialized edge rows reporting
+      checkpointed/re-read relation can carry a SIZE ESTIMATE far from
+      its true cost (measured: 24M materialized edge rows reporting
       24 MB), so from iteration ~2 — once the rank subtree's estimate
       outgrows that figure — the static planner would otherwise build
       a broadcast hash table out of the EDGE LIST and OOM the driver
       (observed at the 10× tier). The groupBy(dst) is the iteration's
-      real exchange. ``localCheckpoint`` truncates lineage every
+      real exchange. ``localCheckpoint`` truncates rank lineage every
       ``checkpoint_every`` iterations rather than every round: a
       checkpoint is an eager materialization (a full action + cache
       write), so per-round checkpointing pays iterations× scheduling
       round-trips while the lineage it guards against is only ~3 joins
       deep at cadence 3 — bounded either way, ~2.5× fewer actions.
+    - The loop-invariant edge relation is materialized ONCE to
+      columnar-compressed parquet (a temp directory, deleted on return)
+      and re-scanned per iteration — the round-15 default. The round-14
+      DISK_ONLY ``localCheckpoint`` stored the same relation as
+      block-store rows at ~32 B/edge; at the 1000× tier (2.4B edges)
+      that is ~77 GB and exceeded the host disk
+      (DIAG_pagerank_sf100.json), while parquet RLE/dictionary on the
+      src-sorted window output is ~5-8× smaller. A cluster deployment
+      does the same thing: loop-invariant state checkpoints to the lake,
+      not to executor block managers. ``edge_storage`` opts back into
+      the in-JVM persist for provably-small graphs; ``spill_dir`` puts
+      the parquet under a caller-owned path (kept on return).
     """
     from pyspark.sql.window import Window
 
@@ -252,30 +265,52 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
     ed = e.withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
-    if checkpoint:
-        # DISK_ONLY by default, not MEMORY_AND_DISK: the edge list is
-        # the |E|-sized relation every iteration re-reads, and caching
-        # it on-heap couples the operator's memory footprint to |E| —
-        # at the 100x tier (240M edges) the cached rows crowded the
-        # unified pool until hash aggregation could not get a page
-        # (AGGREGATE_OUT_OF_MEMORY). On disk it behaves like shuffle
-        # files — sequential local re-read per iteration, executor heap
-        # stays |V|-sized — which is exactly the footprint a cluster
-        # deployment has. Measured trade: sf0.1 wall 3.7s -> 5.1s (the
-        # 8 re-reads), sf10 dead -> 177s; callers whose graphs provably
-        # fit may pass ``edge_storage=MEMORY_AND_DISK`` to buy the toy-
-        # tier constant back. The small per-iteration rank checkpoints
-        # stay in memory either way.
-        from pyspark.storagelevel import StorageLevel
+    _spill_tmp = None
+    if checkpoint and edge_storage is not None:
+        # Opt-in in-JVM persist: callers whose graph provably fits may
+        # pass MEMORY_AND_DISK (or DISK_ONLY for the round-14 behavior)
+        # to skip the parquet round-trip below. On-heap caching couples
+        # the operator's memory footprint to |E| — at the 100x tier
+        # (240M edges) the cached rows crowded the unified pool until
+        # hash aggregation could not get a page (AGGREGATE_OUT_OF_MEMORY)
+        # — so this is a toy-tier constant-buying knob, not the default.
+        ed = ed.localCheckpoint(storageLevel=edge_storage)
+    elif checkpoint:
+        # Default (round 15): spill the materialized edge list to
+        # COLUMNAR-COMPRESSED parquet and re-scan it per iteration,
+        # instead of a DISK_ONLY localCheckpoint. Spark's block-store
+        # rows serialize at ~32 B/edge (measured: the sf100 2.4B-edge
+        # persist needed ~77 GB and died on a 60 GB-free disk —
+        # DIAG_pagerank_sf100.json), while parquet's dictionary/RLE on
+        # the window's src-sorted output stores the same relation ~5-8x
+        # smaller. This is also the shape a cluster deployment has: an
+        # iterative job checkpoints its loop-invariant relation to the
+        # lake (HDFS/S3), not the executors' block managers. The scan
+        # per iteration costs the parquet decode instead of the
+        # block-store read — both sequential local I/O.
+        import tempfile
 
-        ed = ed.localCheckpoint(
-            storageLevel=edge_storage or StorageLevel.DISK_ONLY)
+        spark = edges.sparkSession
+        _spill_tmp = spill_dir or tempfile.mkdtemp(prefix="gads_pr_edges_")
+        ed.write.mode("overwrite").parquet(_spill_tmp)
+        # Explicit schema: a zero-edge graph writes no part files, and
+        # a schema-less read of the bare directory would fail inference.
+        ed = spark.read.schema(ed.schema).parquet(_spill_tmp)
+        if spill_dir is not None:
+            _spill_tmp = None  # caller owns the directory; keep it
     stats = ed.agg(F.max("w").alias("wm"),
                    F.countDistinct("src").alias("n")).collect()[0]
     n, wmax = stats["n"], stats["wm"]
     if n == 0:
-        return ed.select(F.col("src").alias("node"),
-                         F.lit(0).cast("long").alias("pr_scaled"))
+        if _spill_tmp:
+            import shutil
+
+            shutil.rmtree(_spill_tmp, ignore_errors=True)
+        # Built from `edges`, not `ed`: the empty result must not keep a
+        # lineage into the just-deleted spill directory.
+        return edges.select(F.col(src).alias("node"),
+                            F.lit(0).cast("long").alias("pr_scaled")
+                            ).where(F.lit(False))
     mul = ("(pr_scaled * w) div outw" if wmax * scale < (1 << 62)
            else "(CAST(pr_scaled AS DECIMAL(38,0)) * w) div outw")
     teleport = ((100 - damping_pct) * scale) // (100 * n)
@@ -294,4 +329,24 @@ def pagerank(
         if checkpoint and (i + 1) % max(1, checkpoint_every) == 0 \
                 and i + 1 < iterations:
             r = r.localCheckpoint()
+            # Each truncation makes the previous rounds' shuffle files
+            # unreachable, but the ContextCleaner only deletes them
+            # after a DRIVER GC notices the dropped references — and a
+            # 31g heap can go many iterations without one. At the sf100
+            # tier ~8-12 GB of contribution shuffle per iteration piles
+            # up against a ~60 GB-free disk, so nudge the JVM; a no-op
+            # on memory-rich hosts, best-effort everywhere.
+            try:
+                edges.sparkSession.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — py4j access is optional
+                pass
+    if _spill_tmp:
+        import shutil
+
+        # Sever the result's lineage from the spill files (eager |V|-
+        # sized materialization), then reclaim the disk immediately —
+        # callers act on `r` after return, and a lazy plan reading a
+        # deleted directory would fail there.
+        r = r.localCheckpoint()
+        shutil.rmtree(_spill_tmp, ignore_errors=True)
     return r

@@ -65,6 +65,91 @@ def cosine_topk_bruteforce(
     )
 
 
+def blocked_neardup_best_pair(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 8,
+    pair_budget: int | None = 4_000_000_000,
+) -> DataFrame:
+    """Most-cosine-similar pair of embeddings within each blocking key —
+    the argmax form of a thresholded within-block near-dup pass.
+
+    This operator is DELIBERATELY quadratic within a block (every
+    within-label pair is scored exactly once); it is correct and
+    parity-proven to the 1000x tier, but its cost is Σ|block|², so it is
+    only the right tool while blocks are bounded. ``pair_budget``
+    enforces that boundary (round-15; previously the when-to-switch
+    lesson lived only in SCALING.md): one tiny per-label count aggregate
+    estimates the pair count before the join and raises
+    :class:`~gads_etl_spark.operators.dedup.CandidateBudgetExceeded`
+    naming the scale twins — :func:`semantic_dedup` (KMeans-cell-blocked
+    near-dup, ~N^1.5) or the ANN ladder (:func:`ivf_topk` /
+    :func:`ivfpq_topk`) — instead of silently burning a cluster on an
+    unbounded all-pairs. The default budget (4e9) sits above the proven
+    sf100 parity run (~2e9 scored pairs) so every committed evidence
+    point stays reproducible under defaults; ``pair_budget=None``
+    waives the guard.
+
+    Plan shape (unchanged from the parity-proven query):
+    - Salted block join: |label| is typically a handful, so an unsalted
+      equi-join scores every within-label pair in |label| tasks no
+      matter the cluster width (AQE skew splitting keys off INPUT sizes
+      — the blow-up is inside the join). Salting the probe side by
+      id % salt and replicating the build side spreads scoring across
+      |label|·salt tasks; each pair still joins exactly once.
+    - Per-label argmax as a streaming ``max_by`` aggregate, NOT a
+      row_number window: the window would shuffle and SORT the full
+      scored relation into |label| partitions (measured round 13:
+      multi-hour at the 100x tier); max_by reduces map-side to one
+      candidate per (task, label).
+    """
+    t = spread(df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    ))
+    if pair_budget is not None:
+        from gads_etl_spark.operators.dedup import CandidateBudgetExceeded
+
+        est = (t.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.sum(F.expr("n * (n - 1) div 2")))
+               .collect()[0][0]) or 0
+        if est > pair_budget:
+            raise CandidateBudgetExceeded(
+                f"blocked_neardup_best_pair: {est:,} within-block pairs "
+                f"exceeds the budget of {pair_budget:,}. Blocks grow "
+                f"with the corpus when the blocking key has fixed "
+                f"cardinality, so this all-pairs shape is past its "
+                f"domain — use semantic_dedup (cluster-blocked near-dup) "
+                f"or the ANN ladder (ivf_topk/ivfpq_topk), re-block on a "
+                f"finer key, or pass pair_budget=None to force the run.")
+    a = t.select("label", F.col("vec_id").alias("a_id"),
+                 F.col("e").alias("a_e"))
+    b = t.select("label", F.col("vec_id").alias("b_id"),
+                 F.col("e").alias("b_e"))
+    a_s = a.withColumn("_salt", F.pmod(F.col("a_id"), F.lit(salt)))
+    b_s = b.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    pairs = (a_s.join(b_s, ["label", "_salt"])
+             .where(F.col("a_id") < F.col("b_id")))
+    scored = pairs.select(
+        "label", "a_id", "b_id",
+        F.round(cosine(F.col("a_e"), F.col("b_e")), 6).alias("cos_sim"),
+    )
+    best = F.max_by(
+        F.struct("cos_sim", "a_id", "b_id"),
+        F.struct(F.col("cos_sim"), -F.col("a_id"), -F.col("b_id")),
+    )
+    return (
+        scored.groupBy("label").agg(best.alias("_b"))
+        .select("label", F.col("_b.a_id").alias("a_id"),
+                F.col("_b.b_id").alias("b_id"),
+                F.col("_b.cos_sim").alias("cos_sim"))
+    )
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -714,55 +714,19 @@ def ext_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key (equi-join), bounding the quadratic term per block —
     identical dataflow to a thresholded near-dup pass (this fixture's
     vectors have no pairs above any dedup threshold, so the query
-    surfaces the argmax pair instead of an empty set)."""
-    from pyspark.sql.window import Window
+    surfaces the argmax pair instead of an empty set).
 
+    Round 15: the plan moved verbatim into
+    operators/similarity.py:blocked_neardup_best_pair, which adds the
+    default-on pair budget (fixed-cardinality labels ⇒ Σ|block|² grows
+    quadratically in the corpus; past the budget the operator raises
+    naming semantic_dedup / the ANN ladder instead of silently running
+    an unbounded all-pairs). The default budget clears the proven sf100
+    parity run (~2e9 pairs), so this query's committed evidence remains
+    reproducible under defaults."""
     emb = load_table(spark, sf_dir, "embeddings")
-    from gads_etl_spark.operators.util import spread
-
-    t = spread(emb.select(
-        "label", F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
-    ))
-    a = t.select(F.col("label"), F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
-    b = t.select(F.col("label"), F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
-    # Salt the block join: |label| is a handful, so an unsalted
-    # equi-join scores every within-label pair in |label| tasks no
-    # matter how many cores the cluster has (AQE's skew splitting keys
-    # off INPUT partition sizes, and the inputs here are small — the
-    # blow-up happens inside the join). Salting the probe side by
-    # a_id%K and replicating the build side K ways spreads the scoring
-    # across |label|×K tasks; each (a, b) pair still joins exactly once
-    # (only at salt == a_id%K), so the result is identical.
-    _K = 8
-    a_s = a.withColumn("_salt", F.pmod(F.col("a_id"), F.lit(_K)))
-    b_s = b.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_K)])))
-    pairs = (a_s.join(b_s, ["label", "_salt"])
-             .where(F.col("a_id") < F.col("b_id")))
-    scored = pairs.select(
-        "label", "a_id", "b_id",
-        F.round(S.cosine(F.col("a_e"), F.col("b_e")), 6).alias("cos_sim"),
-    )
-    # Per-label argmax as a streaming max_by aggregate, NOT a
-    # row_number window: the window formulation shuffles and SORTS the
-    # entire scored pair relation into |label| partitions (at the 100x
-    # tier: ~2e9 rows across 10 tasks — a multi-hour skew-bound sort
-    # for ten output rows; measured round 13). max_by over
-    # (cos, -a_id, -b_id) is the identical total order (struct
-    # comparison is lexicographic: max cos, then min a_id, then min
-    # b_id) evaluated as a map-side partial aggregate — each scoring
-    # task reduces its pairs to one candidate per label before any
-    # exchange, so the shuffle carries |labels|×|tasks| rows.
-    best = F.max_by(
-        F.struct("cos_sim", "a_id", "b_id"),
-        F.struct(F.col("cos_sim"), -F.col("a_id"), -F.col("b_id")),
-    )
-    return (
-        scored.groupBy("label").agg(best.alias("_b"))
-        .select("label", F.col("_b.a_id").alias("a_id"),
-                F.col("_b.b_id").alias("b_id"),
-                F.col("_b.cos_sim").alias("cos_sim"))
-    )
+    return S.blocked_neardup_best_pair(
+        emb, label_col="label", id_col="vec_id", vec_col="embedding")
 
 
 @register(

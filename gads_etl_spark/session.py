@@ -103,18 +103,21 @@ def get_session(app_name: str = "gads_etl_spark", cpus: int | None = None,
     n = cpus or default_parallelism()
     builder = SparkSession.builder.appName(app_name).master(f"local[{n}]")
     conf = dict(_SCALE_DEFAULTS)
-    # Cores-sized by default; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides.
-    # The default is right up to the 100x tier, but the sf100 probes
-    # measured its failure mode (round 14): with 32 partitions over
-    # 600M-row shuffles, each concurrent per-partition hash/sort
-    # working set (q18's ~4.7M-group aggregate map, passjoin's ~2M-row
-    # SHJ build) crosses the execution-memory spill cliff, turning
-    # at-linear plans into 11-20x-per-decade rows. On a real cluster
-    # this is sized to the data (AQE coalesces the excess back); the
-    # env knob is the local equivalent — see SCALING.md round 14 for
-    # the measured 32-vs-128 deltas.
+    # 4x cores by default (round 15; SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # still overrides). Cores-sized (the old default) was right up to
+    # the 100x tier, but the sf100 probes measured its failure mode
+    # (round 14): with 32 partitions over 600M-row shuffles, each
+    # concurrent per-partition hash/sort working set (q18's ~4.7M-group
+    # aggregate map, passjoin's ~2M-row SHJ build) crosses the
+    # execution-memory spill cliff, turning at-linear plans into
+    # 11-20x-per-decade rows; DIAG_sf100_partitions.json measured
+    # -25%/-31% on q18/ext_block_pack at 128 partitions. 4x over-
+    # partitioning is free at the small tiers because AQE partition
+    # coalescing (enabled above) merges post-shuffle partitions back to
+    # the advisory size at runtime — the same reason a real cluster
+    # sets a high initial and lets AQE right-size per stage.
     conf["spark.sql.shuffle.partitions"] = os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(n))
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(4 * n))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,5 +1,6 @@
-"""Per-query process-isolated re-bench of the heaviest sf0.1 extras
-(round-13 verdict stretch task 6).
+"""Per-query process-isolated re-bench of the heaviest sf0.1 extras —
+the regression GATE for the engine's expensive operators (round-13
+verdict stretch task 6; promoted to a pass/fail check in round 15).
 
 Under the noop-sink action the sf0.1 extras sweep is dominated by a
 handful of heavy operators (pagerank, winnow, the IVF-PQ ladder,
@@ -7,19 +8,31 @@ simhash, passjoin). The driver's headline run measures them inside one
 long-lived JVM (~160 measurements deep), which inflates late queries
 1.5-2x (measured r11); this script gives each name its own fresh child
 JVM under the standard 1-warmup + median-of-3 protocol — the clean
-within-protocol regression baseline for future rounds.
+within-protocol baseline, and the only apples-to-apples way to compare
+a heavy query round-over-round.
 
-Writes BENCH_isolated_r14.json at the repo root.
+Writes BENCH_isolated_r{N}.json at the repo root (N = --round, default
+highest committed + 1), then compares every measured wall against the
+newest PRIOR BENCH_isolated_r*.json and EXITS NON-ZERO if any query
+drifted past --threshold (default 1.5x) — so a plan regression fails a
+scripted gate instead of waiting for a judge's eyeball. An intended
+regression (e.g. a default-on guard that adds a measured estimate pass)
+is acknowledged by committing the new artifact; the next run then
+baselines against it.
 
-Usage: python scripts/bench_isolated.py [name ...]
-       (default: the top names by r13 sf0.1 wall)
+Usage: python scripts/bench_isolated.py [--round N] [--threshold X]
+                                        [--no-check] [name ...]
+       (default names: the top of the sf0.1 extras sweep by wall)
 """
 
 from __future__ import annotations
 
+import argparse
+import glob
 import importlib.util
 import json
 import os
+import re
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -44,8 +57,35 @@ DEFAULT_NAMES = [
 ]
 
 
+def _rounds() -> dict[int, str]:
+    out = {}
+    for p in glob.glob(os.path.join(HERE, "BENCH_isolated_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            out[int(m.group(1))] = p
+    return out
+
+
 def main() -> int:
-    names = sys.argv[1:] or DEFAULT_NAMES
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number for the output artifact "
+                         "(default: highest committed + 1)")
+    ap.add_argument("--threshold", type=float, default=1.5,
+                    help="fail when wall > threshold x baseline")
+    ap.add_argument("--no-check", action="store_true",
+                    help="measure and write only; skip the drift gate")
+    args = ap.parse_args()
+    names = args.names or DEFAULT_NAMES
+
+    prior = _rounds()
+    rnd = args.round if args.round is not None else (
+        max(prior, default=0) + 1)
+    baseline_path = prior.get(max((k for k in prior if k < rnd),
+                                  default=-1))
+    out_path = os.path.join(HERE, f"BENCH_isolated_r{rnd}.json")
+
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
     runs = None
@@ -71,12 +111,35 @@ def main() -> int:
             "queries": queries,
             "errors": errors,
             "runs": runs,
+            "baseline": os.path.basename(baseline_path)
+            if baseline_path else None,
             "sf": 0.1,
         }
-        with open(os.path.join(HERE, "BENCH_isolated_r14.json"), "w") as fh:
+        # Incremental write: a dying child must not erase finished rows.
+        with open(out_path, "w") as fh:
             fh.write(json.dumps(doc) + "\n")
     print(json.dumps(doc))
-    return 1 if errors else 0
+
+    if errors:
+        return 1
+    if args.no_check or baseline_path is None:
+        return 0
+    base = json.load(open(baseline_path)).get("queries", {})
+    drifted = []
+    for name, wall in queries.items():
+        ref = base.get(name)
+        if ref and wall > args.threshold * ref:
+            drifted.append(f"{name}: {wall:.2f}s vs baseline {ref:.2f}s "
+                           f"({wall / ref:.2f}x)")
+    if drifted:
+        print(f"REGRESSION vs {os.path.basename(baseline_path)} "
+              f"(threshold {args.threshold}x):", file=sys.stderr)
+        for d in drifted:
+            print(f"  {d}", file=sys.stderr)
+        return 1
+    print(f"# drift gate OK vs {os.path.basename(baseline_path)} "
+          f"(threshold {args.threshold}x)", file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

@@ -46,4 +46,11 @@ if [[ "${1:-}" == "--full" ]]; then
     echo "== oracle parity (writes CORRECTNESS_full.json — commit it)"
     python scripts/check_queries.py --json CORRECTNESS_full.json
 fi
+if [[ "${1:-}" == "--bench" ]]; then
+    echo "== isolated-extras drift gate (writes BENCH_isolated_r<N>.json — commit it)"
+    # Re-measures the top-10 heavy extras in fresh child JVMs and fails
+    # on >1.5x drift vs the newest committed BENCH_isolated_r*.json.
+    # Run on a QUIET host — a concurrent CPU load shifts the medians.
+    python scripts/bench_isolated.py
+fi
 echo "dev_check OK"

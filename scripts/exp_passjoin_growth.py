@@ -45,13 +45,16 @@ def measure(spark, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     cand = edit_distance_pairs_passjoin(
         part, block_cols=["p_type", "p_brand"], id_col="pid",
-        name_col="p_name", max_dist=2, _candidates_only=True)
+        name_col="p_name", max_dist=2, candidate_budget=None,
+        _candidates_only=True)
     n_cand = cand.count()
     t_cand = time.perf_counter() - t0
     t0 = time.perf_counter()
+    # candidate_budget=None: this probe exists to MEASURE the saturated
+    # candidate stream the default-on guard would refuse to run.
     n_pairs = edit_distance_pairs_passjoin(
         part, block_cols=["p_type", "p_brand"], id_col="pid",
-        name_col="p_name", max_dist=2).count()
+        name_col="p_name", max_dist=2, candidate_budget=None).count()
     t_pairs = time.perf_counter() - t0
     n_part = part.count()
     return {

@@ -988,10 +988,10 @@ class TestRetrievalFusion:
             assert round(sm[r.doc_id] / 1_000_000, 6) == r.bm25
 
 
-def test_passjoin_candidate_budget_guard(spark, docs_df=None):
+def test_passjoin_candidate_budget_guard(spark):
     """Round 14: the signature-saturation guard — a tiny budget must
-    raise with the estimate in the message; the default (None) and a
-    generous budget must return identical pairs."""
+    raise with the estimate in the message; the default ("auto") and a
+    generous budget and an explicit waiver must return identical pairs."""
     import pytest
 
     from gads_etl_spark.operators.dedup import (
@@ -1009,4 +1009,60 @@ def test_passjoin_candidate_budget_guard(spark, docs_df=None):
     base = sorted(edit_distance_pairs_passjoin(df, **kw).collect())
     guarded = sorted(edit_distance_pairs_passjoin(
         df, candidate_budget=10_000_000, **kw).collect())
-    assert base == guarded and len(base) > 0
+    waived = sorted(edit_distance_pairs_passjoin(
+        df, candidate_budget=None, **kw).collect())
+    assert base == guarded == waived and len(base) > 0
+
+
+def test_passjoin_default_budget_trips_on_saturated_fixture(spark):
+    """Round 15: the guard is DEFAULT-ON. A corpus whose segment
+    signatures have fully saturated (every name identical ⇒ every probe
+    key hits every index key, candidates ~ n² while the corpus is n)
+    must raise on the DEFAULT path — no kwarg — naming the remedy; the
+    same corpus runs when the budget is explicitly waived."""
+    import pytest
+
+    from gads_etl_spark.operators.dedup import (
+        CandidateBudgetExceeded,
+        edit_distance_pairs_passjoin,
+    )
+
+    n = 2500  # est ≥ nseg·n² ≈ 18M > the 1M auto floor and 200·n
+    df = spark.createDataFrame(
+        [(i, "identical name text", "t", "b") for i in range(n)],
+        "pid long, nm string, t string, b string")
+    kw = dict(block_cols=["t", "b"], id_col="pid", name_col="nm",
+              max_dist=2)
+    with pytest.raises(CandidateBudgetExceeded, match="saturating"):
+        edit_distance_pairs_passjoin(df, **kw)
+    # Waived, the run completes: all pairs match at distance 0.
+    got = edit_distance_pairs_passjoin(
+        df.limit(50), candidate_budget=None, **kw)
+    assert got.count() == 50 * 49 // 2
+
+
+def test_neardup_block_pair_budget_guard(spark):
+    """Round 15: blocked_neardup_best_pair's within-block all-pairs is
+    bounded by a default-on pair budget. An oversized block must raise
+    naming the scale twins; a bounded block returns the argmax pair
+    unchanged, and the guard costs nothing to the result (tiny budget
+    vs generous budget vs waived all agree on bounded data)."""
+    import pytest
+
+    from gads_etl_spark.operators.dedup import CandidateBudgetExceeded
+    from gads_etl_spark.operators.similarity import blocked_neardup_best_pair
+
+    rows = [(i, i % 2, [float(i % 5 + 1), float(i % 3 + 1), 1.0])
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    # 24 rows over 2 labels -> 2 * C(12,2) = 132 pairs.
+    with pytest.raises(CandidateBudgetExceeded, match="semantic_dedup"):
+        blocked_neardup_best_pair(df, pair_budget=100)
+    bounded = sorted(blocked_neardup_best_pair(df, pair_budget=132).collect())
+    default = sorted(blocked_neardup_best_pair(df).collect())
+    waived = sorted(blocked_neardup_best_pair(df, pair_budget=None).collect())
+    assert bounded == default == waived
+    assert len(default) == 2
+    for r in default:
+        assert r.a_id < r.b_id and 0.0 <= r.cos_sim <= 1.0
