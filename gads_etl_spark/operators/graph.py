@@ -217,9 +217,13 @@ def pagerank(
     formulation closed.
 
     Scale design (the CC notes above apply too):
-    - Out-weights attach via a window over the one src-partitioned
-      exchange (no separate degree aggregate + join + second
-      materialization of the edge list).
+    - Out-weights are a |V|-sized aggregate carried on the RANK side
+      (node, pr_scaled, outw) — they key by src exactly like the rank,
+      so the iteration join gets them for free and the edge relation
+      stays three narrow columns. (Round 14 attached outw to the edges
+      via a window — a full |E| src-partitioned exchange whose shuffle
+      alone wrote ~45 GB at the 1000x tier before the edge spill could
+      start; see DIAG_pagerank_sf100.json.)
     - Per-edge contribution pr·w can pass int64 on a hot edge at
       planet scale (pr ≤ S, w a co-occurrence count). The multiply
       runs in plain longs — inside whole-stage codegen, ~2× cheaper
@@ -259,12 +263,9 @@ def pagerank(
       the in-JVM persist for provably-small graphs; ``spill_dir`` puts
       the parquet under a caller-owned path (kept on return).
     """
-    from pyspark.sql.window import Window
-
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
-    ed = e.withColumn("outw", F.sum("w").over(Window.partitionBy("src")))
     _spill_tmp = None
     if checkpoint and edge_storage is not None:
         # Opt-in in-JVM persist: callers whose graph provably fits may
@@ -274,7 +275,7 @@ def pagerank(
         # (240M edges) the cached rows crowded the unified pool until
         # hash aggregation could not get a page (AGGREGATE_OUT_OF_MEMORY)
         # — so this is a toy-tier constant-buying knob, not the default.
-        ed = ed.localCheckpoint(storageLevel=edge_storage)
+        e = e.localCheckpoint(storageLevel=edge_storage)
     elif checkpoint:
         # Default (round 15): spill the materialized edge list to
         # COLUMNAR-COMPRESSED parquet and re-scan it per iteration,
@@ -282,31 +283,47 @@ def pagerank(
         # rows serialize at ~32 B/edge (measured: the sf100 2.4B-edge
         # persist needed ~77 GB and died on a 60 GB-free disk —
         # DIAG_pagerank_sf100.json), while parquet's dictionary/RLE on
-        # the window's src-sorted output stores the same relation ~5-8x
-        # smaller. This is also the shape a cluster deployment has: an
-        # iterative job checkpoints its loop-invariant relation to the
-        # lake (HDFS/S3), not the executors' block managers. The scan
-        # per iteration costs the parquet decode instead of the
+        # locally-sorted (src, dst) longs stores the same relation
+        # ~5-8x smaller. This is also the shape a cluster deployment
+        # has: an iterative job checkpoints its loop-invariant relation
+        # to the lake (HDFS/S3), not to executor block managers. The
+        # scan per iteration costs the parquet decode instead of the
         # block-store read — both sequential local I/O.
         import tempfile
 
         spark = edges.sparkSession
         _spill_tmp = spill_dir or tempfile.mkdtemp(prefix="gads_pr_edges_")
-        ed.write.mode("overwrite").parquet(_spill_tmp)
+        # sortWithinPartitions: a LOCAL sort (no exchange) that lines
+        # the long columns up for parquet delta/RLE encoding.
+        (e.sortWithinPartitions("src", "dst")
+         .write.mode("overwrite").parquet(_spill_tmp))
         # Explicit schema: a zero-edge graph writes no part files, and
         # a schema-less read of the bare directory would fail inference.
-        ed = spark.read.schema(ed.schema).parquet(_spill_tmp)
+        e = spark.read.schema(e.schema).parquet(_spill_tmp)
         if spill_dir is not None:
             _spill_tmp = None  # caller owns the directory; keep it
-    stats = ed.agg(F.max("w").alias("wm"),
-                   F.countDistinct("src").alias("n")).collect()[0]
-    n, wmax = stats["n"], stats["wm"]
+    # Out-weights are a |V|-sized AGGREGATE attached to the RANK side,
+    # not a window over the edge list (the round-14 shape). The window
+    # materialized outw onto all |E| rows through a full src-partitioned
+    # exchange — at the 1000x tier that exchange alone wrote ~45 GB of
+    # shuffle before the spill could even start (the second recorded
+    # sf100 death, DIAG_pagerank_sf100.json). As an aggregate it is one
+    # map-side-combined shuffle emitting |V| rows, and the iteration
+    # join needs outw exactly where pr_scaled already travels: keyed by
+    # src. The ranks relation simply carries (node, pr_scaled, outw).
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    if checkpoint:
+        # |V|-sized, loop-invariant: eager-materialize once so neither
+        # the 8 iterations nor n/r0 below recompute the aggregate.
+        outw = outw.localCheckpoint()
+    wmax = e.agg(F.max("w").alias("wm")).collect()[0]["wm"]
+    n = outw.count()
     if n == 0:
         if _spill_tmp:
             import shutil
 
             shutil.rmtree(_spill_tmp, ignore_errors=True)
-        # Built from `edges`, not `ed`: the empty result must not keep a
+        # Built from `edges`, not `e`: the empty result must not keep a
         # lineage into the just-deleted spill directory.
         return edges.select(F.col(src).alias("node"),
                             F.lit(0).cast("long").alias("pr_scaled")
@@ -314,18 +331,24 @@ def pagerank(
     mul = ("(pr_scaled * w) div outw" if wmax * scale < (1 << 62)
            else "(CAST(pr_scaled AS DECIMAL(38,0)) * w) div outw")
     teleport = ((100 - damping_pct) * scale) // (100 * n)
-    r = ed.select("src").distinct().select(
-        F.col("src").alias("node"),
-        F.lit(scale // n).cast("long").alias("pr_scaled"))
+    outw_n = outw.select(F.col("src").alias("node"), "outw")
+    r = outw_n.select(
+        "node", F.lit(scale // n).cast("long").alias("pr_scaled"), "outw")
     for i in range(iterations):
         contrib = (
-            ed.join(r.hint("shuffle_hash"), ed.src == r.node)
+            e.join(r.hint("shuffle_hash"), e.src == r.node)
             .select(F.col("dst").alias("node"),
                     F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
         )
-        r = contrib.groupBy("node").agg(
+        ranks = contrib.groupBy("node").agg(
             F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div 100"
                    " AS BIGINT)").alias("pr_scaled"))
+        # Re-attach the loop-invariant out-weights: |V| vs |V|, both
+        # hash-partitioned on node (the groupBy above, outw's own
+        # aggregate), so this is cheap; shuffle_hash pin for the same
+        # reason as the big join — no size-estimate-driven broadcast of
+        # a relation that grows with the graph.
+        r = ranks.join(outw_n.hint("shuffle_hash"), "node")
         if checkpoint and (i + 1) % max(1, checkpoint_every) == 0 \
                 and i + 1 < iterations:
             r = r.localCheckpoint()
@@ -340,6 +363,7 @@ def pagerank(
                 edges.sparkSession.sparkContext._jvm.System.gc()
             except Exception:  # noqa: BLE001 — py4j access is optional
                 pass
+    r = r.select("node", "pr_scaled")
     if _spill_tmp:
         import shutil
 

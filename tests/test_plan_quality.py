@@ -187,7 +187,13 @@ class TestRound3Plans:
         # size estimate; at the 10x tier the planner broadcast 24M edge
         # rows off a 24MB estimate and OOMed the driver).
         assert "BroadcastHashJoin" not in plan, plan
-        assert len(re.findall(r"ShuffledHashJoin", plan)) == 2, plan
+        # Two shuffle-hash joins per iteration since round 15: the |E|
+        # rank-redistribute plus the |V|-vs-|V| outw re-attach (out-
+        # weights ride the rank side now; the edge list carries three
+        # columns and no window). The re-attach must NOT cost an extra
+        # node exchange — the alias src→node propagates the aggregate's
+        # partitioning — which the ==2 node-exchange pin above enforces.
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == 4, plan
 
     def test_tfidf_builds_on_postings_never_candidates(self, spark):
         # All three tfidf joins are pinned shuffle-hash (both sides
