@@ -294,9 +294,23 @@ def pagerank(
         spark = edges.sparkSession
         _spill_tmp = spill_dir or tempfile.mkdtemp(prefix="gads_pr_edges_")
         # sortWithinPartitions: a LOCAL sort (no exchange) that lines
-        # the long columns up for parquet delta/RLE encoding.
+        # the long columns up for parquet delta/RLE encoding. zstd over
+        # the default snappy: the edge spill is written once and read
+        # `iterations` times, so the better ratio (~30-40% smaller on
+        # sorted longs) is pure win on the disk-bound tiers.
         (e.sortWithinPartitions("src", "dst")
-         .write.mode("overwrite").parquet(_spill_tmp))
+         .write.mode("overwrite").option("compression", "zstd")
+         .parquet(_spill_tmp))
+        # The derivation's shuffle files (often >> |E| parquet bytes —
+        # ~33 GB for a 16 GB spill at the 1000x tier) are garbage the
+        # moment the write returns, but the ContextCleaner only deletes
+        # them after a DRIVER GC notices, and its periodic fallback GC
+        # is 30-minutely — too late for a disk that must now absorb the
+        # iteration shuffles. Nudge immediately; best-effort.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — py4j access is optional
+            pass
         # Explicit schema: a zero-edge graph writes no part files, and
         # a schema-less read of the bare directory would fail inference.
         e = spark.read.schema(e.schema).parquet(_spill_tmp)
@@ -373,4 +387,11 @@ def pagerank(
         # deleted directory would fail there.
         r = r.localCheckpoint()
         shutil.rmtree(_spill_tmp, ignore_errors=True)
+        # End-of-run nudge: the tail iterations' shuffles are dead now;
+        # a caller looping pagerank (or a bench's repeated executions)
+        # must not start its next run on top of them.
+        try:
+            edges.sparkSession.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     return r
