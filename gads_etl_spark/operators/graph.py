@@ -250,18 +250,22 @@ def pagerank(
       write), so per-round checkpointing pays iterations× scheduling
       round-trips while the lineage it guards against is only ~3 joins
       deep at cadence 3 — bounded either way, ~2.5× fewer actions.
-    - The loop-invariant edge relation is materialized ONCE to
-      columnar-compressed parquet (a temp directory, deleted on return)
-      and re-scanned per iteration — the round-15 default. The round-14
-      DISK_ONLY ``localCheckpoint`` stored the same relation as
-      block-store rows at ~32 B/edge; at the 1000× tier (2.4B edges)
-      that is ~77 GB and exceeded the host disk
-      (DIAG_pagerank_sf100.json), while parquet RLE/dictionary on the
-      src-sorted window output is ~5-8× smaller. A cluster deployment
-      does the same thing: loop-invariant state checkpoints to the lake,
-      not to executor block managers. ``edge_storage`` opts back into
-      the in-JVM persist for provably-small graphs; ``spill_dir`` puts
-      the parquet under a caller-owned path (kept on return).
+    - The loop-invariant edge relation is materialized ONCE into a
+      src-BUCKETED, zstd-compressed parquet table (dropped on return)
+      and re-scanned per iteration — the round-15 default. Two measured
+      wins over the round-14 DISK_ONLY ``localCheckpoint``: footprint
+      (block-store rows are ~32 B/edge — ~77 GB at the 1000× tier,
+      exceeded the host disk; bucket-sorted parquet is ~10× smaller)
+      and per-iteration shuffle (the bucketed scan is hash-partitioned
+      on src in the planner's eyes, so the edge side of the iteration
+      join NEVER re-exchanges — only the |V| rank side moves; an
+      unbucketed scan re-shuffled all |E| rows every iteration, ~25 GB
+      a round at sf100). A cluster deployment does the same thing:
+      loop-invariant state checkpoints to the lake as a bucketed/
+      clustered table, not to executor block managers. ``edge_storage``
+      opts back into the in-JVM persist for provably-small graphs;
+      ``spill_dir`` makes the spill an EXTERNAL table at a caller-owned
+      path (kept on return).
     """
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -277,30 +281,39 @@ def pagerank(
         # — so this is a toy-tier constant-buying knob, not the default.
         e = e.localCheckpoint(storageLevel=edge_storage)
     elif checkpoint:
-        # Default (round 15): spill the materialized edge list to
-        # COLUMNAR-COMPRESSED parquet and re-scan it per iteration,
-        # instead of a DISK_ONLY localCheckpoint. Spark's block-store
-        # rows serialize at ~32 B/edge (measured: the sf100 2.4B-edge
-        # persist needed ~77 GB and died on a 60 GB-free disk —
-        # DIAG_pagerank_sf100.json), while parquet's dictionary/RLE on
-        # locally-sorted (src, dst) longs stores the same relation
-        # ~5-8x smaller. This is also the shape a cluster deployment
-        # has: an iterative job checkpoints its loop-invariant relation
-        # to the lake (HDFS/S3), not to executor block managers. The
-        # scan per iteration costs the parquet decode instead of the
-        # block-store read — both sequential local I/O.
-        import tempfile
+        # Default (round 15): spill the materialized edge list to a
+        # BUCKETED (by src), zstd-compressed parquet table and re-scan
+        # it per iteration, instead of a DISK_ONLY localCheckpoint.
+        # Two measured reasons (DIAG_pagerank_sf100.json):
+        # - Footprint: block-store rows serialize at ~32 B/edge (the
+        #   sf100 2.4B-edge persist needed ~77 GB and died on a
+        #   60 GB-free disk); parquet dictionary/RLE+zstd on bucket-
+        #   sorted longs stores the same relation ~10x smaller.
+        # - Per-iteration shuffle: the iteration join distributes on
+        #   src, and a plain parquet scan has unknown partitioning, so
+        #   EVERY iteration would re-exchange all |E| rows (~25 GB of
+        #   shuffle write per iteration at sf100 — the third recorded
+        #   disk death). A bucketed scan IS hash-partitioned on src in
+        #   the eyes of the planner: the edge side of the join never
+        #   exchanges again; only the |V|-sized rank side moves.
+        # This is also exactly the cluster deployment shape: an
+        # iterative job checkpoints its loop-invariant relation to the
+        # lake as a bucketed/clustered table, not to executor block
+        # managers. The one-time repartition(src) below replaces the
+        # round-14 window's |E| exchange one-for-one (without it,
+        # bucketBy writes tasks x buckets small files).
+        import uuid
 
         spark = edges.sparkSession
-        _spill_tmp = spill_dir or tempfile.mkdtemp(prefix="gads_pr_edges_")
-        # sortWithinPartitions: a LOCAL sort (no exchange) that lines
-        # the long columns up for parquet delta/RLE encoding. zstd over
-        # the default snappy: the edge spill is written once and read
-        # `iterations` times, so the better ratio (~30-40% smaller on
-        # sorted longs) is pure win on the disk-bound tiers.
-        (e.sortWithinPartitions("src", "dst")
-         .write.mode("overwrite").option("compression", "zstd")
-         .parquet(_spill_tmp))
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions", "128"))
+        _spill_tmp = f"gads_pr_edges_{uuid.uuid4().hex[:10]}"
+        writer = (e.repartition(nb, "src")
+                  .sortWithinPartitions("src", "dst")
+                  .write.mode("overwrite").option("compression", "zstd")
+                  .bucketBy(nb, "src").sortBy("src", "dst"))
+        if spill_dir is not None:
+            writer = writer.option("path", spill_dir)  # external table
+        writer.saveAsTable(_spill_tmp)
         # The derivation's shuffle files (often >> |E| parquet bytes —
         # ~33 GB for a 16 GB spill at the 1000x tier) are garbage the
         # moment the write returns, but the ContextCleaner only deletes
@@ -311,11 +324,9 @@ def pagerank(
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 — py4j access is optional
             pass
-        # Explicit schema: a zero-edge graph writes no part files, and
-        # a schema-less read of the bare directory would fail inference.
-        e = spark.read.schema(e.schema).parquet(_spill_tmp)
+        e = spark.table(_spill_tmp)
         if spill_dir is not None:
-            _spill_tmp = None  # caller owns the directory; keep it
+            _spill_tmp = None  # caller owns the external table; keep it
     # Out-weights are a |V|-sized AGGREGATE attached to the RANK side,
     # not a window over the edge list (the round-14 shape). The window
     # materialized outw onto all |E| rows through a full src-partitioned
@@ -334,11 +345,9 @@ def pagerank(
     n = outw.count()
     if n == 0:
         if _spill_tmp:
-            import shutil
-
-            shutil.rmtree(_spill_tmp, ignore_errors=True)
+            edges.sparkSession.sql(f"DROP TABLE IF EXISTS {_spill_tmp}")
         # Built from `edges`, not `e`: the empty result must not keep a
-        # lineage into the just-deleted spill directory.
+        # lineage into the just-dropped spill table.
         return edges.select(F.col(src).alias("node"),
                             F.lit(0).cast("long").alias("pr_scaled")
                             ).where(F.lit(False))
@@ -379,14 +388,12 @@ def pagerank(
                 pass
     r = r.select("node", "pr_scaled")
     if _spill_tmp:
-        import shutil
-
-        # Sever the result's lineage from the spill files (eager |V|-
+        # Sever the result's lineage from the spill table (eager |V|-
         # sized materialization), then reclaim the disk immediately —
         # callers act on `r` after return, and a lazy plan reading a
-        # deleted directory would fail there.
+        # dropped table's files would fail there.
         r = r.localCheckpoint()
-        shutil.rmtree(_spill_tmp, ignore_errors=True)
+        edges.sparkSession.sql(f"DROP TABLE IF EXISTS {_spill_tmp}")
         # End-of-run nudge: the tail iterations' shuffles are dead now;
         # a caller looping pagerank (or a bench's repeated executions)
         # must not start its next run on top of them.
