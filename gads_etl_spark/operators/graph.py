@@ -181,6 +181,19 @@ def cluster_survivors_by(
     )
 
 
+def _gc_nudge(spark) -> None:
+    """Ask the JVM for a GC so the ContextCleaner promptly deletes
+    shuffle files whose RDDs just became unreachable. Iterative
+    operators produce shuffle garbage faster than the cleaner's
+    30-minute periodic fallback GC reclaims it — at the 1000x tier
+    that difference filled the disk (DIAG_pagerank_sf100.json).
+    Best-effort: a missing py4j gateway is not an error."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 — py4j access is optional
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -302,28 +315,41 @@ def pagerank(
         # managers. The one-time repartition(src) below replaces the
         # round-14 window's |E| exchange one-for-one (without it,
         # bucketBy writes tasks x buckets small files).
+        import shutil
+        import tempfile
         import uuid
 
         spark = edges.sparkSession
         nb = int(spark.conf.get("spark.sql.shuffle.partitions", "128"))
         _spill_tmp = f"gads_pr_edges_{uuid.uuid4().hex[:10]}"
-        writer = (e.repartition(nb, "src")
+        # TWO phases, one live shuffle chain at a time. A caller's edge
+        # derivation is often multiple exchanges deep (the co-purchase
+        # graph: groupBy order + explode + groupBy pair ≈ 35 GB of
+        # shuffle at the 1000x tier), and the bucketing clustering is
+        # another |E| exchange; in a single job ALL of those shuffle
+        # files are live together until the write finishes — measured
+        # ~52 GB against a 62 GB-free disk, the fourth recorded sf100
+        # death. Phase 1 flushes the derivation to plain parquet, a GC
+        # nudge reclaims its shuffles; phase 2 reads that flat file, so
+        # its only live shuffle is the one repartition(src) that
+        # clusters the buckets (without it bucketBy writes
+        # tasks x buckets small files).
+        stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
+        (e.write.mode("overwrite").option("compression", "zstd")
+         .parquet(stage_dir))
+        _gc_nudge(spark)
+        # Explicit schema: a zero-edge graph writes no part files, and
+        # a schema-less read of the bare directory would fail inference.
+        staged = spark.read.schema(e.schema).parquet(stage_dir)
+        writer = (staged.repartition(nb, "src")
                   .sortWithinPartitions("src", "dst")
                   .write.mode("overwrite").option("compression", "zstd")
                   .bucketBy(nb, "src").sortBy("src", "dst"))
         if spill_dir is not None:
             writer = writer.option("path", spill_dir)  # external table
         writer.saveAsTable(_spill_tmp)
-        # The derivation's shuffle files (often >> |E| parquet bytes —
-        # ~33 GB for a 16 GB spill at the 1000x tier) are garbage the
-        # moment the write returns, but the ContextCleaner only deletes
-        # them after a DRIVER GC notices, and its periodic fallback GC
-        # is 30-minutely — too late for a disk that must now absorb the
-        # iteration shuffles. Nudge immediately; best-effort.
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — py4j access is optional
-            pass
+        _gc_nudge(spark)
+        shutil.rmtree(stage_dir, ignore_errors=True)
         e = spark.table(_spill_tmp)
         if spill_dir is not None:
             _spill_tmp = None  # caller owns the external table; keep it
@@ -376,16 +402,9 @@ def pagerank(
                 and i + 1 < iterations:
             r = r.localCheckpoint()
             # Each truncation makes the previous rounds' shuffle files
-            # unreachable, but the ContextCleaner only deletes them
-            # after a DRIVER GC notices the dropped references — and a
-            # 31g heap can go many iterations without one. At the sf100
-            # tier ~8-12 GB of contribution shuffle per iteration piles
-            # up against a ~60 GB-free disk, so nudge the JVM; a no-op
-            # on memory-rich hosts, best-effort everywhere.
-            try:
-                edges.sparkSession.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001 — py4j access is optional
-                pass
+            # unreachable (~8-12 GB of contribution shuffle per
+            # iteration at the sf100 tier) — reclaim them now.
+            _gc_nudge(edges.sparkSession)
     r = r.select("node", "pr_scaled")
     if _spill_tmp:
         # Sever the result's lineage from the spill table (eager |V|-
@@ -397,8 +416,5 @@ def pagerank(
         # End-of-run nudge: the tail iterations' shuffles are dead now;
         # a caller looping pagerank (or a bench's repeated executions)
         # must not start its next run on top of them.
-        try:
-            edges.sparkSession.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001
-            pass
+        _gc_nudge(edges.sparkSession)
     return r
