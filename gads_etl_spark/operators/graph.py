@@ -182,14 +182,24 @@ def cluster_survivors_by(
 
 
 def _gc_nudge(spark) -> None:
-    """Ask the JVM for a GC so the ContextCleaner promptly deletes
-    shuffle files whose RDDs just became unreachable. Iterative
-    operators produce shuffle garbage faster than the cleaner's
-    30-minute periodic fallback GC reclaims it — at the 1000x tier
-    that difference filled the disk (DIAG_pagerank_sf100.json).
-    Best-effort: a missing py4j gateway is not an error."""
+    """Reclaim shuffle files whose RDDs just became unreachable.
+    Iterative operators produce shuffle garbage faster than the
+    ContextCleaner's 30-minute periodic fallback GC reclaims it — at
+    the 1000x tier that difference filled the disk
+    (DIAG_pagerank_sf100.json). Three steps, all required:
+    Python gc first (superseded DataFrames hold py4j handles that pin
+    the JVM-side plans — JVM GC alone cannot free them), then a JVM GC
+    (the ContextCleaner acts on weak-reference clearance), then a short
+    pause (the cleaner deletes asynchronously; back-to-back heavy jobs
+    otherwise stack their shuffle footprints). Best-effort: a missing
+    py4j gateway is not an error."""
+    import gc
+    import time
+
+    gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
     except Exception:  # noqa: BLE001 — py4j access is optional
         pass
 
@@ -335,6 +345,11 @@ def pagerank(
         # clusters the buckets (without it bucketBy writes
         # tasks x buckets small files).
         stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
+        # Start clean: a PREVIOUS pagerank run's tail shuffles (a bench
+        # loop, a hyperparameter sweep) must be reclaimed before this
+        # run's derivation stacks its own on top — measured: run 2 of a
+        # back-to-back sf100 bench died on run 1's unreclaimed files.
+        _gc_nudge(spark)
         (e.write.mode("overwrite").option("compression", "zstd")
          .parquet(stage_dir))
         _gc_nudge(spark)
