@@ -451,6 +451,16 @@ def _write_sf100(here: str, queries: dict, errors: dict, runs,
                 "below-linear means ratio_sf100_over_sf10 <= 10.",
         "queries": per_q,
         "runs": runs,
+        "disk_variance_note":
+            "sf100 walls on this host are disk-bound and the virtual "
+            "disk's throughput swings run-to-run far beyond the "
+            "protocol's median-of-3 (round 15: identical same-protocol "
+            "q18 cells measured 41-134s within one hour — "
+            "DIAG_sf100_partitions.json round15_same_day_ab). Treat "
+            "decade ratios within ~1.4x of linear as weather unless a "
+            "mechanism is measured; treatment comparisons (e.g. 32 vs "
+            "128 shuffle partitions) use same-day PAIRED cells in the "
+            "DIAG artifact, not rows from different runs of this file.",
         "incomplete": bool(errors) or not final or (
             len(queries) < len(SF100_PROBE)),
         "sf": 100.0,
