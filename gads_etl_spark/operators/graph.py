@@ -181,7 +181,7 @@ def cluster_survivors_by(
     )
 
 
-def _gc_nudge(spark) -> None:
+def _gc_nudge(spark, pause: float = 2.0) -> None:
     """Reclaim shuffle files whose RDDs just became unreachable.
     Iterative operators produce shuffle garbage faster than the
     ContextCleaner's 30-minute periodic fallback GC reclaims it — at
@@ -189,19 +189,57 @@ def _gc_nudge(spark) -> None:
     (DIAG_pagerank_sf100.json). Three steps, all required:
     Python gc first (superseded DataFrames hold py4j handles that pin
     the JVM-side plans — JVM GC alone cannot free them), then a JVM GC
-    (the ContextCleaner acts on weak-reference clearance), then a short
-    pause (the cleaner deletes asynchronously; back-to-back heavy jobs
-    otherwise stack their shuffle footprints). Best-effort: a missing
-    py4j gateway is not an error."""
+    (the ContextCleaner acts on weak-reference clearance), then a
+    BOUNDED wait for the cleaner to drain (it deletes asynchronously;
+    back-to-back heavy jobs otherwise stack their shuffle footprints).
+
+    The wait is a poll, not a blind sleep (round-16; the round-15
+    unconditional ``time.sleep(2)`` put ~12s of fixed wall on every
+    pagerank call): every 0.25s read the size of the ContextCleaner's
+    tracked-reference set via reflection and stop as soon as it is
+    stable across two polls — i.e. the queued cleanups have drained.
+    An idle cleaner exits in one step (~0.25s); an actively-deleting
+    one gets up to ``pause`` seconds, the round-15 bound under which
+    the sf100 runs survived. Reflection failure (cleaner disabled,
+    field renamed) falls back to sleeping out the bound. Best-effort:
+    a missing py4j gateway is not an error."""
     import gc
     import time
 
     gc.collect()
     try:
         spark.sparkContext._jvm.System.gc()
-        time.sleep(2)
+        if pause <= 0:
+            return
+        deadline = time.monotonic() + pause
+        try:
+            cleaner = spark.sparkContext._jsc.sc().cleaner().get()
+            buf = None
+            for fld in cleaner.getClass().getDeclaredFields():
+                if "referenceBuffer" in fld.getName():
+                    fld.setAccessible(True)
+                    buf = fld.get(cleaner)
+                    break
+            if buf is None:
+                raise LookupError("referenceBuffer not found")
+            prev = -1
+            while time.monotonic() < deadline:
+                time.sleep(0.25)
+                size = buf.size()
+                if size == prev:
+                    break
+                prev = size
+        except Exception:  # noqa: BLE001 — reflection is best-effort
+            time.sleep(max(0.0, deadline - time.monotonic()))
     except Exception:  # noqa: BLE001 — py4j access is optional
         pass
+
+
+#: Session-local marker: a spill-path pagerank ran earlier, so the next
+#: run's phase-1 write may land on top of its tail shuffle files and
+#: should start with a reclamation nudge. Never set by small graphs —
+#: their runs neither need the pre-nudge nor should pay for it.
+_SPILL_SEEN = False
 
 
 def pagerank(
@@ -216,6 +254,7 @@ def pagerank(
     checkpoint_every: int = 3,
     edge_storage: "StorageLevel | None" = None,
     spill_dir: str | None = None,
+    spill_threshold_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Weighted PageRank by fixed-iteration power method, computed
     entirely in scaled integers so the result is exact and engine- and
@@ -237,16 +276,28 @@ def pagerank(
     as both src and dst — true for co-occurrence graphs by
     construction). Nodes outside the edge set never enter; dangling
     mass therefore cannot exist, which is what makes the integer
-    formulation closed.
+    formulation closed. Out-of-contract (asymmetric) inputs degrade
+    predictably rather than silently reshaping the result set: pure
+    sinks (inbound only) are RETAINED with the mass they receive (the
+    outw re-attach is a left join; their never-redistributed mass
+    leaks, the classic dangling-node artifact), while pure sources
+    (outbound only) drop after one iteration since nothing sends to
+    them. The returned rows are exactly the dst-side nodes — the same
+    row set the reference oracle's final ``SELECT`` produces.
 
     Scale design (the CC notes above apply too):
-    - Out-weights are a |V|-sized aggregate carried on the RANK side
-      (node, pr_scaled, outw) — they key by src exactly like the rank,
-      so the iteration join gets them for free and the edge relation
-      stays three narrow columns. (Round 14 attached outw to the edges
-      via a window — a full |E| src-partitioned exchange whose shuffle
-      alone wrote ~45 GB at the 1000x tier before the edge spill could
-      start; see DIAG_pagerank_sf100.json.)
+    - Out-weights: on the SPILL path, a |V|-sized aggregate carried on
+      the RANK side (node, pr_scaled, outw) — they key by src exactly
+      like the rank, so the iteration join gets them for free and the
+      edge relation stays three narrow columns. (Round 14 attached
+      outw to the edges via a window — a full |E| src-partitioned
+      exchange whose shuffle alone wrote ~45 GB at the 1000x tier
+      before the edge spill could start; see DIAG_pagerank_sf100.json.)
+      On the gated SMALL path the trade inverts: the window exchange
+      is megabytes, while the rank-side shape costs a second |V|-vs-|V|
+      join per iteration — ~2× the per-iteration stage count, which at
+      small scale IS the wall. Small graphs therefore attach outw to
+      the edges and iterate with a single join, the round-13 shape.
     - Per-edge contribution pr·w can pass int64 on a hot edge at
       planet scale (pr ≤ S, w a co-occurrence count). The multiply
       runs in plain longs — inside whole-stage codegen, ~2× cheaper
@@ -273,163 +324,307 @@ def pagerank(
       write), so per-round checkpointing pays iterations× scheduling
       round-trips while the lineage it guards against is only ~3 joins
       deep at cadence 3 — bounded either way, ~2.5× fewer actions.
-    - The loop-invariant edge relation is materialized ONCE into a
-      src-BUCKETED, zstd-compressed parquet table (dropped on return)
-      and re-scanned per iteration — the round-15 default. Two measured
-      wins over the round-14 DISK_ONLY ``localCheckpoint``: footprint
-      (block-store rows are ~32 B/edge — ~77 GB at the 1000× tier,
-      exceeded the host disk; bucket-sorted parquet is ~10× smaller)
-      and per-iteration shuffle (the bucketed scan is hash-partitioned
-      on src in the planner's eyes, so the edge side of the iteration
-      join NEVER re-exchanges — only the |V| rank side moves; an
-      unbucketed scan re-shuffled all |E| rows every iteration, ~25 GB
-      a round at sf100). A cluster deployment does the same thing:
-      loop-invariant state checkpoints to the lake as a bucketed/
-      clustered table, not to executor block managers. ``edge_storage``
-      opts back into the in-JVM persist for provably-small graphs;
-      ``spill_dir`` makes the spill an EXTERNAL table at a caller-owned
-      path (kept on return).
+    - The loop-invariant edge relation is materialized ONCE to flat
+      zstd parquet, and what happens next is SIZE-GATED on the actual
+      staged bytes (round-16; round 15 ran the full spill machinery
+      unconditionally, putting ~38s of fixed cost on a 2,000-node
+      graph). The flat write is both the materialization AND the
+      measurement: plan-time size estimates on checkpointed relations
+      are off by orders of magnitude (24M rows reporting 24 MB), but
+      the staged file's on-disk byte count is ground truth and costs
+      one pass — the minimum any materialization pays.
+      * Below ``spill_threshold_bytes`` (default 256 MB ≈ ~2.5 GB of
+        block-store rows, comfortably inside any executor tier): read
+        the staged file back, attach outw to the EDGES via a window
+        (one small exchange), and ``localCheckpoint`` — the round-13
+        in-memory, single-join-per-iteration shape. No bucketed
+        rewrite, no GC nudges, no table. The iterations also run at
+        cores-many shuffle partitions instead of the session's
+        4×-cores default (conf set around the loop and restored in the
+        finally; the result is eagerly materialized first so no lazy
+        job escapes the narrow setting): the 4× default buys spill-
+        cliff headroom on 600M-row shuffles, which under this gate
+        cannot exist, while per-iteration scheduling overhead scales
+        with partition count — measured 8.85s vs 5.15s at sf0.1.
+        NOTE: the conf toggle makes the small path non-reentrant for
+        CONCURRENT queries planned in the same session during the
+        ~seconds the loop runs; batch pipelines and the bench protocol
+        run queries sequentially.
+      * At or above the threshold (or whenever ``spill_dir`` is
+        given): rewrite as a src-BUCKETED, zstd parquet table (dropped
+        on return) and re-scan per iteration. Two measured wins over a
+        DISK_ONLY ``localCheckpoint`` (DIAG_pagerank_sf100.json):
+        footprint (block-store rows are ~32 B/edge — ~77 GB at the
+        1000× tier, exceeded the host disk; bucket-sorted parquet is
+        ~10× smaller) and per-iteration shuffle (the bucketed scan is
+        hash-partitioned on src in the planner's eyes, so the edge
+        side of the iteration join NEVER re-exchanges — only the |V|
+        rank side moves; an unbucketed scan re-shuffled all |E| rows
+        every iteration, ~25 GB a round at sf100). A cluster
+        deployment does the same thing: loop-invariant state
+        checkpoints to the lake as a bucketed/clustered table, not to
+        executor block managers.
+      GC nudges (shuffle-file reclamation between the phases and at
+      checkpoint cadence) run ONLY on the spill path — they exist to
+      keep a disk-bound run alive, and are pure overhead on a graph
+      whose shuffles are megabytes. The spill lifecycle is wrapped in
+      try/finally: a failure mid-run (OOM, disk-full — the very modes
+      the spill targets) drops the managed table and the staging
+      directory instead of leaking multi-GB files into the warehouse.
+      ``edge_storage`` opts back into the in-JVM persist for provably-
+      small graphs; ``spill_dir`` makes the spill an EXTERNAL table at
+      a caller-owned path (kept on return) whose name is DETERMINISTIC
+      in the path (``gads_pr_edges_<sha1(spill_dir)[:10]>``) — a prior
+      registration at the same path is dropped and re-created, so
+      repeated calls never accumulate dangling catalog entries.
     """
+    import shutil
+
+    global _SPILL_SEEN
     w = (F.col(weight) if weight else F.lit(1)).cast("long")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      w.alias("w"))
-    _spill_tmp = None
-    if checkpoint and edge_storage is not None:
-        # Opt-in in-JVM persist: callers whose graph provably fits may
-        # pass MEMORY_AND_DISK (or DISK_ONLY for the round-14 behavior)
-        # to skip the parquet round-trip below. On-heap caching couples
-        # the operator's memory footprint to |E| — at the 100x tier
-        # (240M edges) the cached rows crowded the unified pool until
-        # hash aggregation could not get a page (AGGREGATE_OUT_OF_MEMORY)
-        # — so this is a toy-tier constant-buying knob, not the default.
-        e = e.localCheckpoint(storageLevel=edge_storage)
-    elif checkpoint:
-        # Default (round 15): spill the materialized edge list to a
-        # BUCKETED (by src), zstd-compressed parquet table and re-scan
-        # it per iteration, instead of a DISK_ONLY localCheckpoint.
-        # Two measured reasons (DIAG_pagerank_sf100.json):
-        # - Footprint: block-store rows serialize at ~32 B/edge (the
-        #   sf100 2.4B-edge persist needed ~77 GB and died on a
-        #   60 GB-free disk); parquet dictionary/RLE+zstd on bucket-
-        #   sorted longs stores the same relation ~10x smaller.
-        # - Per-iteration shuffle: the iteration join distributes on
-        #   src, and a plain parquet scan has unknown partitioning, so
-        #   EVERY iteration would re-exchange all |E| rows (~25 GB of
-        #   shuffle write per iteration at sf100 — the third recorded
-        #   disk death). A bucketed scan IS hash-partitioned on src in
-        #   the eyes of the planner: the edge side of the join never
-        #   exchanges again; only the |V|-sized rank side moves.
-        # This is also exactly the cluster deployment shape: an
-        # iterative job checkpoints its loop-invariant relation to the
-        # lake as a bucketed/clustered table, not to executor block
-        # managers. The one-time repartition(src) below replaces the
-        # round-14 window's |E| exchange one-for-one (without it,
-        # bucketBy writes tasks x buckets small files).
-        import shutil
-        import tempfile
-        import uuid
+    spark = edges.sparkSession
+    _spill_tmp = None   # managed spill table to drop (normal + finally)
+    stage_dir = None    # phase-1 staging dir to remove (normal + finally)
+    spilled = False     # big-graph spill path engaged this run
+    single_join = False  # small/persisted graph: outw rides the edges
+    _conf_prev = None   # shuffle.partitions to restore (small path)
+    _SP_KEY = "spark.sql.shuffle.partitions"
+    try:
+        if checkpoint and edge_storage is not None:
+            # Opt-in in-JVM persist: callers whose graph provably fits
+            # may pass MEMORY_AND_DISK (or DISK_ONLY for the round-14
+            # behavior) to skip the parquet round-trip below. On-heap
+            # caching couples the operator's memory footprint to |E| —
+            # at the 100x tier (240M edges) the cached rows crowded the
+            # unified pool until hash aggregation could not get a page
+            # (AGGREGATE_OUT_OF_MEMORY) — a toy-tier knob, not the
+            # default. Round-14 shape throughout: outw on the edge
+            # rows, one join per iteration.
+            from pyspark.sql.window import Window
 
-        spark = edges.sparkSession
-        nb = int(spark.conf.get("spark.sql.shuffle.partitions", "128"))
-        _spill_tmp = f"gads_pr_edges_{uuid.uuid4().hex[:10]}"
-        # TWO phases, one live shuffle chain at a time. A caller's edge
-        # derivation is often multiple exchanges deep (the co-purchase
-        # graph: groupBy order + explode + groupBy pair ≈ 35 GB of
-        # shuffle at the 1000x tier), and the bucketing clustering is
-        # another |E| exchange; in a single job ALL of those shuffle
-        # files are live together until the write finishes — measured
-        # ~52 GB against a 62 GB-free disk, the fourth recorded sf100
-        # death. Phase 1 flushes the derivation to plain parquet, a GC
-        # nudge reclaims its shuffles; phase 2 reads that flat file, so
-        # its only live shuffle is the one repartition(src) that
-        # clusters the buckets (without it bucketBy writes
-        # tasks x buckets small files).
-        stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
-        # Start clean: a PREVIOUS pagerank run's tail shuffles (a bench
-        # loop, a hyperparameter sweep) must be reclaimed before this
-        # run's derivation stacks its own on top — measured: run 2 of a
-        # back-to-back sf100 bench died on run 1's unreclaimed files.
-        _gc_nudge(spark)
-        (e.write.mode("overwrite").option("compression", "zstd")
-         .parquet(stage_dir))
-        _gc_nudge(spark)
-        # Explicit schema: a zero-edge graph writes no part files, and
-        # a schema-less read of the bare directory would fail inference.
-        staged = spark.read.schema(e.schema).parquet(stage_dir)
-        writer = (staged.repartition(nb, "src")
-                  .sortWithinPartitions("src", "dst")
-                  .write.mode("overwrite").option("compression", "zstd")
-                  .bucketBy(nb, "src").sortBy("src", "dst"))
-        if spill_dir is not None:
-            writer = writer.option("path", spill_dir)  # external table
-        writer.saveAsTable(_spill_tmp)
-        _gc_nudge(spark)
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        e = spark.table(_spill_tmp)
-        if spill_dir is not None:
-            _spill_tmp = None  # caller owns the external table; keep it
-    # Out-weights are a |V|-sized AGGREGATE attached to the RANK side,
-    # not a window over the edge list (the round-14 shape). The window
-    # materialized outw onto all |E| rows through a full src-partitioned
-    # exchange — at the 1000x tier that exchange alone wrote ~45 GB of
-    # shuffle before the spill could even start (the second recorded
-    # sf100 death, DIAG_pagerank_sf100.json). As an aggregate it is one
-    # map-side-combined shuffle emitting |V| rows, and the iteration
-    # join needs outw exactly where pr_scaled already travels: keyed by
-    # src. The ranks relation simply carries (node, pr_scaled, outw).
-    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
-    if checkpoint:
-        # |V|-sized, loop-invariant: eager-materialize once so neither
-        # the 8 iterations nor n/r0 below recompute the aggregate.
-        outw = outw.localCheckpoint()
-    wmax = e.agg(F.max("w").alias("wm")).collect()[0]["wm"]
-    n = outw.count()
-    if n == 0:
-        if _spill_tmp:
-            edges.sparkSession.sql(f"DROP TABLE IF EXISTS {_spill_tmp}")
-        # Built from `edges`, not `e`: the empty result must not keep a
-        # lineage into the just-dropped spill table.
-        return edges.select(F.col(src).alias("node"),
-                            F.lit(0).cast("long").alias("pr_scaled")
-                            ).where(F.lit(False))
-    mul = ("(pr_scaled * w) div outw" if wmax * scale < (1 << 62)
-           else "(CAST(pr_scaled AS DECIMAL(38,0)) * w) div outw")
-    teleport = ((100 - damping_pct) * scale) // (100 * n)
-    outw_n = outw.select(F.col("src").alias("node"), "outw")
-    r = outw_n.select(
-        "node", F.lit(scale // n).cast("long").alias("pr_scaled"), "outw")
-    for i in range(iterations):
-        contrib = (
-            e.join(r.hint("shuffle_hash"), e.src == r.node)
-            .select(F.col("dst").alias("node"),
-                    F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
-        )
-        ranks = contrib.groupBy("node").agg(
-            F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div 100"
-                   " AS BIGINT)").alias("pr_scaled"))
-        # Re-attach the loop-invariant out-weights: |V| vs |V|, both
-        # hash-partitioned on node (the groupBy above, outw's own
-        # aggregate), so this is cheap; shuffle_hash pin for the same
-        # reason as the big join — no size-estimate-driven broadcast of
-        # a relation that grows with the graph.
-        r = ranks.join(outw_n.hint("shuffle_hash"), "node")
-        if checkpoint and (i + 1) % max(1, checkpoint_every) == 0 \
-                and i + 1 < iterations:
+            e = e.withColumn(
+                "outw", F.sum("w").over(Window.partitionBy("src"))
+            ).localCheckpoint(storageLevel=edge_storage)
+            single_join = True
+        elif checkpoint:
+            import hashlib
+            import os
+            import tempfile
+            import uuid
+
+            nb = int(spark.conf.get("spark.sql.shuffle.partitions", "128"))
+            # Phase 1 (always): flush the edge DERIVATION to flat zstd
+            # parquet. A caller's derivation is often multiple
+            # exchanges deep (the co-purchase graph: groupBy order +
+            # explode + groupBy pair ≈ 35 GB of shuffle at the 1000x
+            # tier); flushing it first bounds the live shuffle chain,
+            # and the staged file's byte count is the ground-truth size
+            # measurement the spill gate below needs (plan estimates on
+            # checkpointed relations are off by orders of magnitude).
+            stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
+            if _SPILL_SEEN:
+                # Start clean ONLY when a previous spill-path run in
+                # this session may have left tail shuffles (a bench
+                # loop, a sweep) — measured: run 2 of a back-to-back
+                # sf100 bench died on run 1's unreclaimed files. On a
+                # session that has only run small graphs this is pure
+                # fixed cost, so it is gated on the flag.
+                _gc_nudge(spark)
+            (e.write.mode("overwrite").option("compression", "zstd")
+             .parquet(stage_dir))
+            staged_bytes = sum(
+                ent.stat().st_size for ent in os.scandir(stage_dir)
+                if ent.is_file())
+            # Explicit schema: a zero-edge graph writes no part files,
+            # and a schema-less read of the bare dir fails inference.
+            staged = spark.read.schema(e.schema).parquet(stage_dir)
+            if staged_bytes < spill_threshold_bytes and spill_dir is None:
+                # SMALL graph: the round-13 in-memory, single-join
+                # shape. ~256 MB of parquet is ~2.5 GB of block-store
+                # rows — inside any executor tier — so the bucketed
+                # rewrite, the catalog table, and every GC nudge would
+                # be pure fixed cost here (measured: they put 38s on a
+                # 2,000-node graph). Iterations run at cores-many
+                # shuffle partitions (restored in the finally): the
+                # session's 4×-cores default buys spill-cliff headroom
+                # on 600M-row shuffles, impossible under this gate,
+                # while per-iteration scheduling overhead scales with
+                # partition count (measured sf0.1: 8.85s → 5.15s).
+                from pyspark.sql.window import Window
+
+                _conf_prev = spark.conf.get(_SP_KEY, None)
+                spark.conf.set(
+                    _SP_KEY, str(spark.sparkContext.defaultParallelism))
+                e = staged.withColumn(
+                    "outw", F.sum("w").over(Window.partitionBy("src"))
+                ).localCheckpoint()
+                single_join = True
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                stage_dir = None
+            else:
+                # BIG graph (or caller-owned external spill): phase 2 —
+                # rewrite as a src-bucketed table and re-scan per
+                # iteration. Keeping the two phases in separate jobs
+                # matters: in a single job the derivation's shuffles
+                # and the bucketing's |E| exchange are live TOGETHER
+                # until the write finishes — measured ~52 GB against a
+                # 62 GB-free disk, the fourth recorded sf100 death. The
+                # nudge between them reclaims the derivation's files
+                # before the bucketing exchange starts. The one-time
+                # repartition(src) clusters the buckets (without it
+                # bucketBy writes tasks x buckets small files).
+                spilled = True
+                _SPILL_SEEN = True
+                _gc_nudge(spark)
+                if spill_dir is not None:
+                    # Deterministic name per external path: repeated
+                    # calls re-register the SAME table instead of
+                    # accumulating dangling catalog entries over
+                    # overwritten files (round-16, advisor finding).
+                    digest = hashlib.sha1(
+                        os.path.abspath(spill_dir).encode()).hexdigest()
+                    name = f"gads_pr_edges_{digest[:10]}"
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                else:
+                    name = f"gads_pr_edges_{uuid.uuid4().hex[:10]}"
+                writer = (staged.repartition(nb, "src")
+                          .sortWithinPartitions("src", "dst")
+                          .write.mode("overwrite")
+                          .option("compression", "zstd")
+                          .bucketBy(nb, "src").sortBy("src", "dst"))
+                if spill_dir is not None:
+                    writer = writer.option("path", spill_dir)
+                writer.saveAsTable(name)
+                _gc_nudge(spark)
+                shutil.rmtree(stage_dir, ignore_errors=True)
+                stage_dir = None
+                e = spark.table(name)
+                if spill_dir is None:
+                    _spill_tmp = name  # managed: dropped on return
+        if single_join:
+            # outw already rides the (materialized) edge rows; the
+            # stats probe is one pass over the small/persisted edges.
+            stats = e.agg(F.countDistinct("src").alias("n"),
+                          F.max("w").alias("wm")).collect()[0]
+        else:
+            # SPILL path / no-checkpoint: out-weights are a |V|-sized
+            # AGGREGATE attached to the RANK side, not a window over
+            # the edge list (the round-14 shape). The window
+            # materialized outw onto all |E| rows through a full
+            # src-partitioned exchange — at the 1000x tier that
+            # exchange alone wrote ~45 GB of shuffle before the spill
+            # could even start (the second recorded sf100 death). As an
+            # aggregate it is one map-side-combined shuffle emitting
+            # |V| rows, and the iteration join needs outw exactly where
+            # pr_scaled already travels: keyed by src. The ranks
+            # relation simply carries (node, pr_scaled, outw). max(w)
+            # rides the same aggregate so the overflow probe below
+            # reads |V| rows, not |E| (round-16; previously a second
+            # full edge scan).
+            outw = e.groupBy("src").agg(F.sum("w").alias("outw"),
+                                        F.max("w").alias("_wm"))
+            if checkpoint:
+                # |V|-sized, loop-invariant: eager-materialize once so
+                # neither the iterations nor the stats probe below
+                # recompute the aggregate.
+                outw = outw.localCheckpoint()
+            stats = outw.agg(F.max("_wm").alias("wm"),
+                             F.count(F.lit(1)).alias("n")).collect()[0]
+        wmax, n = stats["wm"], stats["n"]
+        if n == 0:
+            # Built from `edges`, not `e`: the empty result must not
+            # keep a lineage into the spill table the finally block is
+            # about to drop.
+            return edges.select(F.col(src).alias("node"),
+                                F.lit(0).cast("long").alias("pr_scaled")
+                                ).where(F.lit(False))
+        mul = ("(pr_scaled * w) div outw" if wmax * scale < (1 << 62)
+               else "(CAST(pr_scaled AS DECIMAL(38,0)) * w) div outw")
+        teleport = ((100 - damping_pct) * scale) // (100 * n)
+        if single_join:
+            r = e.select("src").distinct().select(
+                F.col("src").alias("node"),
+                F.lit(scale // n).cast("long").alias("pr_scaled"))
+        else:
+            outw_n = outw.select(F.col("src").alias("node"), "outw")
+            r = outw_n.select(
+                "node", F.lit(scale // n).cast("long").alias("pr_scaled"),
+                "outw")
+        for i in range(iterations):
+            contrib = (
+                e.join(r.hint("shuffle_hash"), e.src == r.node)
+                .select(F.col("dst").alias("node"),
+                        F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
+            )
+            ranks = contrib.groupBy("node").agg(
+                F.expr(f"CAST({teleport} + ({damping_pct} * sum(c)) div "
+                       "100 AS BIGINT)").alias("pr_scaled"))
+            if single_join:
+                # outw lives on the edge rows: the aggregate IS the
+                # iteration's result, sinks included (they are dst
+                # nodes). One join + one exchange per round.
+                r = ranks
+            else:
+                # Re-attach the loop-invariant out-weights: |V| vs |V|,
+                # both hash-partitioned on node (the groupBy above,
+                # outw's own aggregate), so this is cheap; shuffle_hash
+                # pin for the same reason as the big join — no size-
+                # estimate-driven broadcast of a relation that grows
+                # with the graph. LEFT join (round-16, advisor
+                # finding): under the symmetrized contract every ranked
+                # node has out-edges and this is exactly the inner
+                # join, but an out-of-contract pure sink must stay in
+                # the result with the mass it received — its NULL outw
+                # is never read, because a sink never matches e.src in
+                # the next iteration's join. Bonus: the LAST
+                # iteration's re-attach feeds only the (node,
+                # pr_scaled) projection, so Catalyst eliminates it
+                # outright (left outer on unique, unreferenced keys).
+                r = ranks.join(outw_n.hint("shuffle_hash"), "node",
+                               "left")
+            if checkpoint and (i + 1) % max(1, checkpoint_every) == 0 \
+                    and i + 1 < iterations:
+                r = r.localCheckpoint()
+                if spilled:
+                    # Each truncation makes the previous rounds'
+                    # shuffle files unreachable (~8-12 GB of
+                    # contribution shuffle per iteration at the sf100
+                    # tier) — reclaim them now. Small graphs skip the
+                    # nudge: their per-iteration garbage is megabytes
+                    # and the ContextCleaner's own cadence handles it.
+                    _gc_nudge(spark)
+        r = r.select("node", "pr_scaled")
+        if _spill_tmp or _conf_prev is not None:
+            # Sever the result's lineage (eager |V|-sized
+            # materialization) BEFORE the finally block acts: the
+            # spill path's table is about to be dropped (a lazy plan
+            # reading a dropped table's files would fail at the
+            # caller's action), and the small path's narrowed
+            # shuffle-partition setting is about to be restored (a lazy
+            # plan would otherwise run its iterations under the wide
+            # session default the narrowing exists to avoid).
             r = r.localCheckpoint()
-            # Each truncation makes the previous rounds' shuffle files
-            # unreachable (~8-12 GB of contribution shuffle per
-            # iteration at the sf100 tier) — reclaim them now.
-            _gc_nudge(edges.sparkSession)
-    r = r.select("node", "pr_scaled")
-    if _spill_tmp:
-        # Sever the result's lineage from the spill table (eager |V|-
-        # sized materialization), then reclaim the disk immediately —
-        # callers act on `r` after return, and a lazy plan reading a
-        # dropped table's files would fail there.
-        r = r.localCheckpoint()
-        edges.sparkSession.sql(f"DROP TABLE IF EXISTS {_spill_tmp}")
-        # End-of-run nudge: the tail iterations' shuffles are dead now;
-        # a caller looping pagerank (or a bench's repeated executions)
-        # must not start its next run on top of them.
-        _gc_nudge(edges.sparkSession)
-    return r
+        return r
+    finally:
+        if _conf_prev is not None:
+            try:
+                spark.conf.set(_SP_KEY, _conf_prev)
+            except Exception:  # noqa: BLE001 — session may be dead
+                pass
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        if _spill_tmp:
+            # Normal return and failure alike: the managed spill table
+            # must never outlive the call (a crash mid-iteration used
+            # to leak a multi-GB table into the warehouse).
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {_spill_tmp}")
+            except Exception:  # noqa: BLE001 — session may be dead
+                pass
+        if spilled:
+            # End-of-run nudge: the tail iterations' shuffles are dead
+            # now; a caller looping pagerank (or a bench's repeated
+            # executions) must not start its next run on top of them.
+            _gc_nudge(spark)

@@ -187,13 +187,23 @@ class TestRound3Plans:
         # size estimate; at the 10x tier the planner broadcast 24M edge
         # rows off a 24MB estimate and OOMed the driver).
         assert "BroadcastHashJoin" not in plan, plan
-        # Two shuffle-hash joins per iteration since round 15: the |E|
+        # Two shuffle-hash joins per iteration since round 15 — the |E|
         # rank-redistribute plus the |V|-vs-|V| outw re-attach (out-
         # weights ride the rank side now; the edge list carries three
-        # columns and no window). The re-attach must NOT cost an extra
-        # node exchange — the alias src→node propagates the aggregate's
+        # columns and no window) — MINUS the last iteration's re-attach,
+        # which round 16's LEFT-join form lets Catalyst eliminate
+        # outright: outw_n's keys are unique (it is a groupBy(src)
+        # aggregate) and the final projection reads no outw column, so
+        # the terminal left outer join cannot change cardinality and is
+        # pruned from the plan. 2 iterations → 2 edge joins + 1 live
+        # re-attach = 3. The re-attach must NOT cost an extra node
+        # exchange — the alias src→node propagates the aggregate's
         # partitioning — which the ==2 node-exchange pin above enforces.
-        assert len(re.findall(r"ShuffledHashJoin", plan)) == 4, plan
+        assert len(re.findall(r"ShuffledHashJoin", plan)) == 3, plan
+        # The surviving re-attach is LEFT OUTER (sink retention under
+        # out-of-contract asymmetric input — graph.py round-16); the
+        # rank-redistribute joins stay inner.
+        assert len(re.findall(r"ShuffledHashJoin.*LeftOuter", plan)) == 1, plan
 
     def test_tfidf_builds_on_postings_never_candidates(self, spark):
         # All three tfidf joins are pinned shuffle-hash (both sides
