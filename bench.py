@@ -626,6 +626,18 @@ def main() -> None:
                ("metric", "value", "incomplete", "unit", "queries", "sf")}
     compact["extra_total"] = out["extra_total"]
     compact["errors_n"] = len(out["errors"])
+    vt = out.get("vs_tiers")
+    if vt:
+        # Compact carries the self-labeling summary (median ratio vs
+        # the committed protocol-clean tiers row + the outliers); the
+        # full per-query ratio map stays on the detail line so the
+        # compact line keeps its bounded tail-capture size.
+        compact["vs_tiers"] = {
+            "baseline_artifact": vt["baseline_artifact"],
+            "median_ratio": vt["median_ratio"],
+            "outliers": {n: r for n, r in vt["queries"].items()
+                         if r >= 1.5 or r <= 0.67},
+        }
     print(json.dumps(compact))
     spark.stop()
 
@@ -716,7 +728,42 @@ def _measure(spark, names: list[str] | None = None) -> dict:
         "runs": {"warmup": 1, "measured": measured_runs, "stat": "median"},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if not only:
+        # Self-labeling context noise (round-16, verdict task 6): the
+        # driver's per-round bench runs inside a long-lived harness
+        # whose measurements drift 1.4-2x vs the committed protocol-
+        # clean tiers rows (r14/r15 both needed a judge reconstruction
+        # to tell noise from regression). Emit each query's wall as a
+        # RATIO against the newest committed BENCH_tiers.json row for
+        # the same tier, so a noisy round reads as uniformly-inflated
+        # ratios and a real regression as one outlier — directly in
+        # the artifact.
+        out["vs_tiers"] = _vs_tiers(f"sf{sf}", {**timings, **extra})
     return out
+
+
+def _vs_tiers(tier: str, walls: dict[str, float]) -> dict | None:
+    """Per-query wall ratios vs the committed BENCH_tiers.json row for
+    ``tier`` (current / committed; >1 = slower than the protocol-clean
+    baseline), plus their median as the run's context-noise label.
+    Returns None when the artifact or tier is absent."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_tiers.json")
+    try:
+        with open(path) as fh:
+            tiers = json.load(fh)["tiers"][tier]
+    except (OSError, KeyError, ValueError):
+        return None
+    base = {**tiers.get("queries", {}), **tiers.get("extra", {})}
+    ratios = {n: round(w / base[n], 2)
+              for n, w in walls.items() if base.get(n)}
+    if not ratios:
+        return None
+    return {
+        "baseline_artifact": "BENCH_tiers.json",
+        "median_ratio": round(statistics.median(ratios.values()), 2),
+        "queries": ratios,
+    }
 
 
 if __name__ == "__main__":

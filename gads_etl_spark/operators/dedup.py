@@ -578,14 +578,6 @@ def edit_distance_pairs_passjoin(
     # (measured at the 100x tier: the 6M-row index side read as
     # <64MB post-shuffle and the broadcast build OOMed the driver).
     # Pinned, the join is per-partition build + stream at any scale.
-    if candidate_budget == "auto":
-        # Default budget: 200 candidates per corpus row, floored at 1M
-        # so toy fixtures never trip it. The linear regime measured ~26
-        # candidates/row on the 100x part fixture
-        # (scripts/exp_passjoin_growth.py), so 200x headroom only
-        # trips once signatures genuinely saturate (the sf100 fixture
-        # ran ~465/row — 9.3B over 20M rows — and SHOULD be stopped).
-        candidate_budget = max(1_000_000, 200 * base.count())
     if candidate_budget is not None:
         # Signature-saturation guard (round 14, measured; DEFAULT-ON
         # since round 15): PassJoin is candidate-LINEAR only while
@@ -599,11 +591,35 @@ def edit_distance_pairs_passjoin(
         # with the re-blocking remedy instead of a silently
         # quadratic-in-disguise join. candidate_budget=None waives it
         # (deliberate saturation probes); an int overrides "auto".
+        #
+        # "auto" (the default) budgets 200 candidates per corpus row,
+        # floored at 1M so toy fixtures never trip it: the linear
+        # regime measured ~26 candidates/row on the 100x part fixture,
+        # so 200x headroom only trips once signatures genuinely
+        # saturate (the sf100 fixture ran ~465/row — 9.3B over 20M
+        # rows — and SHOULD be stopped). The corpus-row count the
+        # budget needs piggybacks on the estimate job as an
+        # Observation over the index leg (idx emits EXACTLY nseg
+        # segment rows per corpus row — the segment transform has no
+        # filter — so rows/nseg is the corpus count), costing ZERO
+        # extra actions (round-16; previously a separate base.count()
+        # scan per call).
         keys = [*block_cols, "l", "i", "seg"]
-        est = (idx.groupBy(*keys).agg(F.count(F.lit(1)).alias("_ni"))
+        idx_for_est, obs = idx, None
+        if candidate_budget == "auto":
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            idx_for_est = idx.observe(
+                obs, F.count(F.lit(1)).alias("n_idx"))
+        est = (idx_for_est.groupBy(*keys)
+               .agg(F.count(F.lit(1)).alias("_ni"))
                .join(probe.groupBy(*keys)
                      .agg(F.count(F.lit(1)).alias("_np")), keys)
                .agg(F.sum(F.col("_ni") * F.col("_np"))).collect()[0][0])
+        if obs is not None:
+            candidate_budget = max(1_000_000,
+                                   200 * (obs.get["n_idx"] // nseg))
         if est is not None and est > candidate_budget:
             raise CandidateBudgetExceeded(
                 f"edit_distance_pairs_passjoin: estimated {est:,} "

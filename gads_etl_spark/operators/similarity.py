@@ -82,7 +82,9 @@ def blocked_neardup_best_pair(
     only the right tool while blocks are bounded. ``pair_budget``
     enforces that boundary (round-15; previously the when-to-switch
     lesson lived only in SCALING.md): one tiny per-label count aggregate
-    estimates the pair count before the join and raises
+    — an EAGER job per call, re-running the upstream plan of ``df``
+    once before the join itself does — estimates the pair count and
+    raises
     :class:`~gads_etl_spark.operators.dedup.CandidateBudgetExceeded`
     naming the scale twins — :func:`semantic_dedup` (KMeans-cell-blocked
     near-dup, ~N^1.5) or the ANN ladder (:func:`ivf_topk` /
@@ -129,7 +131,11 @@ def blocked_neardup_best_pair(
                  F.col("e").alias("a_e"))
     b = t.select("label", F.col("vec_id").alias("b_id"),
                  F.col("e").alias("b_e"))
-    a_s = a.withColumn("_salt", F.pmod(F.col("a_id"), F.lit(salt)))
+    # Salt on a HASH of the id, not the id itself: pmod over a raw id
+    # column requires it to be numeric (a string id_col failed with an
+    # opaque AnalysisException) and inherits any skew in the id space;
+    # xxhash64 works for any orderable id type and spreads uniformly.
+    a_s = a.withColumn("_salt", F.pmod(F.xxhash64("a_id"), F.lit(salt)))
     b_s = b.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     pairs = (a_s.join(b_s, ["label", "_salt"])
@@ -138,9 +144,13 @@ def blocked_neardup_best_pair(
         "label", "a_id", "b_id",
         F.round(cosine(F.col("a_e"), F.col("b_e")), 6).alias("cos_sim"),
     )
-    best = F.max_by(
+    # min_by over (-cos_sim, a_id, b_id) ≡ "highest score, then lowest
+    # a_id, then lowest b_id" — phrased so the ID tiebreak is a NATIVE
+    # ascending comparison (the previous max_by negated the ids, which
+    # required them numeric; string ids threw NumberFormatException).
+    best = F.min_by(
         F.struct("cos_sim", "a_id", "b_id"),
-        F.struct(F.col("cos_sim"), -F.col("a_id"), -F.col("b_id")),
+        F.struct(-F.col("cos_sim"), F.col("a_id"), F.col("b_id")),
     )
     return (
         scored.groupBy("label").agg(best.alias("_b"))

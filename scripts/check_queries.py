@@ -7,6 +7,9 @@ Usage: python scripts/check_queries.py [name ...]   (default: all with oracles)
            against the 100x tier, .localdata/sf10)
        python scripts/check_queries.py --json PATH   (also write a per-query
            artifact in the driver's CORRECTNESS schema)
+       python scripts/check_queries.py --window r16  (rotating 50-name slice
+           at offset (round*50) mod N — covers the registry names the
+           driver's fixed alphabetical window never reaches)
 Sweep list sizes are len(SF1_SWEEP) / len(SF10_SWEEP) below — printed at
 runtime, deliberately not repeated here. Generate tiers first with
 scripts/gen_scale_fixture.py (``--factor 100 --dst .localdata/sf10`` for
@@ -283,6 +286,22 @@ def main() -> int:
             print(f"unknown sweep tier {tier!r}; choose from {sorted(SWEEPS)}")
             return 2
         del args[i:i + 2]
+    window_round = None
+    if "--window" in args:
+        # Rotating 50-name slice seeded by round number (round-16,
+        # verdict task 4): the driver's own per-round correctness
+        # window is FIXED at the 50 alphabetically-first registry names
+        # (`ev_*`..`ext_hash_sample`), so ~2/3 of the registry —
+        # including every obs_/op_/pq_/q* query — never gets a
+        # per-round driver green. This mode slices the full
+        # oracle-backed registry at offset (round*50) mod N with
+        # wrap-around, so consecutive rounds cover the whole registry
+        # every ceil(N/50) rounds. Accepts `--window r16` or
+        # `--window 16`; combine with --json to write the
+        # CORRECTNESS_window_r{N} artifact.
+        i = args.index("--window")
+        window_round = int(args[i + 1].lstrip("r"))
+        del args[i:i + 2]
     json_path = None
     if "--json" in args:
         i = args.index("--json")
@@ -297,6 +316,12 @@ def main() -> int:
     names = args or (
         SWEEPS[tier] if tier
         else [n for n, q in sorted(REGISTRY.items()) if q.oracle])
+    if window_round is not None and not args:
+        full = [n for n, q in sorted(REGISTRY.items()) if q.oracle]
+        start = (window_round * 50) % len(full)
+        names = (full + full)[start:start + 50]
+        print(f"window r{window_round}: names[{start}:{start + 50}] "
+              f"of {len(full)} ({names[0]}..{names[-1]})")
     if tier:
         print(f"sweep {tier}: {len(names)} queries vs {sf}")
         # Sweeps run CHUNKED across child processes (~8 queries each):

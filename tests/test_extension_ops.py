@@ -1041,6 +1041,32 @@ def test_passjoin_default_budget_trips_on_saturated_fixture(spark):
     assert got.count() == 50 * 49 // 2
 
 
+def test_passjoin_auto_budget_estimate_is_one_action(spark, monkeypatch):
+    """Round 16: the "auto" budget must not pay a separate corpus-count
+    action — the row count piggybacks on the saturation-estimate job as
+    an Observation over the index leg (idx emits exactly nseg rows per
+    corpus row, so rows/nseg recovers the corpus count). Pinned by
+    intercepting DataFrame.count for the duration of the call: the
+    default path must never invoke it."""
+    from pyspark.sql import DataFrame
+
+    from gads_etl_spark.operators.dedup import edit_distance_pairs_passjoin
+
+    calls = []
+    orig = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (calls.append(1), orig(self))[1])
+    df = spark.createDataFrame(
+        [(i, f"name number {i}", "t", "b") for i in range(30)],
+        "pid long, nm string, t string, b string")
+    out = edit_distance_pairs_passjoin(
+        df, block_cols=["t", "b"], id_col="pid", name_col="nm", max_dist=1)
+    assert calls == [], "auto budget must not run a separate count()"
+    monkeypatch.undo()
+    assert out.count() >= 0  # the guarded plan still executes
+
+
 def test_neardup_block_pair_budget_guard(spark):
     """Round 15: blocked_neardup_best_pair's within-block all-pairs is
     bounded by a default-on pair budget. An oversized block must raise
@@ -1066,3 +1092,22 @@ def test_neardup_block_pair_budget_guard(spark):
     assert len(default) == 2
     for r in default:
         assert r.a_id < r.b_id and 0.0 <= r.cos_sim <= 1.0
+
+
+def test_neardup_block_pair_string_ids(spark):
+    """Round 16: the salt is a hash of the id, so non-numeric id
+    columns work (previously pmod over a string id failed with an
+    opaque AnalysisException). Same data as above keyed by string ids
+    must produce the same argmax pairs modulo the id relabeling."""
+    rows = [(f"doc-{i:03d}", i % 2,
+             [float(i % 5 + 1), float(i % 3 + 1), 1.0])
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "vec_id string, label int, embedding array<double>")
+    from gads_etl_spark.operators.similarity import blocked_neardup_best_pair
+
+    got = sorted(blocked_neardup_best_pair(df).collect())
+    assert len(got) == 2
+    for r in got:
+        assert r.a_id.startswith("doc-") and r.a_id < r.b_id
+        assert 0.0 <= r.cos_sim <= 1.0
