@@ -46,6 +46,14 @@ if [[ "${1:-}" == "--full" ]]; then
     echo "== oracle parity (writes CORRECTNESS_full.json — commit it)"
     python scripts/check_queries.py --json CORRECTNESS_full.json
 fi
+if [[ "${1:-}" == "--window" ]]; then
+    # Rotating 50-name oracle slice (round-16): covers the registry
+    # names the driver's fixed alphabetical window never reaches.
+    # Usage: dev_check.sh --window 16  -> CORRECTNESS_window_r16.json
+    rn="${2:?--window needs a round number}"
+    echo "== rotating oracle window r${rn} (writes CORRECTNESS_window_r${rn}.json — commit it)"
+    python scripts/check_queries.py --window "r${rn}" --json "CORRECTNESS_window_r${rn}.json"
+fi
 if [[ "${1:-}" == "--bench" ]]; then
     echo "== isolated-extras drift gate (writes BENCH_isolated_r<N>.json — commit it)"
     # Re-measures the top-10 heavy extras in fresh child JVMs and fails
