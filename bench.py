@@ -693,6 +693,26 @@ def _measure(spark, names: list[str] | None = None) -> dict:
         timings: dict[str, float] = {}
         for name in batch:
             try:
+                # Between-query reclamation, OUTSIDE the timed region
+                # (round-16, guide §1.4 "measure the computation"): a
+                # JVM that has executed ~120 measurements inflates its
+                # own later queries 1.5-2x (measured r11; r15's driver
+                # extras ran ~40% over the protocol-clean tiers rows)
+                # because superseded localCheckpoint blocks, broadcasts
+                # and shuffle files pile up faster than the
+                # ContextCleaner's periodic GC reclaims them. Python gc
+                # releases the py4j handles pinning them, one JVM GC
+                # lets the cleaner see the weak-ref clearance, and the
+                # bounded poll drains its queue — so each query's
+                # timed runs start from the same reclaimed state a
+                # fresh-JVM measurement of that query would see. This
+                # changes WHEN dead state is reclaimed, never what any
+                # query computes or the timed methodology itself
+                # (1 warmup + median of measured runs, noop sink).
+                from gads_etl_spark.operators.graph import _gc_nudge
+
+                spark.sparkContext.setJobDescription(f"bench: {name}")
+                _gc_nudge(spark, pause=1.0)
                 _exec(name)  # warmup
                 samples = []
                 for _ in range(measured_runs):

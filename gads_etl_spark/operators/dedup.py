@@ -996,12 +996,17 @@ def simhash_radius_pairs(docs: DataFrame, radius: int = 3,
                        F.col("simhash").alias("fp_a"), "ci", "cv")
     b = chunked.select(F.col(id_col).alias("b_id"),
                        F.col("simhash").alias("fp_b"), "ci", "cv")
-    cand = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    # Verify BEFORE deduplicating (the passjoin lesson): popcount is
+    # per-row map work, so filtering to hamming <= radius first shrinks
+    # the distinct's exchange to the MATCHED pairs instead of the whole
+    # candidate stream (a pair matching in several chunks deduplicates
+    # identically either side of the filter — hamming is a function of
+    # the row, so filter∘distinct ≡ distinct∘filter).
+    return (
         a.join(b, ["ci", "cv"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "fp_a", "fp_b")
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= radius)
         .distinct()
     )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
-    return cand.select("a_id", "b_id", hamming.alias("hamming")) \
-        .where(F.col("hamming") <= radius)

@@ -167,22 +167,57 @@ def fit_ivf_centroids(
     seed: int = 42,
     train_fraction: float = 0.25,
     max_iter: int = 5,
+    id_col: str = "vec_id",
+    sample_cap: int = 2048,
 ) -> list[list[float]]:
-    """Fit IVF cell centroids on a seeded SAMPLE with a bounded iteration
-    count (same pattern as ``semantic_dedup``): centroid quality only
-    shifts which cells candidates land in — recall headroom, never
-    correctness — so at 100 TB the iterative fit must not re-scan the
-    full corpus per iteration. Returns plain python lists so the index
-    can be persisted/shipped without an ML model object.
+    """Fit IVF cell centroids driver-side on a bounded, layout-invariant
+    sample — the ``pq_train_codebooks`` pattern. Centroid quality only
+    shifts which cells candidates land in (recall headroom, never
+    correctness — every ANN oracle here is planted-copy invariant under
+    ANY clustering), so the fit does not deserve distributed iteration:
+    the previous ``pyspark.ml`` KMeans re-scanned its ``train_fraction``
+    sample once per iteration PLUS the k-means|| init passes — at 100 TB
+    and the default 0.25 fraction that is several 25 TB scans for a
+    16-row result — and locally its ~10 scheduled jobs were over half of
+    every ivf/ivfpq query's wall (measured r16: ext_knn_ivf 1.34s → 0.64s
+    isolated). Now: membership by content hash (``deterministic_sample``
+    — stable under any partitioning or cluster size), collected rows
+    sorted by (hash, id) and truncated to ``sample_cap``, then seeded
+    numpy Lloyd iterations on the ≤``sample_cap``×dim matrix — training
+    cost is CONSTANT in corpus size, one collect job total, and the
+    centroids are bit-identical on any layout. Returns plain python
+    lists so the index can be persisted/shipped without a model object.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from gads_etl_spark.operators.sampling import deterministic_sample
 
-    train = corpus.sample(fraction=train_fraction, seed=seed).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    salt = f"ivf{seed}"
+    rows = (
+        deterministic_sample(corpus, id_col, train_fraction, salt=salt)
+        .select(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                  ).alias("_h"),
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"))
+        # TakeOrdered, not collect-then-truncate: each task keeps at
+        # most sample_cap rows and the driver merges, so the transfer
+        # is bounded at ANY corpus size while the selected rows — the
+        # sample_cap smallest by (md5(salt||id), id), a total order —
+        # are identical on any layout.
+        .orderBy("_h", "_id").limit(sample_cap)
+        .collect()
     )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    x = np.array([r._v for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    init = rng.permutation(len(x))[:n_clusters]
+    cents = x[init].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
 
 
 def ivf_assign(
@@ -275,7 +310,7 @@ def ivf_topk(
     n_probe, cost with |cell| x n_probe instead of |corpus|.
     """
     centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
-                                  train_fraction, max_iter)
+                                  train_fraction, max_iter, id_col=id_col)
     assigned = ivf_assign(spread(corpus), centroids, id_col=id_col,
                           vec_col=vec_col, n_probe=1,
                           id_alias="neighbor_id", vec_alias="c_vec")
@@ -434,21 +469,30 @@ def pq_train_codebooks(
     moves recall headroom, never correctness: the ADC minimality
     argument in ``pq_topk`` holds for ANY codebooks.
     """
-    import hashlib
-
     from gads_etl_spark.operators.sampling import deterministic_sample
 
     if k > 256:
         raise ValueError("pq codebooks cap at 256 centroids (1 byte/code)")
+    salt = f"pq{seed}"
     rows = (
-        deterministic_sample(corpus, id_col, sample_rate, salt=f"pq{seed}")
-        .select(F.col(id_col).cast("string").alias("_id"),
-                F.col(vec_col).cast("array<double>").alias("_v"))
+        deterministic_sample(corpus, id_col, sample_rate, salt=salt)
+        .select(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                  ).alias("_h"),
+            F.col(id_col).cast("string").alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"))
+        # TakeOrdered replaces the old collect-then-truncate (round-16):
+        # the engine-side md5 is bit-identical to the hashlib sort key
+        # the truncation used, so the selected sample — the sample_cap
+        # smallest rows by (md5(salt||id), id) — is EXACTLY the one the
+        # old code picked (codebooks unchanged), but the driver now
+        # receives <= sample_cap rows instead of sample_rate * |corpus|
+        # (an unbounded collect — a driver OOM waiting at the 100 TB
+        # tier, where 0.5 * corpus is half the corpus).
+        .orderBy("_h", "_id").limit(sample_cap)
         .collect()
     )
-    rows.sort(key=lambda r: (hashlib.md5(f"pq{seed}{r._id}".encode()).hexdigest(),
-                             r._id))
-    x = np.array([r._v for r in rows[:sample_cap]], dtype=np.float64)
+    x = np.array([r._v for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -659,7 +703,7 @@ def ivfpq_topk(
     impossible; exact re-rank then puts its 1.0 cosine at rank 1.
     """
     centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
-                                  train_fraction, max_iter)
+                                  train_fraction, max_iter, id_col=id_col)
     if codebooks is None:
         codebooks = pq_train_codebooks(corpus, id_col=id_col,
                                        vec_col=vec_col, m=m, k=pq_k,
@@ -768,7 +812,7 @@ def ivfpq_residual_topk(
     rank 1.
     """
     centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
-                                  train_fraction, max_iter)
+                                  train_fraction, max_iter, id_col=id_col)
     cents = "array(" + ",".join(
         "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
         for c in centroids) + ")"
