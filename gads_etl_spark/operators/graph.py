@@ -242,6 +242,45 @@ def _gc_nudge(spark, pause: float = 2.0) -> None:
 _SPILL_SEEN = False
 
 
+def _input_bytes(df: DataFrame, stop_above: int) -> int | None:
+    """On-disk byte count of the plan's input files (Hadoop FS API, so
+    any scheme works), early-exiting once the running total passes
+    ``stop_above`` — big inputs answer after a handful of stats. Costs
+    zero Spark jobs: ``inputFiles()`` is a plan traversal and each stat
+    is a namenode/inode round-trip. Returns None when the plan has no
+    file inputs (in-memory or RDD-backed relations) or a stat fails;
+    callers MUST treat None as "unknown", never as "small"."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+            if total > stop_above:
+                return total
+        return total
+    except Exception:  # noqa: BLE001 — heuristic probe, never fatal
+        return None
+
+
+def _block_store_bytes(spark) -> int:
+    """Total bytes (memory + disk) currently held by the block store
+    for cached/checkpointed RDDs. Best-effort (0 on failure); used as a
+    before/after DELTA around one materialization, so concurrent cache
+    churn can skew it — acceptable for a safety guard that only needs
+    order-of-magnitude truth."""
+    try:
+        return sum(i.memSize() + i.diskSize()
+                   for i in spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    except Exception:  # noqa: BLE001
+        return 0
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -255,6 +294,8 @@ def pagerank(
     edge_storage: "StorageLevel | None" = None,
     spill_dir: str | None = None,
     spill_threshold_bytes: int = 256 * 1024 * 1024,
+    small_input_gate_bytes: int | None = None,
+    broadcast_rank_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank by fixed-iteration power method, computed
     entirely in scaled integers so the result is exact and engine- and
@@ -324,15 +365,35 @@ def pagerank(
       write), so per-round checkpointing pays iterations× scheduling
       round-trips while the lineage it guards against is only ~3 joins
       deep at cadence 3 — bounded either way, ~2.5× fewer actions.
-    - The loop-invariant edge relation is materialized ONCE to flat
-      zstd parquet, and what happens next is SIZE-GATED on the actual
-      staged bytes (round-16; round 15 ran the full spill machinery
-      unconditionally, putting ~38s of fixed cost on a 2,000-node
-      graph). The flat write is both the materialization AND the
-      measurement: plan-time size estimates on checkpointed relations
-      are off by orders of magnitude (24M rows reporting 24 MB), but
-      the staged file's on-disk byte count is ground truth and costs
-      one pass — the minimum any materialization pays.
+    - PROVABLY-SMALL inputs skip the measurement entirely (round-16):
+      when the edge derivation's input FILES total at most
+      ``small_input_gate_bytes`` (default ``spill_threshold_bytes``/2
+      — measured edge derivations emit ~input-sized edge files, so the
+      2x margin absorbs the ratio), the derivation + out-weights
+      materialize straight to the block store with ONE localCheckpoint
+      and no parquet round-trip — the staged write existed only as the
+      size measurement, and ``inputFiles()`` + FS stats answer it for
+      zero Spark jobs. A post-checkpoint block-store delta guard
+      (> 10x threshold ⇒ a tiny input exploded quadratically) converts
+      to the measured spill path by staging FROM the blocks — one
+      scan, no derivation recompute. Unknown inputs (in-memory
+      relations, stat failures) are never treated as small. On the
+      single-join path the rank side is additionally BROADCAST each
+      iteration when the measured |V| ≤ ``broadcast_rank_nodes``: a
+      checkpointed edge relation has no Catalyst partitioning, so the
+      shuffle-hash form re-exchanges all |E| rows every iteration,
+      while the broadcast form moves only |V| rank rows and the
+      groupBy(dst) output (measured sf0.1 whole-operator: 8.9s
+      round-15 shape → 4.7s).
+    - Otherwise the loop-invariant edge relation is materialized ONCE
+      to flat zstd parquet, and what happens next is SIZE-GATED on the
+      actual staged bytes (round-16; round 15 ran the full spill
+      machinery unconditionally, putting ~38s of fixed cost on a
+      2,000-node graph). The flat write is both the materialization
+      AND the measurement: plan-time size estimates on checkpointed
+      relations are off by orders of magnitude (24M rows reporting
+      24 MB), but the staged file's on-disk byte count is ground truth
+      and costs one pass — the minimum any materialization pays.
       * Below ``spill_threshold_bytes`` (default 256 MB ≈ ~2.5 GB of
         block-store rows, comfortably inside any executor tier): read
         the staged file back, attach outw to the EDGES via a window
@@ -414,33 +475,90 @@ def pagerank(
             import tempfile
             import uuid
 
+            from pyspark.sql.window import Window
+
             nb = int(spark.conf.get("spark.sql.shuffle.partitions", "128"))
-            # Phase 1 (always): flush the edge DERIVATION to flat zstd
-            # parquet. A caller's derivation is often multiple
-            # exchanges deep (the co-purchase graph: groupBy order +
-            # explode + groupBy pair ≈ 35 GB of shuffle at the 1000x
-            # tier); flushing it first bounds the live shuffle chain,
-            # and the staged file's byte count is the ground-truth size
-            # measurement the spill gate below needs (plan estimates on
-            # checkpointed relations are off by orders of magnitude).
-            stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
-            if _SPILL_SEEN:
-                # Start clean ONLY when a previous spill-path run in
-                # this session may have left tail shuffles (a bench
-                # loop, a sweep) — measured: run 2 of a back-to-back
-                # sf100 bench died on run 1's unreclaimed files. On a
-                # session that has only run small graphs this is pure
-                # fixed cost, so it is gated on the flag.
-                _gc_nudge(spark)
-            (e.write.mode("overwrite").option("compression", "zstd")
-             .parquet(stage_dir))
-            staged_bytes = sum(
-                ent.stat().st_size for ent in os.scandir(stage_dir)
-                if ent.is_file())
-            # Explicit schema: a zero-edge graph writes no part files,
-            # and a schema-less read of the bare dir fails inference.
-            staged = spark.read.schema(e.schema).parquet(stage_dir)
-            if staged_bytes < spill_threshold_bytes and spill_dir is None:
+            staged = None
+            staged_bytes = None
+            # Pre-gate (round-16): when the edge derivation's INPUT
+            # files are provably tiny, skip the staged parquet
+            # round-trip outright and materialize derivation + outw
+            # straight to the block store — the staged write existed
+            # only as the size measurement, and for a sub-128 MB input
+            # the answer is known before asking (measured edge
+            # derivations emit ~input-sized edge files; the gate sits
+            # 2x under the spill threshold to absorb that ratio).
+            # ``inputFiles`` + FS stats cost no Spark job; None
+            # (in-memory relations, stat failure) means UNKNOWN and
+            # falls through to the write-first measurement below — the
+            # conservative path, identical to round-15 behavior.
+            if spill_dir is None:
+                gate = (small_input_gate_bytes
+                        if small_input_gate_bytes is not None
+                        else spill_threshold_bytes // 2)
+                ib = _input_bytes(edges, gate)
+                if ib is not None and ib <= gate:
+                    _conf_prev = spark.conf.get(_SP_KEY, None)
+                    spark.conf.set(
+                        _SP_KEY,
+                        str(spark.sparkContext.defaultParallelism))
+                    blocks_before = _block_store_bytes(spark)
+                    e = e.withColumn(
+                        "outw", F.sum("w").over(Window.partitionBy("src"))
+                    ).localCheckpoint()
+                    blocks_delta = _block_store_bytes(spark) - blocks_before
+                    if blocks_delta > 10 * spill_threshold_bytes:
+                        # Guard: a tiny input exploded into a huge edge
+                        # set (quadratic derivation). Convert to the
+                        # measured path — the staged write now reads
+                        # FROM the blocks (one scan, no derivation
+                        # recompute), and the block copy is released to
+                        # the ContextCleaner once ``e`` is reassigned.
+                        stage_dir = tempfile.mkdtemp(
+                            prefix="gads_pr_stage_")
+                        (e.select("src", "dst", "w").write
+                         .mode("overwrite").option("compression", "zstd")
+                         .parquet(stage_dir))
+                        if _conf_prev is not None:
+                            spark.conf.set(_SP_KEY, _conf_prev)
+                        _conf_prev = None
+                    else:
+                        single_join = True
+            if not single_join and stage_dir is None:
+                # Phase 1: flush the edge DERIVATION to flat zstd
+                # parquet. A caller's derivation is often multiple
+                # exchanges deep (the co-purchase graph: groupBy order +
+                # explode + groupBy pair ≈ 35 GB of shuffle at the 1000x
+                # tier); flushing it first bounds the live shuffle
+                # chain, and the staged file's byte count is the
+                # ground-truth size measurement the spill gate below
+                # needs (plan estimates on checkpointed relations are
+                # off by orders of magnitude).
+                stage_dir = tempfile.mkdtemp(prefix="gads_pr_stage_")
+                if _SPILL_SEEN:
+                    # Start clean ONLY when a previous spill-path run in
+                    # this session may have left tail shuffles (a bench
+                    # loop, a sweep) — measured: run 2 of a back-to-back
+                    # sf100 bench died on run 1's unreclaimed files. On
+                    # a session that has only run small graphs this is
+                    # pure fixed cost, so it is gated on the flag.
+                    _gc_nudge(spark)
+                (e.write.mode("overwrite").option("compression", "zstd")
+                 .parquet(stage_dir))
+            if not single_join:
+                staged_bytes = sum(
+                    ent.stat().st_size for ent in os.scandir(stage_dir)
+                    if ent.is_file())
+                # Explicit schema: a zero-edge graph writes no part
+                # files, and a schema-less read of the bare dir fails
+                # inference.
+                staged = spark.read.schema(
+                    "src " + dict(e.dtypes)["src"] + ", dst "
+                    + dict(e.dtypes)["dst"] + ", w long"
+                ).parquet(stage_dir)
+            if single_join:
+                pass
+            elif staged_bytes < spill_threshold_bytes and spill_dir is None:
                 # SMALL graph: the round-13 in-memory, single-join
                 # shape. ~256 MB of parquet is ~2.5 GB of block-store
                 # rows — inside any executor tier — so the bucketed
@@ -552,9 +670,22 @@ def pagerank(
             r = outw_n.select(
                 "node", F.lit(scale // n).cast("long").alias("pr_scaled"),
                 "outw")
+        # Broadcast the rank side when |V| is provably small (round-16,
+        # single-join path only): the checkpointed edge relation loses
+        # its Catalyst partitioning, so the shuffle-hash form must
+        # RE-EXCHANGE all |E| rows every iteration — 8 dead shuffles of
+        # a loop-invariant relation. Broadcasting the |V|-row rank
+        # relation instead moves zero edge bytes; each iteration's only
+        # exchange is the groupBy(dst) partial-agg output (measured
+        # sf0.1: 5.25s → 4.74s whole-operator; the gain grows with
+        # |E|/|V|). Gated on the measured n — never a size estimate —
+        # and never on the spill path, where outw rides the rank side
+        # and |V| itself can be cluster-sized.
+        bcast_rank = single_join and n <= broadcast_rank_nodes
         for i in range(iterations):
             contrib = (
-                e.join(r.hint("shuffle_hash"), e.src == r.node)
+                e.join(F.broadcast(r) if bcast_rank
+                       else r.hint("shuffle_hash"), e.src == r.node)
                 .select(F.col("dst").alias("node"),
                         F.expr(f"CAST({mul} AS BIGINT)").alias("c"))
             )
