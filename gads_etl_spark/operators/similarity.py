@@ -532,10 +532,24 @@ def _centroid_d2s_sql(vec_sql: str, offset0: int, d: int,
       analysis the bottleneck (~9s per query at m=8,k=16,d=8). The SQL
       HOF tree is ~k*m nodes smaller and analyzes in milliseconds; the
       interpreted-HOF execution cost is noise next to it.
+
+    The constant itself is embedded as ``from_json('<json>',
+    'array<array<double>>')`` rather than a per-element
+    ``array(array(...))`` literal (round-16): the k*d element literals
+    were the remaining tree mass — every eager analysis pass (each
+    ``withColumn``/``select`` on the classic API re-analyzes the whole
+    accumulated plan) walked thousands of Literal nodes, putting
+    ~45 ms per DataFrame call of pure driver time on these queries.
+    ``from_json`` of a string literal is foldable, so ConstantFolding
+    collapses it to the IDENTICAL single array literal at optimization
+    (verified in the formatted plan) — 2 tree nodes instead of k*d,
+    zero per-row cost, and values bit-exact because repr(float) →
+    JSON double round-trips exactly (shortest-repr IEEE 754 both ways).
     """
-    cb = "array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in codebook
-    ) + ")"
+    cb = ("from_json('["
+          + ",".join("[" + ",".join(repr(float(x)) for x in c) + "]"
+                     for c in codebook)
+          + "]', 'array<array<double>>')")
     return (
         f"transform({cb}, c_ -> aggregate("
         f"zip_with(slice({vec_sql}, {offset0 + 1}, {d}), c_, "
@@ -813,9 +827,12 @@ def ivfpq_residual_topk(
     """
     centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
                                   train_fraction, max_iter, id_col=id_col)
-    cents = "array(" + ",".join(
-        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-        for c in centroids) + ")"
+    # Foldable from_json constant, not a per-element array literal —
+    # same rationale and bit-exactness argument as _centroid_d2s_sql.
+    cents = ("from_json('["
+             + ",".join("[" + ",".join(repr(float(x)) for x in c) + "]"
+                        for c in centroids)
+             + "]', 'array<array<double>>')")
 
     def residual(vec: str) -> F.Column:
         return F.expr(f"zip_with({vec}, element_at({cents}, cell + 1), "
