@@ -53,19 +53,50 @@ def bm25_scores(
         return (docs.select(F.col(id_col))
                 .withColumn("sm", F.lit(0).cast("long")).limit(0))
     avgdl = float(sum_dl) / n_docs
+    # ONE tokenize pass carries BOTH the exploded terms and the per-doc
+    # length (guide §2.4: remove the join, remove its exchange — the
+    # previous shape computed dl as a SEPARATE corpus tokenization and
+    # attached it by an |corpus|-row equi-join). The token array is
+    # LET-BOUND as a generated attribute via a 1-element struct explode
+    # (the ext_embedding_quantize idiom) before the term explode: a
+    # plain projection would let Catalyst hoist ``size(split(text))``
+    # into the Project ABOVE the Generate, re-running the tokenizer on
+    # every token row instead of every doc (measured: 2.0s → 4.5s at
+    # sf0.1 for the multi variant — worse than the join it replaced);
+    # against the bound attribute, dl is an O(1) array-length read per
+    # row. dl rides the tf aggregate as a grouping column — constant
+    # per doc, so the (id, term) groups are unchanged. The isNotNull
+    # filter keeps the old inner-join-on-id semantics (null-id rows
+    # never reached the output).
     tf = (
-        docs.select(F.col(id_col),
-                    F.explode(tokens(F.col(text_col))).alias("term"))
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(F.array(F.struct(
+                    tokens(F.col(text_col)).alias("toks")))).alias("_b"))
+        .select(F.col(id_col),
+                F.size("_b.toks").cast("long").alias("dl"),
+                F.explode("_b.toks").alias("term"))
         .where(F.col("term").isin(list(terms)))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # df = number of (doc, term) groups per term. The dfq branch
+    # deliberately does NOT share an exchange with the scoring branch:
+    # phrasing it so both subtrees canonicalize identically (e.g.
+    # count(nullif(tf, 0)) to keep tf referenced) makes ReuseExchange /
+    # AQE's stage cache dedupe the corpus scan — and was MEASURED 3-5x
+    # slower at sf0.1/sf0.01 (ext_bm25_search 1.7s → 5.0s isolated):
+    # the reuse serializes the two branches behind one stage chain and
+    # interacts pathologically with the runtime broadcast of dfq, while
+    # the independent subtrees scan concurrently. Catalyst prunes the
+    # count out of this branch (functions=[] distinct-style aggregate),
+    # so the recompute is a scan+explode+semi-join feeding a count —
+    # cheaper per pass than the scoring leg.
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)
     scores = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
         .select(
             F.col(id_col),
             F.round(
@@ -124,19 +155,38 @@ def bm25_scores_multi(
                 .withColumn("sm", F.lit(0).cast("long"))
                 .select(query_id_col, id_col, "sm"))
     avgdl = float(sum_dl) / n_docs
+    # One tokenize pass for terms AND doc length, with the token array
+    # let-bound as a generated attribute — the same restructure as
+    # bm25_scores (see the comments there).
     tf = (
-        docs.select(F.col(id_col),
-                    F.explode(tokens(F.col(text_col))).alias("term"))
+        docs.where(F.col(id_col).isNotNull())
+        .select(F.col(id_col),
+                F.explode(F.array(F.struct(
+                    tokens(F.col(text_col)).alias("toks")))).alias("_b"))
+        .select(F.col(id_col),
+                F.size("_b.toks").cast("long").alias("dl"),
+                F.explode("_b.toks").alias("term"))
         .join(F.broadcast(q.select("term").distinct()), "term", "left_semi")
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # df = number of (doc, term) groups per term. The dfq branch
+    # deliberately does NOT share an exchange with the scoring branch:
+    # phrasing it so both subtrees canonicalize identically (e.g.
+    # count(nullif(tf, 0)) to keep tf referenced) makes ReuseExchange /
+    # AQE's stage cache dedupe the corpus scan — and was MEASURED 3-5x
+    # slower at sf0.1/sf0.01 (ext_bm25_search 1.7s → 5.0s isolated):
+    # the reuse serializes the two branches behind one stage chain and
+    # interacts pathologically with the runtime broadcast of dfq, while
+    # the independent subtrees scan concurrently. Catalyst prunes the
+    # count out of this branch (functions=[] distinct-style aggregate),
+    # so the recompute is a scan+explode+semi-join feeding a count —
+    # cheaper per pass than the scoring leg.
     dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)
     per_term = (
         tf.join(F.broadcast(dfq), "term")
-        .join(dl, id_col)
         .select(
             F.col(id_col), F.col("term"),
             F.round(

@@ -249,21 +249,43 @@ def ev_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "skew", "join"),
 )
 def ev_hot_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-side enrichment join under key skew, the composed skew
-    pipeline: ``heavy_hitters`` (sketch-then-confirm, bounded state)
-    detects the hot users, then ``selective_salted_join`` spreads ONLY
-    those keys over salts — build-side replication is n_salts × |hot|
+    """Fact-side enrichment join under key skew: exact hot-user
+    detection feeding ``selective_salted_join``, which spreads ONLY the
+    hot keys over salts — build-side replication is n_salts × |hot|
     rows, not n_salts × |build| as blanket salting would pay. The
     oracle is the plain join: salting must be invisible in the result.
     At 100 TB this is the standard events⋈profile enrichment where one
-    bot user would otherwise pin a reducer."""
-    from gads_etl_spark.operators.skew import (
-        heavy_hitters, selective_salted_join)
+    bot user would otherwise pin a reducer.
 
+    The hot set derives from ``profile`` — the exact per-user counts
+    this query must aggregate ANYWAY as its build side — instead of a
+    separate ``heavy_hitters`` sketch-then-confirm pass (round-16,
+    guide §2.4/§1.2): the sketch+confirm+count trio cost two eager
+    driver actions plus a third full events scan per execution, to
+    recompute counts the build side already holds. ``heavy_hitters``
+    remains the right tool when no exact per-key aggregate exists
+    (``ev_heavy_hitters``); here it was three redundant passes. The
+    profile is lazily checkpoint-materialized once (it must materialize
+    as the join build side regardless) and feeds the build side, the
+    hot set, and the total — events is scanned exactly twice per run
+    (probe + profile), with zero eager jobs. The hot threshold
+    (count > support·total) is the same rule sketch-then-confirm
+    enforced, so the detected set — and a fortiori the salted join's
+    result, which is hot-set-invariant — is unchanged."""
+    from gads_etl_spark.operators.skew import selective_salted_join
+
+    support = 0.0008
     ev = load_table(spark, sf_dir, "events")
     profile = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_user_events"))
-    hot = heavy_hitters(ev, "user_id", support=0.0008).select("user_id")
+        F.count(F.lit(1)).cast("long").alias("n_user_events")
+    ).localCheckpoint(eager=False)
+    total = profile.agg(
+        F.sum("n_user_events").cast("double").alias("_total"))
+    hot = (
+        profile.crossJoin(F.broadcast(total))
+        .where(F.col("n_user_events") > F.lit(support) * F.col("_total"))
+        .select("user_id")
+    )
     joined = selective_salted_join(
         ev.select("user_id", "event_type", "value"), profile, "user_id", hot)
     return joined.groupBy("event_type").agg(

@@ -31,16 +31,27 @@ EXPECTED = {
     "ev_sessionization": (1, 0, 0),   # one user_id exchange
     "ext_decontaminate": (3, 1, 0),   # broadcast eval grams; agg exchanges
     "ext_encode_docs": (1, 1, 0),     # broadcast vocab, one re-assembly
-    "ev_hot_user_enrichment": (4, 3, 0),  # hot set broadcast both sides
-    "ext_hybrid_search": (4, 2, 1),   # 2×TakeOrdered legs; 2k-row fusion
+    # r16: (4,3,0) → (3,3,0) — the hot set now derives from the profile
+    # aggregate the query builds anyway (its exchange was already
+    # counted) instead of a separate sketch-then-confirm pass, dropping
+    # the confirm scan's aggregation exchange; events is scanned twice
+    # per run (probe + profile), down from five scans + two eager jobs.
+    "ev_hot_user_enrichment": (3, 3, 0),
+    # r16: (4,2,1) → (4,1,1) — the BM25 leg's separate doc-length scan
+    # + |corpus|-row broadcast join folded into the tf tokenize pass
+    # (dl rides the tf aggregate as a grouping column).
+    "ext_hybrid_search": (4, 1, 1),
     "ext_temperature_mix": (4, 2, 0),  # stats broadcast; scan predicate
     # r10: +2 ex / +2 bhj over r9's (5, 3, 0) — the term semi-join that
     # replaced the driver-collected IN literal: q.distinct() is one tiny
     # exchange + LeftSemi broadcast, duplicated because the tf subtree
-    # feeds both the score and the df branch (identical exchanges, AQE
-    # reuses at runtime). All new operators are on the query side; the
-    # corpus still shuffles only for the two aggregations.
-    "ext_bm25_multi": (7, 5, 0),
+    # feeds both the score and the df branch. r16: (7,5,0) → (7,4,0) —
+    # the separate doc-length scan + |corpus|-row broadcast join folded
+    # into the tf tokenize pass (dl rides the tf aggregate as a
+    # grouping column); the two tf subtrees stay deliberately
+    # NON-identical (see bm25_scores_multi — forcing exchange reuse
+    # measured 3-5x slower by serializing the branches).
+    "ext_bm25_multi": (7, 4, 0),
     "ext_knn_ivfpq_res": (2, 3, 0),   # cell equi-join; corpus never shuffles wide
     "op_trend_fit": (2, 2, 0),        # monthly rollup + nation fit; dims broadcast
     "op_resample_interpolate": (2, 1, 0),  # daily rollup + key window; grid join broadcast
@@ -49,12 +60,15 @@ EXPECTED = {
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
-#: Queries whose plan legitimately carries ONE BroadcastNestedLoopJoin:
-#: a crossJoin against an explicitly broadcast SINGLE-ROW side (the
+#: Queries whose plan legitimately carries BroadcastNestedLoopJoin(s):
+#: crossJoins against an explicitly broadcast SINGLE-ROW side (the
 #: query vector / the corpus-totals row) — a deliberate scalar fan-out,
-#: not an accidental cross product. CartesianProduct stays forbidden
-#: everywhere.
-ALLOWED_BNLJ = {"ext_hybrid_search", "ext_temperature_mix"}
+#: not an accidental cross product. ev_hot_user_enrichment carries two
+#: instances of the same one-row totals attachment (the hot-set subtree
+#: feeds both sides of the salted join, duplicating its scalar
+#: crossJoin). CartesianProduct stays forbidden everywhere.
+ALLOWED_BNLJ = {"ext_hybrid_search", "ext_temperature_mix",
+                "ev_hot_user_enrichment"}
 
 
 def _shape(spark, name):
