@@ -31,18 +31,84 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
+def _driver_components(e0: DataFrame) -> DataFrame | None:
+    """Exact min-label components computed driver-side by union-find —
+    the small-graph fast path of :func:`connected_components`.
+
+    Returns the identical (node, component) relation the distributed
+    min-label loop converges to: component = minimum node id reachable,
+    one row per node appearing in any edge. Union-find with path
+    compression tracks the set minimum directly, so the fixpoint is
+    computed in O(E α(E)) driver time instead of diameter-many
+    shuffle-join rounds — on a post-blocking dup graph (hundreds of
+    edges) the distributed loop's ~6 job round-trips and per-round
+    checkpoints were ~2s of pure scheduling against milliseconds of
+    actual work (measured sf0.1; the same pattern as pagerank's
+    small-input gate and the driver-side IVF Lloyd fit). Returns None
+    when any edge endpoint is NULL — the distributed loop has
+    well-defined (if degenerate) null semantics and stays the arbiter
+    of out-of-contract input.
+    """
+    rows = e0.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            return None
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by MIN label: the smaller id becomes the root, so
+            # every root IS its set's component id — Python's ``<`` on
+            # int and str matches Spark's ordering (UTF-8 binary
+            # comparison is code-point order, which preserves ``min``).
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    spark = e0.sparkSession
+    out = sorted((n, find(n)) for n in parent)
+    node_t = e0.schema.fields[0].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField("node", node_t, True),
+                         StructField("component", node_t, True)])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint: bool = True,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Resolve undirected edges to components; returns (node, component)
     where ``component`` is the minimum node id reachable from ``node``.
 
     Only nodes that appear in at least one edge are returned (singletons
     never entered the candidate-pair set to begin with).
+
+    Graphs at or below ``driver_max_edges`` edges (measured by the count
+    the partition sizing below pays anyway, on the already-checkpointed
+    edge list — no extra pass) are resolved by driver-side union-find
+    (:func:`_driver_components`): bit-identical result, none of the
+    per-round scheduling cost that dominates small graphs. A 200k-edge
+    collect is ~10 MB — far under any driver budget — while graphs past
+    the gate (the 100x-tier dup graph ran 240M edges) keep the
+    shuffle-join loop below, whose per-round cost is what actually
+    scales. ``driver_max_edges=0`` forces the distributed loop.
     """
     e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if checkpoint:
@@ -51,12 +117,17 @@ def connected_components(
         # references its input twice, and checkpointing after the union
         # would execute the pair generation twice.
         e0 = e0.localCheckpoint()
+    n_edges = e0.count()
+    if checkpoint and n_edges <= driver_max_edges:
+        out = _driver_components(e0)
+        if out is not None:
+            return out
     e = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # Partition proportionally to the graph, not the session default: a
     # post-blocking dup graph is usually tiny and per-round scheduling
     # overhead dominates if every round shuffles into 32+ partitions.
     n_parts = max(1, min(e.sparkSession.sparkContext.defaultParallelism,
-                         e0.count() // 50_000 + 1))
+                         n_edges // 50_000 + 1))
     e = e.repartition(n_parts, "b")
     if checkpoint:
         e = e.localCheckpoint()

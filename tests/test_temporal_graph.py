@@ -129,6 +129,30 @@ class TestConnectedComponents:
         cb = sorted(map(tuple, connected_components(b).collect()))
         assert ca == cb == [(1, 1), (5, 1), (9, 1)]
 
+    def test_driver_and_distributed_paths_agree(self, spark):
+        # r16: small graphs resolve by driver-side union-find; the gate
+        # must be invisible — both paths produce the identical (node,
+        # component) relation on a seeded multi-component graph with
+        # chains, cycles, and isolated pairs.
+        import random
+
+        rng = random.Random(42)
+        rows = [(rng.randrange(0, 60), rng.randrange(0, 60))
+                for _ in range(120)] + [(100, 101), (200, 201), (201, 202)]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        fast = sorted(map(tuple, connected_components(edges).collect()))
+        slow = sorted(map(tuple, connected_components(
+            edges, driver_max_edges=0).collect()))
+        assert fast == slow and len(fast) > 0
+
+    def test_null_endpoint_falls_back_to_distributed(self, spark):
+        # A NULL endpoint must not crash the union-find; the distributed
+        # loop stays the arbiter of out-of-contract input.
+        edges = spark.createDataFrame(
+            [(1, 2), (None, 3)], "src long, dst long")
+        out = connected_components(edges).collect()
+        assert {r["node"] for r in out if r["node"] is not None} >= {1, 2}
+
     def test_string_node_ids_diameter_gt_one(self, spark):
         # The convergence fingerprint must be type-agnostic: a numeric
         # cast of string ids yields NULL, which would fake instant
