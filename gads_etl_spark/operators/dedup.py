@@ -597,29 +597,32 @@ def edit_distance_pairs_passjoin(
         # regime measured ~26 candidates/row on the 100x part fixture,
         # so 200x headroom only trips once signatures genuinely
         # saturate (the sf100 fixture ran ~465/row — 9.3B over 20M
-        # rows — and SHOULD be stopped). The corpus-row count the
-        # budget needs piggybacks on the estimate job as an
-        # Observation over the index leg (idx emits EXACTLY nseg
-        # segment rows per corpus row — the segment transform has no
-        # filter — so rows/nseg is the corpus count), costing ZERO
-        # extra actions (round-16; previously a separate base.count()
-        # scan per call).
+        # rows — and SHOULD be stopped).
+        #
+        # Shape (round-16): ONE union + groupBy pass, not two keyed
+        # aggregates joined. The previous est job shuffled idx and
+        # probe into separate per-key counts and equi-joined them on
+        # the 5-column key — three exchanges and a join whose fixed
+        # cost was ~40% of the whole operator's sf0.1 wall (measured:
+        # 4.35s with the estimate vs 2.58s without). Tagging the legs
+        # and aggregating once computes the identical Σ_g ni_g·np_g
+        # (groups present on one side contribute ni·0 = 0, exactly the
+        # inner join's omission), and the corpus-row count the "auto"
+        # budget needs rides the SAME aggregate as Σ ni / nseg (idx
+        # emits exactly nseg segment rows per corpus row) — one
+        # exchange, one action, no Observation, no separate count().
         keys = [*block_cols, "l", "i", "seg"]
-        idx_for_est, obs = idx, None
+        tagged = (idx.select(*keys, F.lit(1).alias("_t"))
+                  .unionByName(probe.select(*keys, F.lit(0).alias("_t"))))
+        est, n_idx = (
+            tagged.groupBy(*keys)
+            .agg(F.sum("_t").alias("_ni"),
+                 F.sum(1 - F.col("_t")).alias("_np"))
+            .agg(F.sum(F.col("_ni") * F.col("_np")),
+                 F.sum("_ni")).collect()[0])
         if candidate_budget == "auto":
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            idx_for_est = idx.observe(
-                obs, F.count(F.lit(1)).alias("n_idx"))
-        est = (idx_for_est.groupBy(*keys)
-               .agg(F.count(F.lit(1)).alias("_ni"))
-               .join(probe.groupBy(*keys)
-                     .agg(F.count(F.lit(1)).alias("_np")), keys)
-               .agg(F.sum(F.col("_ni") * F.col("_np"))).collect()[0][0])
-        if obs is not None:
             candidate_budget = max(1_000_000,
-                                   200 * (obs.get["n_idx"] // nseg))
+                                   200 * (int(n_idx or 0) // nseg))
         if est is not None and est > candidate_budget:
             raise CandidateBudgetExceeded(
                 f"edit_distance_pairs_passjoin: estimated {est:,} "

@@ -1043,9 +1043,9 @@ def test_passjoin_default_budget_trips_on_saturated_fixture(spark):
 
 def test_passjoin_auto_budget_estimate_is_one_action(spark, monkeypatch):
     """Round 16: the "auto" budget must not pay a separate corpus-count
-    action — the row count piggybacks on the saturation-estimate job as
-    an Observation over the index leg (idx emits exactly nseg rows per
-    corpus row, so rows/nseg recovers the corpus count). Pinned by
+    action — the row count rides the saturation-estimate aggregate
+    itself as Σ ni / nseg (idx emits exactly nseg rows per corpus row,
+    and the one-pass union+groupBy estimate already sums ni). Pinned by
     intercepting DataFrame.count for the duration of the call: the
     default path must never invoke it."""
     from pyspark.sql import DataFrame
