@@ -578,20 +578,22 @@ def pq_encode(
     # Materialize each subspace's distance array once (a stacked
     # projection the optimizer collapses), then take the argmin —
     # referencing the transform twice inside array_position(array_min(..))
-    # would double the analysis tree.
-    out = df
-    tmp = []
-    for s in range(m):
-        name = f"__pq_d2s{s}"
-        out = out.withColumn(
-            name, F.expr(_centroid_d2s_sql(vec_sql, s * d, d, codebooks[s]))
-        )
-        tmp.append(name)
+    # would double the analysis tree. ONE withColumns pass, not m
+    # chained withColumn calls (round-16): every eager DataFrame op
+    # re-analyzes the whole accumulated plan, so the chain paid m
+    # analysis walks over a plan already carrying the big d2s HOF trees
+    # — measured 0.45s → 0.27s of pure driver time per pq_encode call
+    # at m=8. Values are bit-identical (same expressions, one Project).
+    names = [f"__pq_d2s{s}" for s in range(m)]
+    out = df.withColumns({
+        n: F.expr(_centroid_d2s_sql(vec_sql, s * d, d, codebooks[s]))
+        for s, n in enumerate(names)
+    })
     code = F.array(*[
         (F.array_position(F.col(n), F.array_min(F.col(n))) - 1).cast("int")
-        for n in tmp
+        for n in names
     ])
-    return out.withColumn(code_col, code).drop(*tmp)
+    return out.withColumn(code_col, code).drop(*names)
 
 
 def pq_topk(
@@ -848,8 +850,21 @@ def ivfpq_residual_topk(
                                    vec_col="r_vec", m=m, k=pq_k, seed=seed)
     m_ = len(codebooks)
     d = len(codebooks[0][0])
+    # Eager checkpoints (round-16): c_codes IS the persistable IVFADC
+    # index — written once, queried many times in production — and
+    # locally the checkpoint truncates the plan every downstream eager
+    # op re-analyzes. The residual variant is the ONE family member
+    # where this is a measured win (isolated fresh-JVM 4.79s → 2.85s):
+    # its subtrees are the family's biggest (every d2s/LUT tree carries
+    # the cell-centroid from_json constant through the residual
+    # zip_with, and pq_train re-derives the residual plan for its
+    # sample), so ~10 downstream analysis passes dominate. pq_topk /
+    # ivfpq_topk were measured with the same checkpoints and got
+    # SLOWER (two extra blocking jobs outweigh their smaller trees'
+    # analysis savings) — deliberately left un-checkpointed. Narrow
+    # rows only (id, cell, m byte-codes), never the raw vectors.
     c_codes = pq_encode(res, codebooks, vec_col="r_vec").select(
-        "neighbor_id", "cell", "pq_code")
+        "neighbor_id", "cell", "pq_code").localCheckpoint()
 
     # Query side: one row per probed (query, cell), each with the LUT of
     # the query's residual w.r.t. THAT cell — the IVFADC per-cell table.
@@ -864,6 +879,7 @@ def ivfpq_residual_topk(
                 for s in range(m_)
             ]).alias("lut"),
         )
+        .localCheckpoint()
     )
 
     adc = F.aggregate(

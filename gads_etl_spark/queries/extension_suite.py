@@ -633,6 +633,8 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hex strings ordered lexicographically so DuckDB's ``list_min``
     agrees exactly; the oracle mirrors the construction 1:1.
     """
+    from gads_etl_spark.operators.util import spread
+
     docs = load_table(spark, sf_dir, "documents")
     grams = F.expr(
         "transform(sequence(1, greatest(length(text) - 3, 1)), "
@@ -643,7 +645,14 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j -> array_min(slice(g, j, 4))))"
     )
     return (
-        docs.select("doc_id", grams.alias("g"))
+        # spread() (round-16): the whole operator is map-side expression
+        # work — |doc| md5 calls per row — and the sf0.1 fixture arrives
+        # as ONE parquet split, so without the repartition every gram of
+        # every document hashed in a single task (measured: 2.6s for
+        # the gram stage single-task vs 0.5s spread across cores; no-op
+        # at scale where the scan yields enough splits).
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", grams.alias("g"))
         .select("doc_id", fps.alias("fps"))
         .select(
             "doc_id",
@@ -2727,8 +2736,18 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = spread(docs.select("doc_id", "text")).select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, greatest(length(text) - 2, 0)),"
-            " i -> substring(lower(text), i, 3))"
+            # lower(text) is LET-BOUND via a 1-element transform
+            # (round-16, the quantize_int8 binding trick): referenced
+            # directly inside the element lambda it re-evaluates per
+            # sequence element — higher-order functions are interpreted,
+            # no subexpression elimination — allocating a fresh lowered
+            # copy of the WHOLE document per trigram position, O(|doc|²)
+            # bytes churned per row (visible in the round-16 before-plan:
+            # `substring(lower(text#..), i, 3)` under the lambda).
+            # Bound once per row the pass is O(|doc|); identical values.
+            "transform(array(lower(text)), lt_ -> "
+            "transform(sequence(1, greatest(length(lt_) - 2, 0)), "
+            "i_ -> substring(lt_, i_, 3)))[0]"
         ))).alias("g"),
     )
     freq = (
