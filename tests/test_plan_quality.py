@@ -259,6 +259,26 @@ class TestRound3Plans:
         assert "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
 
+    def test_trigram_lower_is_let_bound(self, spark):
+        # Round-16: lower(text) referenced directly inside the trigram
+        # transform lambda re-evaluates PER SEQUENCE ELEMENT (HOFs are
+        # interpreted, no subexpression elimination), allocating a
+        # lowered copy of the whole document per trigram position —
+        # O(|doc|²) bytes per row. Pin the let-binding: lower() appears
+        # only inside the 1-element array() wrapper, never under the
+        # inner substring lambda.
+        plan = _formatted_plan(spark, "ext_trigram_typicality")
+        assert "transform(array(lower(" in plan, plan
+        assert "substring(lower(" not in plan, plan
+
+    def test_winnow_map_stage_is_spread(self, spark):
+        # Round-16: the winnow operator is pure per-row md5 expression
+        # work and the fixture arrives as one parquet split — without a
+        # spread every gram of every document hashes in a single task.
+        # Pin the scan-parallelism exchange ahead of the gram projection.
+        plan = _formatted_plan(spark, "ext_winnow_fingerprint")
+        assert "RoundRobinPartitioning" in plan, plan
+
     def test_trigram_typicality_recomputes_not_materializes(self, spark):
         # The exploded trigram relation feeds BOTH the frequent-set
         # aggregate and the join probe, each RECOMPUTING it (two
