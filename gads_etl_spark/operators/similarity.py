@@ -815,6 +815,18 @@ def ivfpq_residual_topk(
     m × pq_k doubles on the broadcast side); candidate scoring rides the
     cell equi-join at m byte-lookups per row.
 
+    Laziness contract (ADVICE r16): unlike its siblings this function
+    is EAGER — the two ``localCheckpoint()`` calls below run the index
+    and LUT jobs at call time, not at first action, and pin
+    non-replicated executor-local blocks that are not unpersisted here
+    (a long-lived session that calls this repeatedly accumulates them
+    until the ContextCleaner collects the dropped references; in
+    cluster mode executor loss makes the truncated lineage
+    unrecoverable). That trade was measured as the right one for this
+    one family member (see the inline comment); callers needing a lazy
+    or fault-tolerant plan should persist the (cell, code) index to a
+    table and join against that instead.
+
     Derived-oracle guarantee (ANY clustering and ANY codebooks): an
     exact copy of a query assigns to the query's nearest cell
     (identical centroid distances, deterministic tie-break), which is

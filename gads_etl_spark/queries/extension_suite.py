@@ -2745,8 +2745,13 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
             # bytes churned per row (visible in the round-16 before-plan:
             # `substring(lower(text#..), i, 3)` under the lambda).
             # Bound once per row the pass is O(|doc|); identical values.
+            # The position bound stays on length(text) — NOT
+            # length(lt_) — mirroring the oracle's generate_series(1,
+            # greatest(length(text)-2, 0)): for characters whose
+            # case-mapping changes length (U+0130 'İ' lowercases to two
+            # codepoints) the two bounds differ (ADVICE r16).
             "transform(array(lower(text)), lt_ -> "
-            "transform(sequence(1, greatest(length(lt_) - 2, 0)), "
+            "transform(sequence(1, greatest(length(text) - 2, 0)), "
             "i_ -> substring(lt_, i_, 3)))[0]"
         ))).alias("g"),
     )

@@ -276,6 +276,18 @@ class TestRound3Plans:
         # work and the fixture arrives as one parquet split — without a
         # spread every gram of every document hashes in a single task.
         # Pin the scan-parallelism exchange ahead of the gram projection.
+        # spread() deliberately no-ops when the scan already yields >=
+        # defaultParallelism splits (ADVICE r16): mirror that gate so
+        # the pin tests the code, not the runner's core count.
+        from gads_etl_spark.queries import REGISTRY
+        from tests.conftest import SF_ORACLE
+
+        docs_parts = (
+            spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+            .rdd.getNumPartitions()
+        )
+        if docs_parts >= spark.sparkContext.defaultParallelism:
+            pytest.skip("scan already spread wider than defaultParallelism")
         plan = _formatted_plan(spark, "ext_winnow_fingerprint")
         assert "RoundRobinPartitioning" in plan, plan
 
