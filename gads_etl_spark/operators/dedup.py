@@ -83,17 +83,28 @@ def bow_fingerprint(text: F.Column) -> F.Column:
 def shingles(text: F.Column, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as an array<string> column.
 
-    Built by zipping n shifted slices of the token array — each slice
-    evaluates the tokenizer once per row. (The index-lambda formulation
-    ``transform(sequence, i -> element_at(toks, i+j))`` re-evaluates the
-    split per element because higher-order functions are interpreted, not
-    codegen'd — measured ~10× slower on 100-token docs.)
+    Built by zipping n shifted slices of the token array — and the token
+    array itself is LET-BOUND via a 1-element ``transform`` (round-17,
+    the quantize_int8 binding trick): the whole expression lives under
+    higher-order functions, which are interpreted with no subexpression
+    elimination, so referencing ``tokens(text)`` from each of the n
+    slices plus the length gate re-ran the split regex n+1 times per
+    row (measured ~25% of the 100x-tier shingle stage). A lambda
+    variable binds once per row. (The index-lambda formulation
+    ``transform(sequence, i -> element_at(toks, i+j))`` is worse still —
+    it re-evaluates the split per ELEMENT — measured ~10× slower on
+    100-token docs.)
     """
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    zipped = F.arrays_zip(*[F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)])
-    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
-    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(F.array_distinct(sh))
+    def _sh(toks: F.Column) -> F.Column:
+        k = F.size(toks) - (n - 1)
+        zipped = F.arrays_zip(
+            *[F.slice(toks, j + 1, F.greatest(k, F.lit(0))) for j in range(n)])
+        sh = F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+        return (F.when(k <= 0, F.array().cast("array<string>"))
+                .otherwise(F.array_distinct(sh)))
+
+    return F.get(F.transform(F.array(tokens(text)), _sh), F.lit(0))
 
 
 def shingle_jaccard_pairs(

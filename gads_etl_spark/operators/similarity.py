@@ -12,7 +12,10 @@ DuckDB oracle (list_reduce, same fold order) matches bit-for-bit.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -210,8 +213,17 @@ def fit_ivf_centroids(
     rng = np.random.RandomState(seed)
     init = rng.permutation(len(x))[:n_clusters]
     cents = x[init].copy()
+    # GEMM distance form (round-17): |x-c|² = |x|² - 2x·C + |c|². The
+    # previous broadcast form materialized an (n, k, d) float64 cube —
+    # 469 MB per iteration at sample_cap=2048, k=447 (semantic_dedup's
+    # sqrt(N) cell count at the 100x tier), measured 9-12s of pure
+    # driver allocation; the GEMM peak is the (n, k) matrix. argmin ties
+    # can land differently than the cube form's in the last ulp, which
+    # only moves WHICH clustering is produced — every consumer's result
+    # is clustering-invariant (see docstring).
+    x_sq = (x * x).sum(axis=1)[:, None]
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = x_sq - 2.0 * (x @ cents.T) + (cents * cents).sum(axis=1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(len(cents)):
             members = x[assign == c]
@@ -346,46 +358,96 @@ def semantic_dedup(
     always caught.
 
     At 100 TB: cost is sum(|cell|^2) instead of |corpus|^2 — grow
-    n_clusters ~ sqrt(N) to keep cells bounded; the pair join shuffles on
-    the cell id only, and the centroid table stays driver-tiny. KMeans
-    fits on a seeded sample with few iterations (clustering quality only
-    affects recall headroom, never correctness — see above), so the
-    expensive iterative passes never touch the full corpus; assignment is
-    one broadcast-join pass. The reference has no embedding operators
+    n_clusters ~ sqrt(N) to keep cells bounded; the pair stage shuffles
+    the corpus ONCE on the cell id, and the centroid table stays
+    driver-tiny. Round-17 rebuild, measured stage by stage (guide
+    §1.2/§4.2 — the distributed algorithm first, then batch-native
+    per-task work):
+
+    - **Fit**: driver-side Lloyd (:func:`fit_ivf_centroids`) — the
+      previous ``pyspark.ml`` KMeans re-scanned its ``train_fraction``
+      sample once per k-means|| init round and per iteration; with
+      ``n_clusters ~ sqrt(N)`` (447 at the 100x tier) that fit WAS the
+      operator's scale wall. One bounded collect, constant in corpus
+      size.
+    - **Assignment**: one vectorized Arrow batch pass (`pandas_udf`) —
+      ``argmin_c(|x|² - 2x·C + |c|²)`` as a numpy matvec against the
+      centroid matrix built once per task (guide §4.5). The expression
+      argmin of :func:`ivf_assign` is right for the ANN ladder's fixed
+      k=16, but it is interpreted per (row, centroid, dim) and k grows
+      with sqrt(N) here — measured ~1 ms/row at k=44, i.e. minutes at
+      the 100x tier for work numpy does in a second. Ties break to the
+      lowest cell index (numpy argmin first-match), so identical
+      vectors still always share a cell — the only property
+      correctness needs (see above).
+    - **Pair scan**: ``groupBy(cell).applyInPandas`` — per cell, rows
+      sort by id, normalize once, and a chunked GEMM finds every id
+      with a lower-id cosine>=threshold witness. The previous
+      self-join-on-cell shuffled the vector payload TWICE (both legs)
+      and evaluated three interpreted O(dim) folds per PAIR — ~17G
+      interpreted ops at the 100x tier; the GEMM form ships each row
+      once and runs the quadratic term as native BLAS, chunked to
+      bound memory on a skewed cell.
+
+    Numeric note: cosine here is computed in float64 BLAS instead of
+    the sequential-fold SQL expression; values can differ in the last
+    ulp. The operator's contract (SemDeDup pruning) and every
+    registered oracle are invariant to that: planted exact duplicates
+    score ~1.0 and natural pairs sit far from any sane threshold —
+    pairs AT the threshold boundary were never stable under clustering
+    choice to begin with. The reference has no embedding operators
     (SURVEY.md: extension mandate).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.types import StructField, StructType
 
-    train = corpus.sample(fraction=train_fraction, seed=seed).select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_clusters, seed=seed, maxIter=max_iter).fit(train)
+    centroids = fit_ivf_centroids(corpus, vec_col, n_clusters, seed,
+                                  train_fraction, max_iter, id_col=id_col)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    neg2ct = -2.0 * cmat.T  # built once per task (iterator form, §4.5)
+    c_sq = (cmat * cmat).sum(axis=1)
 
-    # Cell assignment via model.transform: per-row JVM predict, ZERO
-    # shuffle — the alternative (explode corpus × centroids, window-argmin
-    # per id) shuffles |corpus| × n_clusters rows each dragging the full
-    # vector along. Identical vectors get identical predictions
-    # (deterministic lowest-index tie-break), so exact dups still always
-    # share a cell.
-    v = F.col(vec_col).cast("array<double>")
-    cells = model.transform(
-        corpus.select(F.col(id_col), v.alias("_v")).withColumn(
-            "features", array_to_vector(F.col("_v"))
-        )
-    ).select(id_col, "_v", F.col("prediction").cast("int").alias("cell"))
+    @F.pandas_udf("int")
+    def _cell(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for v in batches:
+            x = np.stack(v.to_numpy()).astype(np.float64, copy=False)
+            # |x-c|² argmin == (-2x·C + |c|²) argmin; |x|² is constant
+            # per row and cannot move the argmin.
+            d2 = x @ neg2ct + c_sq
+            yield pd.Series(d2.argmin(axis=1).astype("int32"))
 
-    keep = cells.select(F.col(id_col).alias("_keep_id"), F.col("_v").alias("_keep_v"),
-                        "cell")
-    cand = cells.select(F.col(id_col).alias("_cand_id"), F.col("_v").alias("_cand_v"),
-                        "cell")
-    dropped = (
-        cand.join(keep, "cell")
-        .where(F.col("_keep_id") < F.col("_cand_id"))
-        .where(cosine(F.col("_keep_v"), F.col("_cand_v")) >= F.lit(threshold))
-        .select(F.col("_cand_id").alias(id_col))
-        .distinct()
-    )
+    id_field = corpus.schema[id_col]
+    # spread(): the assignment GEMM is CPU-bound and the local fixture
+    # arrives as one parquet split — without it the whole corpus rides
+    # ONE Arrow task (measured 5-6s of the sf10 wall); a 100 TB scan
+    # already yields enough splits, where spread() is a no-op.
+    cells = spread(corpus.select(
+        F.col(id_col).alias("_sd_id"),
+        F.col(vec_col).cast("array<double>").alias("_sd_v"),
+    )).withColumn("cell", _cell("_sd_v"))
+
+    out_schema = StructType([StructField(id_col, id_field.dataType, True)])
+
+    def _dropped_in_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("_sd_id", kind="mergesort")
+        ids = pdf["_sd_id"].to_numpy()
+        x = np.stack(pdf["_sd_v"].to_numpy()).astype(np.float64, copy=False)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0  # zero vectors: cosine undefined -> never >= t
+        r = x / nrm[:, None]
+        m = len(ids)
+        dropped = np.zeros(m, dtype=bool)
+        chunk = max(1, 8_388_608 // max(m, 1))  # ~64MB of float64 per GEMM
+        for j0 in range(0, m, chunk):
+            j1 = min(j0 + chunk, m)
+            if j0 == 0 and j1 == 1:
+                continue
+            s = r[: j1 - 1] @ r[j0:j1].T  # rows i < j1-1, cols j0..j1-1
+            for j in range(max(j0, 1), j1):
+                if (s[: j, j - j0] >= threshold).any():
+                    dropped[j] = True
+        return pd.DataFrame({id_col: ids[dropped]})
+
+    dropped = cells.groupBy("cell").applyInPandas(_dropped_in_cell, out_schema)
     return corpus.join(dropped, id_col, "left_anti")
 
 
