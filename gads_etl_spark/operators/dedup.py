@@ -117,41 +117,127 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard similarity (a_id < b_id).
 
-    Pairs are only formed *within a blocking key* (equi-join on
-    ``block_col``), so the join is a normal shuffled equi-join and the
-    quadratic term is bounded per block — the scale-safe shape of pairwise
-    similarity. For unblocked corpora use ``minhash_candidate_pairs``.
+    Pairs are only formed *within a blocking key*, so the quadratic term
+    is bounded per block — the scale-safe shape of pairwise similarity.
+    For unblocked corpora use ``minhash_candidate_pairs``.
+
+    Round-17 verify stage (guide §2.3/§4.2/§8): the previous self-join
+    on the block key shuffled the shingle-array payload TWICE (one leg
+    each side) and ran ``array_intersect`` on every size-compatible
+    pair — 21.9M candidate pairs / 2.6G string hash+compare ops at the
+    100x tier, ~2/3 of the five dup-cluster queries' walls. Now each
+    doc ships ONCE (groupBy the block) into a per-block
+    ``applyInPandas`` that:
+
+    - factorizes the block's shingle strings to integer ids (block-
+      local exact mapping — no hash-collision semantics),
+    - generates candidates with a PREFIX FILTER (Chaudhuri/Bayardo,
+      the tfidf_cosine operator's discipline): docs sort their tokens
+      by (block df asc, token id asc); if jaccard(A,B) >= t then
+      |A∩B| >= ceil(t*|A|), so A's prefix of its (|A| - ceil(t*|A|) +
+      1) rarest tokens must intersect B — an inverted index over
+      prefixes probed by full token sets yields a candidate SUPERSET
+      of every qualifying pair (the prefix length is computed with a
+      truncated — never rounded-up — required overlap, so float noise
+      can only lengthen prefixes, never lose a pair). Unrelated docs
+      share mostly-common tokens, which the df ordering pushes out of
+      every prefix: measured candidates drop ~50x on the Heaps-law
+      fixture,
+    - verifies every candidate with the EXACT set intersection and
+      emits ``inter / (|A| + |B| - inter)`` as float64 — the identical
+      IEEE-754 value the old ``array_intersect`` expression produced
+      (integer inputs are exact in double; one division) — filtered at
+      the same threshold. Results are bit-identical by construction;
+      the sf0.01/sf0.1 oracles and the brute-force differential test
+      certify it.
+
+    The size prefilter (jaccard <= min(|A|,|B|)/max(|A|,|B|)) survives
+    as a cheap candidate-level skip. NULL blocks and NULL ids never
+    paired under the old equi-join/comparison semantics and are
+    filtered identically here.
     """
-    t = spread(df.select(F.col(id_col), F.col(block_col).alias("_block"), F.col(text_col))) \
-        .select(
-            F.col(id_col), F.col("_block"),
-            shingles(F.col(text_col), n).alias("_sh"),
-        ) \
-        .withColumn("_n", F.size("_sh"))
-    a = t.select(F.col(id_col).alias("a_id"), F.col("_block"),
-                 F.col("_sh").alias("a_sh"), F.col("_n").alias("a_n"))
-    b = t.select(F.col(id_col).alias("b_id"), F.col("_block"),
-                 F.col("_sh").alias("b_sh"), F.col("_n").alias("b_n"))
-    # Size prefilter: |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
-    # jaccard ≤ min/max — pairs whose shingle counts differ by more than
-    # the threshold ratio can never qualify and skip the O(|A|+|B|)
-    # intersection entirely. Sound (never drops a qualifying pair).
-    size_ok = (
-        F.least("a_n", "b_n").cast("double")
-        / F.greatest("a_n", "b_n") >= threshold
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    t = spread(
+        df.select(F.col(id_col), F.col(block_col).alias("_block"),
+                  F.col(text_col))
+        .where(F.col(block_col).isNotNull() & F.col(id_col).isNotNull())
+    ).select(
+        F.col(id_col), F.col("_block"),
+        shingles(F.col(text_col), n).alias("_sh"),
     )
-    pairs = (
-        a.join(b, "_block")
-        .where((F.col("a_id") < F.col("b_id")) & size_ok)
-    )
-    inter = F.size(F.array_intersect("a_sh", "b_sh"))
-    union = F.col("a_n") + F.col("b_n") - inter
-    jac = inter.cast("double") / union
-    return (
-        pairs.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    id_t = df.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("a_id", id_t, True),
+        StructField("b_id", id_t, True),
+        StructField("jaccard", DoubleType(), True),
+    ])
+    thr = float(threshold)
+
+    def _block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        raw_ids = pdf[id_col].tolist()
+        raw_shs = pdf["_sh"].tolist()
+        docs = [(i, s) for i, s in zip(raw_ids, raw_shs)
+                if s is not None and len(s) > 0]
+        if len(docs) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "jaccard": []}
+                                ).astype({"jaccard": "float64"})
+        docs.sort(key=lambda d: d[0])  # id order == Spark's < on int/str
+        tok_ids: dict = {}
+        tsets = []
+        for _, sh in docs:
+            row = []
+            for s in sh:
+                tid = tok_ids.get(s)
+                if tid is None:
+                    tid = len(tok_ids)
+                    tok_ids[s] = tid
+                row.append(tid)
+            tsets.append(row)
+        dfreq = np.zeros(len(tok_ids), dtype=np.int64)
+        for row in tsets:
+            for tid in row:
+                dfreq[tid] += 1
+        # prefix postings: token -> docs holding it among their rarest
+        # (|x| - trunc(t*|x|) + 1) tokens; probe with FULL sets below.
+        postings: dict = {}
+        order_key = [sorted(row, key=lambda c: (dfreq[c], c))
+                     for row in tsets]
+        for di, row in enumerate(order_key):
+            p = len(row) - int(thr * len(row)) + 1
+            for tid in row[:p]:
+                postings.setdefault(tid, []).append(di)
+        sets = [frozenset(row) for row in tsets]
+        out_a, out_b, out_j = [], [], []
+        for dj, row in enumerate(order_key):
+            nb = len(row)
+            cands = set()
+            for tid in row:
+                for di in postings.get(tid, ()):
+                    if di != dj:
+                        cands.add(di)
+            for di in cands:
+                if di > dj or docs[di][0] == docs[dj][0]:
+                    continue  # emit each unordered pair once, from its
+                    # higher-id probe side (di < dj == id order); equal
+                    # ids never paired (the old strict < semantics)
+                na = len(order_key[di])
+                if min(na, nb) / max(na, nb) < thr:
+                    continue
+                inter = len(sets[di] & sets[dj])
+                jac = inter / (na + nb - inter)
+                if jac >= thr:
+                    out_a.append(docs[di][0])
+                    out_b.append(docs[dj][0])
+                    out_j.append(jac)
+        return pd.DataFrame({"a_id": out_a, "b_id": out_b,
+                             "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+    return t.groupBy("_block").applyInPandas(_block_pairs, out_schema)
 
 
 def minhash_signatures(
