@@ -380,10 +380,22 @@ def op_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and group sizes are value-checked outright.
     """
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderpriority").agg(
+    # Two-phase form (round-17, guide §2.4): mixing countDistinct with
+    # other aggregates makes Spark plan an Expand (2x input rows) and
+    # carry an HLL buffer per FIRST-PHASE (priority, custkey) group —
+    # measured 15-16s at the 100x tier vs 3-5s for either aggregate
+    # alone. Pre-aggregating on (priority, custkey) removes the Expand;
+    # the HLL estimate over the deduped relation is BIT-IDENTICAL to
+    # the mixed form's (duplicate values hash to the same register and
+    # registers merge by max, so an HLL of a multiset equals the HLL
+    # of its support set), exact = count of deduped rows, n_orders =
+    # sum of per-group counts.
+    g = orders.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count(F.lit(1)).alias("_c"))
+    agg = g.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.lit(1)).alias("exact_customers"),
+        F.sum("_c").alias("n_orders"),
     )
     return agg.select(
         "o_orderpriority", "exact_customers", "n_orders",
