@@ -131,9 +131,20 @@ def connected_components(
     e = e.repartition(n_parts, "b")
     if checkpoint:
         e = e.localCheckpoint()
+    # Fused first round (round-17, guide §2.4): the identity labeling
+    # (node -> node) followed by round 1's join+union+groupBy computes
+    # min(self, neighbors) — but against identity labels that join is
+    # the edge list itself, so the same relation is ONE groupBy over the
+    # symmetrized edges: min over least(a, b) per a = min(a, min of its
+    # neighbors). One exchange replaces the init distinct + the first
+    # round's join + union + aggregate (and the loop's fixpoint check
+    # now fires one round earlier). NULL semantics match the old round
+    # 1 exactly: least() skips a NULL endpoint the join would not have
+    # matched, and a NULL node group aggregates its neighbors' labels
+    # the same way min() did.
     labels = (
-        e.select(F.col("a").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.least("a", "b")).alias("component"))
     )
 
     # Fingerprint of the labeling: sum of a per-row hash of (node,
@@ -146,6 +157,15 @@ def connected_components(
     _fp = F.sum(F.xxhash64("node", "component").cast("decimal(38,0)")).alias("fp")
 
     prev_fp = ()  # sentinel unequal to any fingerprint (incl. None)
+    if checkpoint:
+        # Checkpoint the fused round-1 labels (the loop checkpointed
+        # every round's product before the fusion, so this is the same
+        # per-round lifecycle) and seed the fixpoint check with its
+        # fingerprint: a diameter-1 graph now converges after ONE loop
+        # round instead of two.
+        obs0 = Observation()
+        labels = labels.observe(obs0, _fp).localCheckpoint()
+        prev_fp = obs0.get["fp"]
     for i in range(max_iter):
         neighbor = (
             # shuffle_hash pin: same rationale as pagerank below — both
@@ -162,17 +182,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        if i >= 2:
+        if i >= 1:
             # Pointer jumping (path halving): follow each node's label
             # to ITS label and adopt the smaller — chains collapse
             # exponentially, so convergence is O(log diameter) rounds
             # instead of O(diameter). Safe because a label is always a
             # reachable node id, so the jump target's label is reachable
             # too and monotonicity (labels only decrease) holds. Engaged
-            # only from round 3: shallow graphs (real near-dup clusters,
-            # diameter ≲ 4) converge before paying the extra self-join;
-            # anything still moving by round 3 is chain-shaped and needs
-            # the exponential collapse.
+            # only from overall round 3 (the fused init above IS round
+            # 1, so loop index 1 = round 3): shallow graphs (real
+            # near-dup clusters, diameter ≲ 4) converge before paying
+            # the extra self-join; anything still moving by round 3 is
+            # chain-shaped and needs the exponential collapse.
             parent = labels.select(F.col("node").alias("p_node"),
                                    F.col("component").alias("p_comp"))
             labels = (

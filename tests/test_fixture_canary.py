@@ -131,22 +131,30 @@ class TestDerivedOracleAssumptions:
         # The ANN rank-1 oracles require the planted copy (cos == 1.0) to
         # outrank every natural neighbour; semantic-dedup's threshold
         # (0.9) must also exceed the natural max. Fixture vectors are
-        # random-ish (~0.6 max): assert a wide margin.
+        # random-ish (~0.6 max): assert a wide margin. Computed
+        # driver-side (round-17): the all-pairs Spark HOF join spent
+        # 50s of suite wall at sf0.1 on a 2000x64 matrix numpy handles
+        # in milliseconds; the property asserted (max natural pairwise
+        # cosine, any float noise dwarfed by the 0.3 margin) is the
+        # same.
+        import numpy as np
         from pyspark.sql import functions as F
 
-        from gads_etl_spark.operators.similarity import cosine
-
         emb = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            F.col("embedding").cast("array<double>").alias("e")
         )
-        a = emb.select(F.col("vec_id").alias("a_id"), F.col("e").alias("a_e"))
-        b = emb.select(F.col("vec_id").alias("b_id"), F.col("e").alias("b_e"))
-        max_cos = (
-            a.join(b, F.col("a_id") < F.col("b_id"))
-            .select(cosine(F.col("a_e"), F.col("b_e")).alias("c"))
-            .agg(F.max("c"))
-            .collect()[0][0]
-        )
+        x = np.array([r.e for r in emb.collect()], dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        r = x / nrm[:, None]
+        max_cos = -1.0
+        for j0 in range(1, len(r), 512):
+            j1 = min(j0 + 512, len(r))
+            s = r[: j1 - 1] @ r[j0:j1].T
+            for j in range(j0, j1):
+                m = s[: j, j - j0].max()
+                if m > max_cos:
+                    max_cos = m
         assert max_cos < 0.9, (
             f"{sf_dir}: natural max pairwise cosine {max_cos:.3f} >= 0.9 — "
             "the planted-hit ANN oracles and the semantic-dedup exact "
