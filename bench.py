@@ -92,6 +92,12 @@ EXTRA = [
     "op_trend_fit",
     "op_resample_interpolate",
     "ext_epoch_shuffle",
+    # Round-17 additions (additions only — never remove/rename): the
+    # three operators this round rebuilt, so the driver's own bench
+    # tracks them round-over-round.
+    "ext_semantic_dedup",
+    "ext_shingle_jaccard",
+    "op_approx_distinct",
 ]
 
 
