@@ -240,6 +240,156 @@ def shingle_jaccard_pairs(
     return t.groupBy("_block").applyInPandas(_block_pairs, out_schema)
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing fingerprint summary (Schleimer et al., SIGMOD 2003):
+    md5 every character 4-gram, keep the minimum hash of each sliding
+    window of 4 gram-hashes, and emit per document the distinct-minima
+    count plus the lexicographic min/max fingerprint.
+
+    Map-only (no shuffle): one Arrow pass per partition. Round 17
+    (guide §4.2 / §1.2): the previous all-expression form evaluated
+    ``md5(substring(text, i, 4))`` under an interpreted higher-order
+    ``transform`` — ~6.6 µs per gram, ~2000 CPU-seconds for the 100x
+    tier's 302M grams — and re-hashed every repeated gram. This path
+    dedups the grams of a whole Arrow batch FIRST (a synthetic corpus
+    repeats most 4-grams thousands of times), runs md5 once per
+    distinct gram (cached across batches per task), and does the
+    window minima as vectorized int64 rank comparisons.
+
+    Value-identical by construction, not by accident:
+
+    - grams: ASCII docs slice bytes (1 byte == 1 char); non-ASCII docs
+      take a per-character Python path, so ``substring``'s character
+      semantics are preserved exactly. Docs shorter than 4 chars form
+      the single truncated gram ``substring(text, 1, 4) == text``.
+    - ordering: fingerprints compare as md5 HEX strings; hex encoding
+      is byte-monotonic, so comparing 16-byte digests (as int64 ranks
+      of their sorted order) is the identical total order.
+    - windows: ``greatest(ng - 3, 1)`` windows, the last ones truncated
+      at the array tail exactly like ``slice(g, j, 4)``.
+    - distinctness: counts DISTINCT DIGESTS, which equals the old
+      ``array_distinct`` of hex strings unless two distinct 4-char
+      grams md5-collide (none known; the oracle would catch it).
+
+    NULL text yields ``(1, NULL, NULL)``, mirroring the expression form
+    exactly: ``greatest(length(NULL) - 3, 1)`` is 1 (greatest SKIPS
+    nulls), so the gram array is ``[NULL]``, whose distinct window-min
+    set has size 1 with NULL min/max.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    id_t = df.schema[id_col].dataType
+    out_schema = StructType([
+        StructField(id_col, id_t, True),
+        StructField("n_fingerprints", LongType(), True),
+        StructField("min_fp", StringType(), True),
+        StructField("max_fp", StringType(), True),
+    ])
+    cache_cap = 1 << 20  # distinct-gram digest cache bound per task
+
+    def _window_min(p: "np.ndarray") -> "np.ndarray":
+        # min over [j, j+3] for the greatest(len-3, 1) window starts;
+        # the tail windows of the short case truncate like slice().
+        if p.size >= 4:
+            return np.minimum(np.minimum(p[:-3], p[1:-2]),
+                              np.minimum(p[2:-1], p[3:]))
+        return p.min(keepdims=True)
+
+    def _winnow(batches):
+        cache: dict = {}
+
+        def _digest(g: bytes) -> bytes:
+            d = cache.get(g)
+            if d is None:
+                d = hashlib.md5(g).digest()
+                if len(cache) < cache_cap:
+                    cache[g] = d
+            return d
+
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            n_rows = len(ids)
+            ns: list = [None] * n_rows
+            mins: list = [None] * n_rows
+            maxs: list = [None] * n_rows
+            fast_rows: list = []   # ASCII, len >= 4: batch-vector lane
+            bufs: list = []
+            for r, tx in enumerate(texts):
+                if tx is None:
+                    ns[r] = 1  # [NULL] gram: distinct size 1, NULL min/max
+                    continue
+                if len(tx) < 4:
+                    h = hashlib.md5(tx.encode("utf-8")).hexdigest()
+                    ns[r], mins[r], maxs[r] = 1, h, h
+                elif tx.isascii():
+                    fast_rows.append(r)
+                    bufs.append(tx.encode("ascii"))
+                else:
+                    # per-character lane: substring() slices CHARACTERS
+                    digs = [_digest(tx[i:i + 4].encode("utf-8"))
+                            for i in range(len(tx) - 3)]
+                    uniq = sorted(set(digs))
+                    rank = {d: i for i, d in enumerate(uniq)}
+                    p = np.fromiter((rank[d] for d in digs), np.int64,
+                                    count=len(digs))
+                    fps = np.unique(_window_min(p))
+                    ns[r] = int(fps.size)
+                    mins[r] = uniq[fps[0]].hex()
+                    maxs[r] = uniq[fps[-1]].hex()
+            if fast_rows:
+                lens = np.fromiter((len(b) for b in bufs), np.int64,
+                                   count=len(bufs))
+                offs = np.zeros(len(bufs) + 1, dtype=np.int64)
+                np.cumsum(lens, out=offs[1:])
+                buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                # valid 4-gram start positions never cross a doc boundary
+                idx = np.concatenate([
+                    np.arange(offs[i], offs[i] + lens[i] - 3)
+                    for i in range(len(bufs))])
+                wsel = np.ascontiguousarray(sliding_window_view(buf, 4)[idx])
+                u32 = wsel.view(np.uint32).ravel()
+                # dedup grams across the BATCH; md5 only distinct ones.
+                # factorize = one hash-table pass (measured 6x faster
+                # than sort-based np.unique at ~1k distinct / 1.5M total)
+                codes, uq = pd.factorize(u32)
+                uq = np.ascontiguousarray(uq)
+                raw = uq.view(np.uint8).reshape(-1, 4)  # round-trips byte order
+                digs = np.empty((uq.size, 16), dtype=np.uint8)
+                for i in range(uq.size):
+                    digs[i] = np.frombuffer(_digest(raw[i].tobytes()), np.uint8)
+                # int64 rank per digest == the hex-string total order
+                sorter = np.argsort(digs.view("S16").ravel(), kind="stable")
+                rank = np.empty(uq.size, dtype=np.int64)
+                rank[sorter] = np.arange(uq.size)
+                dig_sorted = digs[sorter]
+                pr_all = rank[codes]
+                pos = 0
+                for i, r in enumerate(fast_rows):
+                    ng = int(lens[i]) - 3
+                    p = pr_all[pos:pos + ng]
+                    pos += ng
+                    fps = np.unique(_window_min(p))
+                    ns[r] = int(fps.size)
+                    mins[r] = dig_sorted[fps[0]].tobytes().hex()
+                    maxs[r] = dig_sorted[fps[-1]].tobytes().hex()
+            yield pd.DataFrame({
+                id_col: ids,
+                "n_fingerprints": pd.Series(ns, dtype=object),
+                "min_fp": pd.Series(mins, dtype=object),
+                "max_fp": pd.Series(maxs, dtype=object),
+            })
+
+    return (spread(df.select(id_col, text_col))
+            .mapInPandas(_winnow, out_schema))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

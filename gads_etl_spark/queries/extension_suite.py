@@ -627,40 +627,23 @@ def ext_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-copy-detection fingerprint set whose size is ~|doc|/w yet is
     position-robust (an edit only perturbs nearby windows).
 
-    Everything is JVM expression work — ``transform(sequence(...))`` over
-    substrings, ``array_min(slice(...))`` per window — no explode, no
-    shuffle, no UDF: at 100 TB this runs entirely map-side. Hashes are
-    md5 hex strings ordered lexicographically so DuckDB's ``list_min``
-    agrees exactly; the oracle mirrors the construction 1:1.
+    Map-only (no shuffle beyond the fixture spread), so at 100 TB this
+    still runs entirely map-side. Round 17: the per-gram md5 expression
+    work moved into the Arrow-vectorized
+    ``operators.dedup.winnow_fingerprints`` (guide §4.2) — the old
+    interpreted ``transform(sequence(...))`` paid ~6.6 µs per gram and
+    re-hashed every repeated gram (302M grams / ~2000 CPU-s at the 100x
+    tier); the operator md5s each DISTINCT gram once per Arrow batch and
+    does the window minima as int64 rank comparisons. Hashes stay md5
+    hex strings ordered lexicographically so DuckDB's ``list_min``
+    agrees exactly; the oracle mirrors the construction 1:1, and
+    ``tests/test_extension_ops.py::TestWinnowFingerprints`` pins the
+    operator against the round-16 expression form.
     """
-    from gads_etl_spark.operators.util import spread
+    from gads_etl_spark.operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 3, 1)), "
-        "i -> md5(substring(text, i, 4)))"
-    )
-    fps = F.expr(
-        "array_distinct(transform(sequence(1, greatest(size(g) - 3, 1)), "
-        "j -> array_min(slice(g, j, 4))))"
-    )
-    return (
-        # spread() (round-16): the whole operator is map-side expression
-        # work — |doc| md5 calls per row — and the sf0.1 fixture arrives
-        # as ONE parquet split, so without the repartition every gram of
-        # every document hashed in a single task (measured: 2.6s for
-        # the gram stage single-task vs 0.5s spread across cores; no-op
-        # at scale where the scan yields enough splits).
-        spread(docs.select("doc_id", "text"))
-        .select("doc_id", grams.alias("g"))
-        .select("doc_id", fps.alias("fps"))
-        .select(
-            "doc_id",
-            F.size("fps").cast("long").alias("n_fingerprints"),
-            F.array_min("fps").alias("min_fp"),
-            F.array_max("fps").alias("max_fp"),
-        )
-    )
+    return winnow_fingerprints(docs)
 
 
 @register(

@@ -843,6 +843,59 @@ class TestSpreadHelper:
         assert spread(agg) is agg
 
 
+class TestWinnowFingerprints:
+    """Round-17 Arrow rewrite of the winnow fingerprint operator: the
+    vectorized distinct-gram path must be value-identical to the
+    round-16 all-expression form it replaced, across every edge the
+    expression semantics have (character substrings vs bytes, short
+    docs, truncated windows, NULL text, NUL bytes)."""
+
+    @staticmethod
+    def _expression_form(docs):
+        # the exact round-16 query body, kept as the reference
+        grams = F.expr(
+            "transform(sequence(1, greatest(length(text) - 3, 1)), "
+            "i -> md5(substring(text, i, 4)))")
+        fps = F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(g) - 3, 1)), "
+            "j -> array_min(slice(g, j, 4))))")
+        return (docs.select("doc_id", grams.alias("g"))
+                .select("doc_id", fps.alias("fps"))
+                .select("doc_id",
+                        F.size("fps").cast("long").alias("n_fingerprints"),
+                        F.array_min("fps").alias("min_fp"),
+                        F.array_max("fps").alias("max_fp")))
+
+    def test_matches_expression_form(self, spark):
+        import random
+
+        from gads_etl_spark.operators.dedup import winnow_fingerprints
+
+        rng = random.Random(17)
+        vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(10, 60))))
+                for i in range(50)]
+        edge = [
+            (100, None),             # NULL text -> NULL fields
+            (101, ""),               # md5('') single fingerprint
+            (102, "a"), (103, "ab"), (104, "abc"),   # sub-gram docs
+            (105, "abcd"),           # exactly one gram, one window
+            (106, "abcdef"),         # truncated single window (ng=3)
+            (107, "aaaaaaaaaa"),     # one distinct gram repeated
+            (108, "héllo wörld ünïcode ünïcode"),   # bytes != chars
+            (109, "こんにちは世界ですこんにちは"),        # 3-byte chars
+            (110, "İstanbul İzmir İstanbul"),
+            (111, "ab\x00cd\x00ef gh"),              # NUL inside ASCII
+        ]
+        docs = spark.createDataFrame(rows + edge, "doc_id long, text string")
+        # doc_ids are distinct, so tuple sort never compares the
+        # NULL-able fields
+        got = sorted(map(tuple, winnow_fingerprints(docs).collect()))
+        want = sorted(map(tuple, self._expression_form(docs).collect()))
+        assert got == want
+
+
 class TestStripDuplicatedSpans:
     def test_cut_and_passthrough(self, spark):
         docs = spark.createDataFrame([

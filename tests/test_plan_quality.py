@@ -291,6 +291,19 @@ class TestRound3Plans:
         plan = _formatted_plan(spark, "ext_winnow_fingerprint")
         assert "RoundRobinPartitioning" in plan, plan
 
+    def test_winnow_is_one_arrow_pass(self, spark):
+        # Round-17: the gram hashing moved into one Arrow-vectorized
+        # map pass (distinct-gram md5, int-rank window minima) — pin
+        # that the plan stays a single MapInPandas with no shuffle
+        # beyond the fixture spread and no row-at-a-time Python.
+        import re
+
+        plan = _formatted_plan(spark, "ext_winnow_fingerprint")
+        # "(n) Op" detail entries appear once per physical node
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
+
     def test_trigram_typicality_recomputes_not_materializes(self, spark):
         # The exploded trigram relation feeds BOTH the frequent-set
         # aggregate and the join probe, each RECOMPUTING it (two
