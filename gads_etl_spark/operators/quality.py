@@ -156,6 +156,157 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def trigram_typicality(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", min_df: int = 50) -> DataFrame:
+    """Per-document trigram typicality: how many of a doc's DISTINCT
+    lowercased character trigrams appear in at least ``min_df``
+    documents corpus-wide — the cheap fluency/quality signal (a doc of
+    rare trigrams is mojibake, code, or another language).
+
+    Two corpus passes, both Arrow-vectorized (round 17, guide §4.2 —
+    the previous expression form exploded one row per trigram and paid
+    interpreted `substring` + `array_distinct` per doc, 82s at the 100x
+    tier):
+
+    1. **Doc-frequency pass** (runs EAGERLY at call time — the
+       frequent-set aggregation is a bounded action, the same
+       construction-time eagerness as the ANN ladder's centroid fit):
+       per Arrow batch, each doc's distinct trigrams are computed as
+       vectorized uint32 codes (ASCII lane) and counted with one
+       ``np.unique`` per batch; Spark sums the per-batch partials per
+       gram and the ``>= min_df`` survivors — a BOUNDED set
+       (≤ |alphabet|³, independent of corpus size) — collect and
+       broadcast.
+    2. **Per-doc pass**: the returned (lazy) plan — one ``mapInPandas``
+       emitting ``(id, n_trigrams, n_typical)`` via a sorted-array
+       membership probe against the broadcast frequent set.
+
+    Value-identical to the expression form it replaced, pinned by a
+    differential test across every edge the old semantics had:
+    lowercase happens in the JVM (``lower(text)`` is computed Spark-side
+    and only SLICED in Python, so engine case-mapping is identical by
+    construction); the position bound stays on ``length(text)`` — the
+    ORIGINAL length — while slices come from the lowered text (ADVICE
+    r16; 'İ' lowercases to two codepoints); docs with
+    ``length(text) <= 2`` emit the single gram ``substring(lower(text),
+    1, 3)`` (Spark's ``sequence(1, 0)`` is ``[1, 0]`` and positions 0/1
+    slice identically — measured); NULL text emits one NULL gram
+    (n_trigrams 1, n_typical 0); non-ASCII docs slice by CHARACTER in a
+    Python lane.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view  # noqa: F401
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gads_etl_spark.operators.util import spread
+
+    spark = df.sparkSession
+    id_t = df.schema[id_col].dataType
+    t = spread(df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_lt"),
+        F.length(F.col(text_col)).alias("_lo"),
+    ))
+
+    def _ascii_codes(lt: str) -> "np.ndarray":
+        # all windows full 3 chars: len(lt) == lo in this lane
+        b = np.frombuffer(lt.encode("ascii"), dtype=np.uint8)
+        c = (b[:-2].astype(np.uint32) << 16) | (b[1:-1].astype(np.uint32) << 8) \
+            | b[2:].astype(np.uint32)
+        return np.unique(c)
+
+    def _doc_grams(lt, lo):
+        """(codes, strings): per-doc distinct trigrams — uint32 codes
+        for the full-window ASCII lane, strings otherwise."""
+        bound = max(int(lo) - 2, 0)
+        if bound == 0:
+            return None, {lt[0:3]}
+        if lt.isascii() and len(lt) == lo:
+            return _ascii_codes(lt), None
+        return None, {lt[i:i + 3] for i in range(bound)}
+
+    def _code_str(c: int) -> str:
+        return chr((c >> 16) & 0xFF) + chr((c >> 8) & 0xFF) + chr(c & 0xFF)
+
+    def _df_partials(batches):
+        for pdf in batches:
+            lts = pdf["_lt"].tolist()
+            los = pdf["_lo"].tolist()
+            code_runs: list = []
+            from collections import Counter
+            slow: Counter = Counter()
+            for lt, lo in zip(lts, los):
+                if lt is None:
+                    continue  # NULL grams never join
+                codes, strs = _doc_grams(lt, lo)
+                if codes is not None:
+                    code_runs.append(codes)
+                else:
+                    slow.update(strs)
+            gs: list = []
+            ns: list = []
+            if code_runs:
+                uq, cnt = np.unique(np.concatenate(code_runs),
+                                    return_counts=True)
+                gs.extend(_code_str(int(c)) for c in uq)
+                ns.extend(int(x) for x in cnt)
+            gs.extend(slow.keys())
+            ns.extend(slow.values())
+            yield pd.DataFrame({"g": pd.Series(gs, dtype=object),
+                                "n": pd.Series(ns, dtype=object)})
+
+    freq_rows = (
+        t.mapInPandas(_df_partials, "g string, n long")
+        .groupBy("g").agg(F.sum("n").alias("n"))
+        .where(F.col("n") >= int(min_df))
+        .select("g").collect()
+    )
+    fset = frozenset(r[0] for r in freq_rows)
+    fcodes = np.sort(np.fromiter(
+        ((ord(g[0]) << 16) | (ord(g[1]) << 8) | ord(g[2])
+         for g in fset if len(g) == 3 and g.isascii()),
+        dtype=np.uint32))
+    bc = spark.sparkContext.broadcast((fcodes, fset))
+
+    out_schema = StructType([
+        StructField(id_col, id_t, True),
+        StructField("n_trigrams", LongType(), True),
+        StructField("n_typical", LongType(), True),
+    ])
+
+    def _doc_counts(batches):
+        fc, fs = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            lts = pdf["_lt"].tolist()
+            los = pdf["_lo"].tolist()
+            n_tri: list = []
+            n_typ: list = []
+            for lt, lo in zip(lts, los):
+                if lt is None:
+                    n_tri.append(1)  # the single NULL gram row
+                    n_typ.append(0)
+                    continue
+                codes, strs = _doc_grams(lt, lo)
+                if codes is not None:
+                    n_tri.append(int(codes.size))
+                    idx = np.searchsorted(fc, codes)
+                    idx[idx == fc.size] = 0
+                    n_typ.append(int((fc[idx] == codes).sum())
+                                 if fc.size else 0)
+                else:
+                    n_tri.append(len(strs))
+                    n_typ.append(len(strs & fs))
+            yield pd.DataFrame({
+                id_col: ids,
+                "n_trigrams": pd.Series(n_tri, dtype=object),
+                "n_typical": pd.Series(n_typ, dtype=object),
+            })
+
+    return t.mapInPandas(_doc_counts, out_schema)
+
+
 def mix_to_budget(
     df: DataFrame,
     weights_micro: dict[str, int],

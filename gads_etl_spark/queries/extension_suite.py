@@ -2713,43 +2713,20 @@ def ext_trigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent set is bounded (≤ |alphabet|³ grams) and broadcastable at
     any corpus size; then one equi-join back, one per-doc aggregate.
     """
-    from gads_etl_spark.operators.util import spread
+    from gads_etl_spark.operators.quality import trigram_typicality
 
+    # Round 17 (guide §4.2): the two exploded expression passes (one
+    # interpreted substring per trigram position, one row per distinct
+    # trigram — ~300M rows per pass at the 100x tier, 82s) moved into
+    # operators/quality.py:trigram_typicality — two Arrow passes that
+    # count distinct trigrams as vectorized uint32 codes and never
+    # materialize a per-trigram relation. The frequent-set pass runs
+    # eagerly at call time (a bounded ≤|alphabet|³ collect, the ANN
+    # ladder's construction-time pattern). Value-identical across every
+    # edge of the old semantics (ADVICE-r16 length bound included) —
+    # pinned by TestTrigramTypicality's differential and the oracle.
     docs = load_table(spark, sf_dir, "documents")
-    tri = spread(docs.select("doc_id", "text")).select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(
-            # lower(text) is LET-BOUND via a 1-element transform
-            # (round-16, the quantize_int8 binding trick): referenced
-            # directly inside the element lambda it re-evaluates per
-            # sequence element — higher-order functions are interpreted,
-            # no subexpression elimination — allocating a fresh lowered
-            # copy of the WHOLE document per trigram position, O(|doc|²)
-            # bytes churned per row (visible in the round-16 before-plan:
-            # `substring(lower(text#..), i, 3)` under the lambda).
-            # Bound once per row the pass is O(|doc|); identical values.
-            # The position bound stays on length(text) — NOT
-            # length(lt_) — mirroring the oracle's generate_series(1,
-            # greatest(length(text)-2, 0)): for characters whose
-            # case-mapping changes length (U+0130 'İ' lowercases to two
-            # codepoints) the two bounds differ (ADVICE r16).
-            "transform(array(lower(text)), lt_ -> "
-            "transform(sequence(1, greatest(length(text) - 2, 0)), "
-            "i_ -> substring(lt_, i_, 3)))[0]"
-        ))).alias("g"),
-    )
-    freq = (
-        tri.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 50).select("g", F.lit(1).alias("_f"))
-    )
-    return (
-        tri.join(F.broadcast(freq), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
-            F.count("_f").cast("long").alias("n_typical"),
-        )
-    )
+    return trigram_typicality(docs, min_df=50)
 
 
 @register(

@@ -896,6 +896,64 @@ class TestWinnowFingerprints:
         assert got == want
 
 
+class TestTrigramTypicality:
+    """Round-17 Arrow rewrite of trigram typicality: the two-pass
+    vectorized operator must be value-identical to the round-16
+    two-explode expression form across every semantic edge: the
+    position bound on length(text) while slicing lower(text) (ADVICE
+    r16), Spark's sequence(1,0) == [1,0] single-gram behavior for
+    length <= 2, NULL text's single NULL gram, JVM-vs-Python lowercase
+    (lower() runs in the JVM in both forms), non-ASCII slicing."""
+
+    @staticmethod
+    def _expression_form(docs, min_df):
+        tri = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(
+                "transform(array(lower(text)), lt_ -> "
+                "transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i_ -> substring(lt_, i_, 3)))[0]"
+            ))).alias("g"),
+        )
+        freq = (
+            tri.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_df).select("g", F.lit(1).alias("_f"))
+        )
+        return (
+            tri.join(F.broadcast(freq), "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+                F.count("_f").cast("long").alias("n_typical"),
+            )
+        )
+
+    def test_matches_expression_form(self, spark):
+        import random
+
+        from gads_etl_spark.operators.quality import trigram_typicality
+
+        rng = random.Random(23)
+        vocab = ["data", "table", "rows", "spark", "query", "graph"]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(5, 40))))
+                for i in range(60)]
+        edge = [
+            (100, None), (101, ""), (102, "a"), (103, "ab"),
+            (104, "abc"), (105, "ABCD"),
+            (106, "İstanbul İzmir"),      # lowercase lengthens the text
+            (107, "KELVIN K SIGN"),       # U+212A lowercases into ASCII
+            (108, "こんにちは世界"),
+            (109, "aaaa bbbb aaaa"),
+        ]
+        docs = spark.createDataFrame(rows + edge, "doc_id long, text string")
+        # min_df=3 exercises a non-trivial frequent set on 70 docs
+        got = sorted(map(tuple, trigram_typicality(docs, min_df=3).collect()))
+        want = sorted(map(tuple,
+                          self._expression_form(docs, min_df=3).collect()))
+        assert got == want
+
+
 class TestStripDuplicatedSpans:
     def test_cut_and_passthrough(self, spark):
         docs = spark.createDataFrame([

@@ -259,17 +259,16 @@ class TestRound3Plans:
         assert "BroadcastExchange" in plan, plan
         assert "SortMergeJoin" not in plan, plan
 
-    def test_trigram_lower_is_let_bound(self, spark):
-        # Round-16: lower(text) referenced directly inside the trigram
-        # transform lambda re-evaluates PER SEQUENCE ELEMENT (HOFs are
-        # interpreted, no subexpression elimination), allocating a
-        # lowered copy of the whole document per trigram position —
-        # O(|doc|²) bytes per row. Pin the let-binding: lower() appears
-        # only inside the 1-element array() wrapper, never under the
-        # inner substring lambda.
+    def test_trigram_lowercases_in_the_jvm(self, spark):
+        # Round-17: the trigram passes are Arrow-vectorized, but the
+        # case-mapping must stay ENGINE-IDENTICAL — lower(text) is
+        # computed Spark-side and only sliced in Python. Pin that the
+        # plan's projection carries lower(text) and length(text) into
+        # the Arrow pass (the ADVICE-r16 original-length bound).
         plan = _formatted_plan(spark, "ext_trigram_typicality")
-        assert "transform(array(lower(" in plan, plan
-        assert "substring(lower(" not in plan, plan
+        assert "lower(text" in plan, plan
+        assert "length(text" in plan, plan
+        assert "MapInPandas" in plan, plan
 
     def test_winnow_map_stage_is_spread(self, spark):
         # Round-16: the winnow operator is pure per-row md5 expression
@@ -305,21 +304,18 @@ class TestRound3Plans:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1, plan
 
     def test_trigram_typicality_recomputes_not_materializes(self, spark):
-        # The exploded trigram relation feeds BOTH the frequent-set
-        # aggregate and the join probe, each RECOMPUTING it (two
-        # parquet scans, no checkpoint/cache). Round 13 materialized it
-        # once (localCheckpoint) on a "scan once" rationale; that was
-        # the measured cause of the register's one above-linear bench
-        # row (15.36x for 10x data): ~1.6B deserialized rows blow the
-        # storage fraction at the 100x tier and the query goes
-        # evict+GC-bound, while two pipelined explodes stream into
-        # partial aggregates with no memory cliff at any scale
-        # (scripts/exp_trigram.py, round 14). Pin the recompute shape:
-        # exactly two scans of documents, zero materialized RDD.
+        # Round-13 materialized the per-trigram relation (localCheckpoint,
+        # "scan once"); that was the measured cause of the register's one
+        # above-linear bench row — ~1.6B deserialized rows blow the
+        # storage fraction at the 100x tier (scripts/exp_trigram.py,
+        # round 14). Round-17's Arrow form keeps the lesson: the returned
+        # plan is ONE fresh parquet scan into the per-doc Arrow pass (the
+        # frequent-set pass already ran eagerly over its own scan) —
+        # no per-trigram relation is ever materialized or cached.
         plan = _formatted_plan(spark, "ext_trigram_typicality")
         # formatted plans print each node twice (tree + detail block);
         # count the numbered detail headers, one per physical scan.
-        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
         assert "ExistingRDD" not in plan, plan
         assert "InMemoryTableScan" not in plan, plan
 
